@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing goes through md5 (identical algorithm in Spark and DuckDB) folded
+to a BIGINT, so every operator has a bit-exact SQL oracle twin.
+
+Scale posture (100 TB): shingling is an array transform per row (no shuffle);
+the explode→distinct→self-join for Jaccard shuffles on the *shingle* key
+(high cardinality, well distributed by the hash itself); MinHash reduces each
+doc to a constant-size signature before any pairwise work, and LSH banding
+turns candidate generation into an equi-join on band keys — the classic
+near-linear near-dup pipeline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def md5_long(c: Column) -> Column:
+    """Leading 8 hex chars of md5 as BIGINT (cross-engine deterministic)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, strip non [a-z ], collapse
+    whitespace."""
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z ]", "")
+    return F.trim(F.regexp_replace(cleaned, r" +", " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) from a single-space-tokenized
+    text. Documents with fewer than n tokens yield an empty array."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    make = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on normalized text (hash-groupBy dedup)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        df.groupBy(h)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the base relation for Jaccard/MinHash."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    inter/union counts are integers → the similarity double is exact.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2"))
+    out = (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min((a_i·h + b_i) mod p) over
+    shingle hashes h. Returns one column per hash: sig_0..sig_{k-1}.
+
+    Docs with no shingles (< n tokens) drop out — matching oracle semantics.
+    """
+    sh = shingle_table(df, text_col, id_col, n).withColumn("h", md5_long(F.col("shingle")))
+    aggs = []
+    for i in range(num_hashes):
+        a_i, b_i = 2 * i + 1, 97 * i + 13
+        aggs.append(
+            F.min((F.lit(a_i) * F.col("h") + F.lit(b_i)) % F.lit(MINHASH_PRIME)).alias(f"sig_{i}")
+        )
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Bands of `band_size` rows each; docs sharing any full band collide.
+    Output: (doc1, doc2, n_shared_bands).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    band_exprs = []
+    for b in range(n_bands):
+        parts = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over distinct whitespace tokens.
+
+    bit_j set iff Σ_tokens (2·((h>>j)&1) − 1) > 0, h = md5-folded token hash.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .distinct()
+        .withColumn("h", md5_long(F.col("tok")))
+    )
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))

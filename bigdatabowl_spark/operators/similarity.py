@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH
+(random-hyperplane, integer-quantized) bucketing as the scale path.
+
+Scale posture: brute-force is query-set × corpus — fine when the query side is
+small and broadcast; the LSH variant reduces candidate generation to an
+equi-join on bucket keys, which is the 100 TB-safe shape. Dot products are
+computed with higher-order functions (zip_with/aggregate) — JVM-side, no
+Python. Signs in the LSH path use integer-quantized arithmetic so bucket
+assignment is bit-deterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# LCG constants for deterministic pseudo-random hyperplane weights
+_LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 2_147_483_648
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids_max: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: queries (id < query_ids_max) × corpus.
+
+    The query side is tiny → broadcast; the corpus scan is a single pass.
+    Deterministic ranking: (cosine desc, neighbor id asc) — cosines are
+    bit-exact (float→double widening + sequential adds).
+    """
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qvec"), F.col("cvec")) / (norm(F.col("qvec")) * norm(F.col("cvec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cosine"), 8).alias("cosine"), F.col("rn").alias("rank"))
+    )
+
+
+def hyperplane_weights(spark, dims: int = 64, planes: int = 8) -> DataFrame:
+    """Deterministic integer hyperplane weights w(d,k) ∈ [-2^30, 2^30).
+
+    w = LCG(d·planes + k) − 2^30 — pure integer arithmetic, reproducible in
+    SQL with generate_series. Broadcast-sized (dims × planes rows).
+    """
+    return (
+        spark.range(dims)
+        .withColumnRenamed("id", "d")
+        .crossJoin(spark.range(planes).withColumnRenamed("id", "k"))
+        .select(
+            "d",
+            "k",
+            (
+                (F.lit(_LCG_A) * (F.col("d") * planes + F.col("k")) + F.lit(_LCG_C))
+                % F.lit(_LCG_M)
+                - F.lit(_LCG_M // 2)
+            ).alias("wq"),
+        )
+    )
+
+
+def lsh_bucket_assignments(
+    emb: DataFrame,
+    spark,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector, fully integer-deterministic.
+
+    Vectors are quantized (round(x·1000) as BIGINT), projected onto integer
+    hyperplanes, and the sign pattern packed into a bucket id. Relational
+    shape: posexplode(vec) ⋈ broadcast(weights) → groupBy — scales linearly
+    and never depends on float accumulation order.
+    """
+    w = hyperplane_weights(spark, dims, planes)
+    vals = emb.select(
+        F.col(id_col),
+        F.posexplode(_to_double(F.col(vec_col))).alias("d", "e"),
+    ).withColumn("vq", F.round(F.col("e") * 1000, 0).cast("long"))
+    proj = (
+        vals.join(F.broadcast(w), "d")
+        .groupBy(id_col, "k")
+        .agg(F.sum(F.col("vq") * F.col("wq")).alias("s"))
+    )
+    bit = F.when(F.col("s") > 0, F.expr("shiftleft(1, cast(k AS INT))")).otherwise(0)
+    return proj.groupBy(id_col).agg(F.sum(bit).cast("long").alias("bucket"))
+
+
+def lsh_bucket_histogram(emb: DataFrame, spark, planes: int = 8, **kw) -> DataFrame:
+    """Bucket occupancy histogram — the IVF-style coarse index statistics."""
+    buckets = lsh_bucket_assignments(emb, spark, planes, **kw)
+    return buckets.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.min(kw.get("id_col", "vec_id")).alias("min_vec_id"),
+    )

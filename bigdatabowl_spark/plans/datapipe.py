@@ -1,0 +1,360 @@
+"""Training-data pipeline queries: dedup, text analysis, similarity search,
+multimodal plumbing — over the `documents` and `embeddings` tables.
+
+These are the beyond-the-reference operators (BASELINE.json north star): each
+is registered with a bit-exact DuckDB oracle built on the same md5/integer
+arithmetic as the Spark implementation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from bigdatabowl_spark.operators import dedup, similarity, text, multimodal
+from bigdatabowl_spark.plans.catalog import register, t
+
+# Shared oracle SQL fragments -----------------------------------------------
+
+_SHINGLES = """
+    SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(string_split(text, ' ')) >= 3
+             THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2])
+             ELSE [] END) AS shingle
+    FROM documents
+"""
+
+_EN = "('the','a','of','and','to','is')"
+_DE = "('der','die','das','und','ist','ein')"
+_ES = "('el','la','de','y','es','un')"
+_FR = "('le','la','de','et','est','un')"
+
+
+def _hits(kw: str) -> str:
+    return f"len(list_filter(string_split(lower(text), ' '), x -> x IN {kw}))"
+
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "DD1,P12,U2",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS text_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str):
+    """Exact deduplication: hash-groupBy on normalized text.
+
+    The canonical keep-lowest-id policy; at scale this is one shuffle on the
+    md5 key (uniformly distributed by construction — no skew).
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+@register(
+    "text_quality",
+    "TQ1,F6",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_word_len,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+           CAST({_hits(_EN)} AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str):
+    """Quality scoring: length / punctuation / stopword ratios per document."""
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    toks = text.tokens(txt)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(txt).cast("long")
+    punct_chars = n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round((n_chars - (n_words - 1)).cast("double") / n_words, 6).alias("avg_word_len"),
+        (punct_chars.cast("double") / n_chars).alias("punct_ratio"),
+        (text.lang_hits(txt, "en").cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    "TL1,P9",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST({_hits(_EN)} AS BIGINT) AS s_en,
+               CAST({_hits(_DE)} AS BIGINT) AS s_de,
+               CAST({_hits(_ES)} AS BIGINT) AS s_es,
+               CAST({_hits(_FR)} AS BIGINT) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           s_en, s_de, s_es, s_fr
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str):
+    """Language-ID via stopword-hit scoring with fixed argmax tiebreak."""
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    cols = [text.lang_hits(txt, lang).cast("long").alias(f"s_{lang}") for lang in ("en", "de", "es", "fr")]
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *cols)
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr"),
+    ).select("doc_id", "labeled_lang", "predicted_lang", "s_en", "s_de", "s_es", "s_fr")
+
+
+@register(
+    "text_tokens_fingerprint",
+    "TT1,F10",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+           list_reduce(list_transform(string_split(text, ' '),
+                                      x -> CAST(ascii(x)*131 + length(x) AS BIGINT)),
+                       (acc, x) -> (acc * 8191 + x) % 1000003) AS fingerprint
+    FROM documents
+    """,
+)
+def text_tokens_fingerprint(spark: SparkSession, sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex) + rolling-hash fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(text.tokens(txt)).cast("long").alias("ws_tokens"),
+        text.bpe_token_count(txt).cast("long").alias("bpe_tokens"),
+        text.fingerprint(txt).alias("fingerprint"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    "DD2,J12",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, n_inter,
+           s1.n_shingles AS n1, s2.n_shingles AS n2,
+           CAST(n_inter AS DOUBLE) / (s1.n_shingles + s2.n_shingles - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n_shingles + s2.n_shingles - n_inter) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str):
+    """3-gram Jaccard near-dup pairs ≥ 0.1 — integer set arithmetic, exact."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    mins = ",\n               ".join(
+        f"MIN(({2*i+1}*h + {97*i+13}) % {dedup.MINHASH_PRIME}) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    sigs AS (
+        SELECT doc_id, {mins}
+        FROM (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh) h
+        GROUP BY doc_id
+    )"""
+
+
+_BANDED = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, sig_{2*b} || '_' || sig_{2*b+1} AS key FROM sigs"
+    for b in range(4)
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    "DD3,J12,A1",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    {_minhash_sig_sql(8)},
+    banded AS (
+        {_BANDED}
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared_bands
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str):
+    """MinHash (8 perms) + LSH banding (4 bands × 2) candidate pairs.
+
+    The near-linear near-dup pipeline: constant-size signature per doc, then
+    an equi-join on band keys — no quadratic blowup at scale.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, num_hashes=8, band_size=2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n               ".join(
+        f"CAST(SUM(((h >> {j}) & 1) * 2 - 1) AS BIGINT) AS b{j}" for j in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+    bitsums AS (
+        SELECT doc_id, {bit_sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bitsums
+    """
+
+
+@register("simhash_docs", "DD4", _simhash_sql(16))
+def simhash_docs(spark: SparkSession, sf_dir: str):
+    """16-bit SimHash per document over distinct tokens."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "embed_knn_brute",
+    "SIM1,O3,J12",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT.format(a='q.v', b='c.v')} /
+               (sqrt({_DOT.format(a='q.v', b='q.v')}) * sqrt({_DOT.format(a='c.v', b='c.v')})) AS cosine
+        FROM e q, e c
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 8) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def embed_knn_brute(spark: SparkSession, sf_dir: str):
+    """Brute-force cosine top-5 for query vectors (id < 20).
+
+    Dot products widen float→double then accumulate sequentially — bit-exact
+    across engines; ranking tiebreak on neighbor id.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, query_ids_max=20, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embed_lsh_buckets",
+    "SIM2,A18",
+    """
+    WITH w AS (
+        SELECT d.d, k.k,
+               ((1103515245*(d.d*8 + k.k) + 12345) % 2147483648) - 1073741824 AS wq
+        FROM generate_series(0, 63) d(d), generate_series(0, 7) k(k)
+    ),
+    vals AS (
+        SELECT vec_id, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS vq
+        FROM embeddings, generate_series(1, 64) s(i)
+    ),
+    proj AS (
+        SELECT vec_id, k, CAST(SUM(vq * wq) AS BIGINT) AS s
+        FROM vals JOIN w USING (d) GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM buckets GROUP BY bucket
+    """,
+)
+def embed_lsh_buckets(spark: SparkSession, sf_dir: str):
+    """Random-hyperplane LSH bucket histogram (integer-quantized, exact).
+
+    The scale path for ANN: bucket assignment is a posexplode ⋈ broadcast
+    weights ⋈ groupBy — linear in corpus size, deterministic under any
+    partitioning because all arithmetic is integer.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_histogram(emb, spark, planes=8)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    "MM1,M3",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img' ELSE 'aud' END AS format
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str):
+    """Binary payload → typed metadata via Arrow-batched mapInPandas.
+
+    The decode itself is a deterministic stub (no media libs in container);
+    the Spark plumbing — binary column, Arrow batches, typed output schema —
+    is the real thing and is what the oracle checks.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(docs)

@@ -1,0 +1,1 @@
+from bigdatabowl_spark.sources.tables import TABLES, load_table  # noqa: F401

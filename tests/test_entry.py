@@ -1,0 +1,32 @@
+"""Driver-contract smoke tests for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_runs(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema.fieldNames()
+
+
+def test_queries_and_oracles_aligned(spark):
+    mod = _load_entry()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert qs, "no queries declared"
+    # every oracle key must be a declared query
+    assert set(oracles) <= set(qs)
+    # and (round-1 invariant) every query has an oracle
+    assert set(oracles) == set(qs)

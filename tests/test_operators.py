@@ -1,0 +1,79 @@
+"""Unit tests for the data-pipeline operator library on tiny inline data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatabowl_spark.operators import dedup, similarity
+from bigdatabowl_spark.operators.text import bpe_token_count, fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "ab"),  # too short for 3-shingles
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    groups = dedup.exact_dup_groups(docs).filter(F.col("n_docs") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0].keep_doc_id == 1 and groups[0].max_doc_id == 2
+
+
+def test_shingles_short_doc_empty(docs):
+    sh = dedup.shingle_table(docs)
+    assert sh.filter(F.col("doc_id") == 5).count() == 0
+    assert sh.filter(F.col("doc_id") == 1).count() == 7  # 9 tokens → 7 shingles
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc1, r.doc2): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.1 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_identical_signatures(docs):
+    sigs = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(8)) for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_candidates_include_exact_dup(docs):
+    cands = {(r.doc1, r.doc2): r.n_shared_bands for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert cands[(1, 2)] == 4  # all bands collide for identical docs
+
+
+def test_simhash_near_dup_closer_than_distinct(docs):
+    sims = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sims[1] == sims[2]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sims[1], sims[3]) <= ham(sims[1], sims[4])
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, query_ids_max=1, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 1  # nearly parallel
+    assert rows[-1].neighbor_id == 3  # anti-parallel last
+
+
+def test_bpe_and_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world 42!")], "doc_id long, text string")
+    r1 = df.select(bpe_token_count(F.col("text")).alias("n"), fingerprint(F.col("text")).alias("fp")).first()
+    r2 = df.select(bpe_token_count(F.col("text")).alias("n"), fingerprint(F.col("text")).alias("fp")).first()
+    assert r1.n == 4  # hello / world / 42 / !
+    assert r1.fp == r2.fp
