@@ -1,0 +1,404 @@
+"""EPPA per-frame kernel (SURVEY Phase 3, §2.10 M3/M4).
+
+The reference's hot path (play_eppa_cpu.py:222-641; maintained GPU twin
+frame_eppa.py:157-445) computes, for every frame: a 6,600-cell × 40-ToF
+surface of P(intercept), historical transition priors, trajectory-integrated
+completion probability, value-model expectations, and argmax summaries.
+
+Spark-first shape: everything before/after is DataFrame ops; the kernel is a
+float64 NumPy routine inside applyInPandas over (gameId, playId, frameId)
+groups — one Arrow batch per frame, broadcast-small priors in the closure.
+
+Fidelity notes (replicating GPU-path semantics per SURVEY §7.5):
+- float64 throughout (play_eppa_cpu.py:47);
+- the 1e-3 distance epsilon (frame_eppa.py:185);
+- piecewise reach-time kinematics (play_eppa_cpu.py:279-297);
+- memoized p_int gathered along the ball path (play_eppa_cpu.py:337,355);
+- cumprod survival with shift-by-1 seed 1 (play_eppa_cpu.py:373-375);
+- team aggregation 1−∏(1−p) (play_eppa_cpu.py:270-271).
+
+Deliberate divergence (documented per SURVEY §7): teams are aggregated
+*before* the trajectory gather — mathematically equivalent for the
+product-form team probabilities, and it shrinks the per-frame tensor from
+(F,T,T,J)≈1.4 GB to (Fc,T,T) chunks ≈14 MB, removing the reference's memory
+cliff (BASELINE.md "peak per-frame tensor").
+
+The value models (M1/M2, xgboost/treelite in the reference) enter through a
+pluggable batch scorer; the default is a deterministic closed-form stand-in
+(xgboost is not installed here) with the same feature interface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from bigdatabowl_spark.kernels.params import (
+    DT,
+    FIELD_X,
+    FIELD_Y,
+    G,
+    N_CELLS,
+    N_TOF,
+    EppaParams,
+    field_grid,
+    tof_values,
+)
+from bigdatabowl_spark.kernels.priors import T_given_L_prior, p_t_prior
+
+_SIGMOID_K = np.pi / np.sqrt(3.0)  # logistic ≈ normal CDF scaling
+
+
+@dataclass
+class EppaPriors:
+    p_t: np.ndarray  # (54,)
+    T_given_L: np.ndarray  # (60, 40)
+
+    @classmethod
+    def default(cls) -> "EppaPriors":
+        return cls(p_t=p_t_prior(), T_given_L=T_given_L_prior())
+
+
+def default_xyac_scorer(nearest_def_dist: np.ndarray, end_x: np.ndarray) -> np.ndarray:
+    """Stand-in for the 8-class xgboost YAC model (play_eppa_cpu.py:456-459):
+    expected yards-after-catch from openness, bounded like the class values
+    [-2.5..30]. Deterministic closed form — swap for predict_batch_udf with a
+    real artifact in production."""
+    return 2.0 + 6.0 / (1.0 + np.exp(-0.8 * (nearest_def_dist - 5.0)))
+
+
+def default_ep_curve(x: np.ndarray) -> np.ndarray:
+    """Stand-in for the 7-class EP model (play_eppa_cpu.py:136-149,
+    epvals=[7,-7,3,-3,2,-2,0]): expected points as a function of field
+    position, monotone from own goal line (−2) to opponent end zone (+7)."""
+    return -2.0 + 9.0 / (1.0 + np.exp(-0.08 * (x - 60.0)))
+
+
+def frame_surfaces(
+    players: pd.DataFrame,
+    ball_start: np.ndarray,
+    frames_after_snap: int,
+    params: EppaParams,
+    priors: EppaPriors,
+    chunk: int = 1100,
+) -> dict[str, np.ndarray]:
+    """Compute all per-frame surfaces. Returns dict of (F,)/(F,T)/(J,) arrays.
+
+    players: one row per non-ball, non-QB player with columns
+    x, y, v_x, v_y, team_pos ('OFF'/'DEF'), nflId.
+    """
+    grid = field_grid()  # (F, 2)
+    tof = tof_values()  # (T,)
+    px = players[["x", "y"]].to_numpy(dtype=np.float64)  # (J, 2)
+    pv = players[["v_x", "v_y"]].to_numpy(dtype=np.float64)
+    is_off = (players["team_pos"] == "OFF").to_numpy()
+    J = len(players)
+
+    # 1-2. reaction projection + intercept geometry (play_eppa_cpu.py:235-251)
+    reax_p = px + pv * params.reax_t
+    d_vec = grid[:, None, :] - reax_p[None, :, :]  # (F, J, 2) — grid crossJoin J12
+    d_mag = np.sqrt((d_vec**2).sum(-1)) + 1e-3  # epsilon frame_eppa.py:185
+
+    # 3. initial speed toward target (F17 dot projection, :254)
+    int_s0 = np.clip((pv[None, :, :] * d_vec).sum(-1) / d_mag, -params.s_max, params.s_max)
+
+    # 4. piecewise time-to-reach (F16 np.select kinematics, :279-297)
+    t_acc = (params.s_max - int_s0) / params.a_max
+    d_acc = int_s0 * t_acc + 0.5 * params.a_max * t_acc**2
+    reaches_early = d_acc >= d_mag
+    disc = np.sqrt(np.maximum(int_s0**2 + 2 * params.a_max * d_mag, 0.0))
+    t_quad = (-int_s0 + disc) / params.a_max
+    t_tot = np.where(reaches_early, t_quad, t_acc + (d_mag - d_acc) / params.s_max)
+    t_tot = t_tot + params.reax_t
+
+    # 5. P(intercept) sigmoid field (M3 core, :268-269)
+    int_dT = tof[None, :, None] - t_tot[:, None, :]  # (F, T, J)
+    p_int = 1.0 / (1.0 + np.exp(-_SIGMOID_K / params.tti_sigma * int_dT))
+
+    # 6. team aggregates 1−∏(1−p) (A23, :270-271). For the trajectory step
+    # probabilities the event space is partitioned properly: P(any) split
+    # between teams proportionally — this is the invariant the reference
+    # asserts (commented, play_eppa_cpu.py:338-339): off + def = p_any ≤ 1.
+    with np.errstate(divide="ignore"):
+        log_no = np.log1p(-np.clip(p_int, 0.0, 1.0 - 1e-12))
+    p_off = 1.0 - np.exp(log_no[:, :, is_off].sum(-1))  # (F, T)
+    p_def = 1.0 - np.exp(log_no[:, :, ~is_off].sum(-1))
+    p_any = 1.0 - np.exp(log_no.sum(-1))  # (F, T)
+    denom = p_off + p_def + 1e-12
+    p_off_part = p_any * p_off / denom  # partitioned: off + def = p_any
+    p_def_part = p_any * p_def / denom
+
+    # 7. historical transition prior (M4, :301-334)
+    L = np.sqrt(((grid - ball_start[None, :]) ** 2).sum(-1))
+    Lbin = np.clip(np.rint(L).astype(np.int64), 1, 60) - 1
+    mask = (L > 1.0) & (L <= 60.0)
+    t_idx = min(max(frames_after_snap, 1), len(priors.p_t)) - 1
+    h = priors.T_given_L[Lbin, :] * priors.p_t[t_idx] * mask[:, None]  # (F, T)
+    h_sum = h.sum()
+    trans_prior = h / h_sum if h_sum > 0 else h
+
+    # 8. trajectory-integrated completion (get_ppc, :336-390), F-chunked
+    ppc_off = np.empty((N_CELLS, N_TOF), dtype=np.float64)
+    ppc_def = np.empty((N_CELLS, N_TOF), dtype=np.float64)
+    steps = np.arange(N_TOF, dtype=np.float64)  # step i ↔ time (i+1)·DT
+    step_t = (steps + 1.0) * DT
+    for lo in range(0, N_CELLS, chunk):
+        hi = min(lo + chunk, N_CELLS)
+        gc = grid[lo:hi]  # (Fc, 2)
+        Fc = hi - lo
+        # ball position along straight path at step i for arrival T (Fc,T,T,2)
+        frac = np.minimum(step_t[None, :, None] / tof[None, None, :], 1.0)  # (1,T_step,T_arr)
+        path = ball_start[None, None, None, :] + frac[..., None] * (
+            gc[:, None, None, :] - ball_start[None, None, None, :]
+        )
+        # projectile z: z(0)=2, z(T)=2 → v_z = G·T/2 (F8, :340-351)
+        v_z = 0.5 * G * tof  # (T_arr,)
+        zt = 2.0 + v_z[None, None, :] * step_t[None, :, None] - 0.5 * G * step_t[None, :, None] ** 2
+        zmask = (zt >= params.z_min) & (zt <= params.z_max)  # (1, T_step, T_arr)
+        valid = step_t[None, :, None] <= tof[None, None, :] + 1e-9  # steps before arrival
+        # flat cell index of path point (F13 ravel, :352)
+        cx = np.clip(np.rint(path[..., 0] - 0.5).astype(np.int64), 0, FIELD_X - 1)
+        cy = np.clip(np.rint(path[..., 1] - 0.5).astype(np.int64), 0, FIELD_Y - 1)
+        flat = cy * FIELD_X + cx  # (Fc, T_step, T_arr)
+        # memoized gather: partitioned team p at (path cell, step time)
+        # (:337,355)
+        step_idx = np.broadcast_to(
+            np.arange(N_TOF)[None, :, None], flat.shape
+        )
+        catch_off = p_off_part[flat, step_idx] * zmask * valid  # (Fc, T_step, T_arr)
+        catch_def = p_def_part[flat, step_idx] * zmask * valid
+        # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
+        no_event = np.clip(1.0 - catch_off - catch_def, 0.0, 1.0)
+        surv = np.cumprod(no_event, axis=1)
+        surv = np.concatenate(
+            [np.ones((Fc, 1, N_TOF)), surv[:, :-1, :]], axis=1
+        )
+        ppc_off[lo:hi] = (surv * catch_off).sum(axis=1)  # cumsum + diagonal (:385)
+        ppc_def[lo:hi] = (surv * catch_def).sum(axis=1)
+
+    # 9. value models on arrival features (get_xyac, :392-464)
+    d_def = d_mag[:, ~is_off]
+    nearest_def = d_def.min(axis=1) if d_def.shape[1] else np.full(N_CELLS, 60.0)
+    xyac = default_xyac_scorer(nearest_def, grid[:, 0])  # (F,)
+    end_x = np.clip(grid[:, 0] + xyac, 0.0, 110.0)
+    xepa_comp = default_ep_curve(end_x)  # (F,)
+    xepa_inc = np.full(N_CELLS, -0.45)  # incompletion value
+
+    # 10. trans = prior · ppc^α renormalized (:469-497)
+    trans = trans_prior * np.power(np.clip(ppc_off, 1e-12, None), params.alpha)
+    t_sum = trans.sum()
+    trans = trans / t_sum if t_sum > 0 else trans
+
+    # 11. EPPA surfaces (F,T) → cell/frame reductions (A26/A27, :502-641)
+    value_ft = ppc_off * xepa_comp[:, None] + (1.0 - ppc_off) * xepa_inc[:, None]
+    eppa_ft = trans * value_ft
+
+    # 12. per-player attribution: share of team p_int at each (F,T)
+    p_int_off_players = np.where(is_off[None, None, :], p_int, 0.0)
+    off_tot = p_int_off_players.sum(-1) + 1e-12  # (F,T)
+    share = p_int_off_players / off_tot[..., None]  # (F,T,J)
+    ind_eppa = (eppa_ft[..., None] * share).sum(axis=(0, 1))  # (J,)
+
+    return {
+        "p_off": p_off,
+        "p_def": p_def,
+        "ppc_off": ppc_off,
+        "ppc_def": ppc_def,
+        "trans_prior": trans_prior,
+        "trans": trans,
+        "xyac": xyac,
+        "xepa_comp": xepa_comp,
+        "xepa_inc": xepa_inc,
+        "value_ft": value_ft,
+        "eppa_ft": eppa_ft,
+        "ind_eppa": ind_eppa,
+        "nflId": players["nflId"].to_numpy(),
+        "team_pos_players": players["team_pos"].to_numpy(),
+    }
+
+
+# ----------------------------------------------------------- Spark wrappers
+
+FIELD_SCHEMA = (
+    "gameId long, playId long, frameId int, ball_end_x double, ball_end_y double, "
+    "eppa1 double, eppa1m double, p_int_off double, p_int_def double, "
+    "ppc_off double, ppc_def double, trans double, xyac double, xepa_comp double"
+)
+
+PASS_SCHEMA = (
+    "gameId long, playId long, frameId int, frames_after_snap int, "
+    "eppa1_tot double, max_eppa1_x double, max_eppa1_y double, max_eppa1_T double, "
+    "max_eppa1_ppc_off double, max_eppa1_trans double, max_eppa1 double"
+)
+
+PLAYER_SCHEMA = (
+    "gameId long, playId long, frameId int, nflId long, team_pos string, "
+    "ind_eppa1 double"
+)
+
+
+def _prep_frame(pdf: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray, int] | None:
+    """Split a frame group into (players, ball_start, frames_after_snap).
+
+    Frame guards (P15, play_eppa_cpu.py:92-98,225-232): needs a ball row and
+    ≥1 player per side; QB position is the throw origin; ball & QB dropped
+    from the defender/receiver set; duplicate players dropped.
+    """
+    ball = pdf[pdf["nflId"] == 0]
+    qb = pdf[pdf["position"] == "QB"]
+    if ball.empty:
+        return None
+    origin = qb if not qb.empty else ball
+    ball_start = origin[["x", "y"]].iloc[0].to_numpy(dtype=np.float64)
+    players = pdf[(pdf["nflId"] != 0) & (pdf["position"] != "QB")]
+    players = players.drop_duplicates(subset=["nflId"])  # :232
+    if players.empty or players["team_pos"].nunique() < 2:
+        return None
+    fas = int(pdf["frames_after_snap"].iloc[0])
+    return players, ball_start, fas
+
+
+def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 47) -> DataFrame:
+    """Eligibility + frame window (play_eppa_gpu.py:46-47; loop :651).
+
+    snap/throw frames located per play; EPPA frames are
+    [snap+min_t, min(throw, snap+max_t)]; plays without pass_forward or with
+    a fumble are excluded (runtime guards, play_eppa_cpu.py:94-98).
+    """
+    w = Window.partitionBy("gameId", "playId")
+    snap = F.min(F.when(F.col("event") == "ball_snap", F.col("frameId"))).over(w)
+    throw = F.min(F.when(F.col("event") == "pass_forward", F.col("frameId"))).over(w)
+    fumble = F.max(F.when(F.col("event") == "fumble", F.lit(1)).otherwise(F.lit(0))).over(w)
+    df = (
+        norm.withColumn("snap_frame", snap)
+        .withColumn("throw_frame", throw)
+        .withColumn("has_fumble", fumble)
+    )
+    return (
+        df.filter(F.col("throw_frame").isNotNull() & (F.col("has_fumble") == 0))
+        .filter(
+            (F.col("frameId") >= F.col("snap_frame") + min_t_frame)
+            & (F.col("frameId") <= F.least(F.col("throw_frame"), F.col("snap_frame") + max_t_frame))
+        )
+        .withColumn("frames_after_snap", (F.col("frameId") - F.col("snap_frame")).cast("int"))
+    )
+
+
+def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPriors | None):
+    params = params or EppaParams()
+    priors = priors or EppaPriors.default()
+
+    def kernel(pdf: pd.DataFrame):
+        prep = _prep_frame(pdf)
+        if prep is None:
+            return pd.DataFrame(columns=[f.split()[0] for f in schema.split(", ")])
+        players, ball_start, fas = prep
+        s = frame_surfaces(players, ball_start, fas, params, priors)
+        key = (
+            int(pdf["gameId"].iloc[0]),
+            int(pdf["playId"].iloc[0]),
+            int(pdf["frameId"].iloc[0]),
+        )
+        return emit(key, fas, s)
+
+    return kernel
+
+
+def eppa_field_surface(
+    norm: DataFrame, params: EppaParams | None = None, priors: EppaPriors | None = None
+) -> DataFrame:
+    """field_df: one row per field cell per eligible frame (viz surface,
+    play_eppa_cpu.py:616-639)."""
+    grid = field_grid()
+
+    def emit(key, fas, s):
+        gid, pid, fid = key
+        best_T = s["eppa_ft"].argmax(axis=1)  # per-cell best ToF
+        rng = np.arange(N_CELLS)
+        return pd.DataFrame(
+            {
+                "gameId": gid,
+                "playId": pid,
+                "frameId": fid,
+                "ball_end_x": grid[:, 0],
+                "ball_end_y": grid[:, 1],
+                "eppa1": s["eppa_ft"].sum(axis=1),
+                "eppa1m": s["eppa_ft"].max(axis=1),
+                "p_int_off": s["p_off"][rng, best_T],
+                "p_int_def": s["p_def"][rng, best_T],
+                "ppc_off": s["ppc_off"][rng, best_T],
+                "ppc_def": s["ppc_def"][rng, best_T],
+                "trans": s["trans"].sum(axis=1),
+                "xyac": s["xyac"],
+                "xepa_comp": s["xepa_comp"],
+            }
+        )
+
+    eligible = _with_frame_meta(norm)
+    return eligible.groupBy("gameId", "playId", "frameId").applyInPandas(
+        _make_kernel(FIELD_SCHEMA, emit, params, priors), FIELD_SCHEMA
+    )
+
+
+def eppa_pass_summary(
+    norm: DataFrame, params: EppaParams | None = None, priors: EppaPriors | None = None
+) -> DataFrame:
+    """passes_df: per-frame argmax summary — the best hypothetical pass
+    (unravel_index(argmax), play_eppa_cpu.py:564-614,621-637)."""
+    grid = field_grid()
+    tof = tof_values()
+
+    def emit(key, fas, s):
+        gid, pid, fid = key
+        flat = int(s["eppa_ft"].argmax())
+        f_i, T_i = np.unravel_index(flat, s["eppa_ft"].shape)
+        return pd.DataFrame(
+            [
+                {
+                    "gameId": gid,
+                    "playId": pid,
+                    "frameId": fid,
+                    "frames_after_snap": fas,
+                    "eppa1_tot": float(s["eppa_ft"].sum()),
+                    "max_eppa1_x": float(grid[f_i, 0]),
+                    "max_eppa1_y": float(grid[f_i, 1]),
+                    "max_eppa1_T": float(tof[T_i]),
+                    "max_eppa1_ppc_off": float(s["ppc_off"][f_i, T_i]),
+                    "max_eppa1_trans": float(s["trans"][f_i, T_i]),
+                    "max_eppa1": float(s["eppa_ft"][f_i, T_i]),
+                }
+            ]
+        )
+
+    eligible = _with_frame_meta(norm)
+    return eligible.groupBy("gameId", "playId", "frameId").applyInPandas(
+        _make_kernel(PASS_SCHEMA, emit, params, priors), PASS_SCHEMA
+    )
+
+
+def eppa_player_stats(
+    norm: DataFrame, params: EppaParams | None = None, priors: EppaPriors | None = None
+) -> DataFrame:
+    """player_stats_df: per-player EPPA attribution (play_eppa_cpu.py:553-559)."""
+
+    def emit(key, fas, s):
+        gid, pid, fid = key
+        return pd.DataFrame(
+            {
+                "gameId": gid,
+                "playId": pid,
+                "frameId": fid,
+                "nflId": s["nflId"],
+                "team_pos": s["team_pos_players"],
+                "ind_eppa1": s["ind_eppa"],
+            }
+        )
+
+    eligible = _with_frame_meta(norm)
+    return eligible.groupBy("gameId", "playId", "frameId").applyInPandas(
+        _make_kernel(PLAYER_SCHEMA, emit, params, priors), PLAYER_SCHEMA
+    )

@@ -1,0 +1,463 @@
+"""Priors/statistics pipeline + model-scoring queries (SURVEY §2.4 A20-A28,
+§2.10 M1/M2, §2.1 S3, §2.2 P5/P13, §2.3 J10).
+
+The reference's Phase-2 priors pipeline (historical-L-T.ipynb) fits gamma
+distributions to throw-time/distance histograms and smooths them; its value
+models (M1/M2) are tree ensembles scored per row. Re-expressed Spark-first:
+moment computations are decimal-exact groupBy aggregates, smoothing is a
+window over bin index, and tree scoring is a generated CASE expression —
+all JVM-side, all with bit-exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+
+from bigdatabowl_spark.functions.scalar import dec, dec_sum
+from bigdatabowl_spark.plans.catalog import register, t, dsum
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a20_gamma_moments_fit",
+    "A20,A1",
+    """
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sx / n, 8) AS mean_value,
+           round((sxx - sx*sx/n) / (n - 1), 8) AS var_value,
+           round((sx/n)*(sx/n) / ((sxx - sx*sx/n) / (n - 1)), 8) AS gamma_shape,
+           round(((sxx - sx*sx/n) / (n - 1)) / (sx/n), 8) AS gamma_scale
+    FROM m
+    """,
+)
+def a20_gamma_moments_fit(spark: SparkSession, sf_dir: str):
+    """Gamma distribution fit per group (method of moments).
+
+    Reference: gamma MLE per group for p(t), P(T|L) priors
+    (historical-L-T.ipynb · cells 5,12,25). The closed-form moment fit is the
+    relational flavor; the numpy MLE flavor lives in kernels/priors.py with
+    its own tests. Moments are decimal-exact → formulas bit-stable.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = dec("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean, 8).alias("mean_value"),
+        F.round(var, 8).alias("var_value"),
+        F.round(mean * mean / var, 8).alias("gamma_shape"),
+        F.round(var / mean, 8).alias("gamma_scale"),
+    )
+
+
+@register(
+    "a21_adaptive_window_fit",
+    "A21,J13,A1",
+    """
+    WITH binned AS (
+        SELECT CAST(floor(value / 10) AS BIGINT) AS d, value FROM events
+    ),
+    bins AS (SELECT DISTINCT d FROM binned)
+    SELECT bins.d AS d,
+           COUNT(*) AS n_window,
+           CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS window_mean
+    FROM bins JOIN binned b ON b.d BETWEEN bins.d - 1 AND bins.d + 1
+    GROUP BY bins.d
+    """,
+)
+def a21_adaptive_window_fit(spark: SparkSession, sf_dir: str):
+    """Windowed-neighborhood grouping: fit over distance bin d±1.
+
+    Reference: gamma fit over distance window d±5 with adaptive widening
+    (historical-L-T.ipynb · cells 12,20). The range self-join (bin dim ⋈
+    fact on BETWEEN) is the Spark-native form; the bin dim is tiny →
+    broadcast, so the fact table is scanned once.
+    """
+    ev = t(spark, sf_dir, "events")
+    binned = ev.select(F.floor(F.col("value") / 10).cast("long").alias("d"), "value")
+    bins = binned.select("d").distinct().withColumnRenamed("d", "d0")
+    joined = F.broadcast(bins).join(
+        binned, (F.col("d") >= F.col("d0") - 1) & (F.col("d") <= F.col("d0") + 1)
+    )
+    return joined.groupBy(F.col("d0").alias("d")).agg(
+        F.count("*").alias("n_window"),
+        (F.sum(dec("value")).cast("double") / F.count("*")).alias("window_mean"),
+    )
+
+
+@register(
+    "a22_histogram_smooth",
+    "A22,F18,A18,W3",
+    """
+    WITH hist AS (
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT bin, n,
+           COALESCE(LAG(n) OVER (ORDER BY bin), 0)
+             + 2*n
+             + COALESCE(LEAD(n) OVER (ORDER BY bin), 0) AS smooth_x4
+    FROM hist
+    """,
+)
+def a22_histogram_smooth(spark: SparkSession, sf_dir: str):
+    """Kernel smoothing of a histogram ([1,2,1] convolution over bin index).
+
+    Reference: Gaussian smoothing of the 2D L-histogram (σ=5,
+    historical-L-T.ipynb · cell 16) and np.convolve moving-average
+    (PassRelatedProbabilities.ipynb · cell 3). Integer weights → exact.
+    """
+    ev = t(spark, sf_dir, "events")
+    hist = ev.groupBy(F.floor(F.col("value") / 10).cast("long").alias("bin")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("bin")
+    smooth = (
+        F.coalesce(F.lag("n").over(w), F.lit(0))
+        + 2 * F.col("n")
+        + F.coalesce(F.lead("n").over(w), F.lit(0))
+    )
+    return hist.select("bin", "n", smooth.alias("smooth_x4"))
+
+
+@register(
+    "a23_group_product",
+    "A23,F4",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(exp(SUM(ln(1.0 + value / 1000.0))), 6) AS growth_product,
+           round(1.0 - exp(SUM(ln(1.0 - 1.0 / (10.0 + value)))), 6) AS p_any
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a23_group_product(spark: SparkSession, sf_dir: str):
+    """Masked team-product 1−∏(1−p) over group members.
+
+    Reference: play_eppa_cpu.py:270-271 / frame_eppa.py:205-207 (probability
+    any defender intercepts). exp∘Σ∘ln keeps it associative-safe for
+    distributed partial aggregation; rounded for libm parity.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.exp(F.sum(F.log(F.lit(1.0) + v / 1000.0))), 6).alias("growth_product"),
+        F.round(
+            F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - F.lit(1.0) / (F.lit(10.0) + v)))), 6
+        ).alias("p_any"),
+    )
+
+
+@register(
+    "a28_weighted_expectation",
+    "A28,J10,F11",
+    """
+    WITH valued AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               CASE event_type WHEN 'purchase' THEN 7 WHEN 'signup' THEN 3
+                               WHEN 'click' THEN 1 WHEN 'error' THEN -2
+                               ELSE 0 END AS class_val
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(v * class_val) AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS expected_class_value,
+           CAST(SUM(v) AS DOUBLE) AS total_weight
+    FROM valued
+    GROUP BY user_id
+    """,
+)
+def a28_weighted_expectation(spark: SparkSession, sf_dir: str):
+    """Weighted expectation over class values Σ p·v / Σ p.
+
+    Reference: EP expectation Σ ypred·epvals (play_eppa_cpu.py:149,458 with
+    epvals=[7,-7,3,-3,2,-2,0]). decimal·int sums are exact; one double
+    division at the end.
+    """
+    ev = t(spark, sf_dir, "events")
+    class_val = (
+        F.when(F.col("event_type") == "purchase", 7)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", -2)
+        .otherwise(0)
+    )
+    valued = ev.select("user_id", dec("value").alias("v"), class_val.alias("class_val"))
+    return valued.groupBy("user_id").agg(
+        (F.sum(F.col("v") * F.col("class_val")).cast("double") / F.sum("v").cast("double")).alias(
+            "expected_class_value"
+        ),
+        F.sum("v").cast("double").alias("total_weight"),
+    )
+
+
+@register(
+    "j10_prior_weighted_rank",
+    "J10,A9,A2,A8",
+    """
+    WITH prior AS (
+        SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.user_id,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * p.n_type) AS DOUBLE) AS weighted_sum
+        FROM events e JOIN prior p ON e.event_type = p.event_type
+        GROUP BY e.user_id
+    ),
+    total AS (SELECT COUNT(*) AS big_n FROM events)
+    SELECT user_id,
+           weighted_sum / big_n AS prior_weighted_score
+    FROM scored, total
+    ORDER BY prior_weighted_score DESC
+    """,
+)
+def j10_prior_weighted_rank(spark: SparkSession, sf_dir: str):
+    """Prior-table join on a non-key attribute + weighted ranking.
+
+    Reference: p_t prior joined on frames_after_snap, then p(t)-weighted
+    player aggregation (eppa_analysis_all_plays.ipynb · cell 2). The prior is
+    a tiny aggregate → broadcast back onto the fact.
+    """
+    ev = t(spark, sf_dir, "events")
+    prior = ev.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    big_n = ev.count()  # scalar prior normalizer (driver-side, one job)
+    scored = (
+        ev.join(F.broadcast(prior), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(dec("value") * F.col("n_type")).cast("double").alias("weighted_sum"))
+    )
+    return scored.select(
+        "user_id", (F.col("weighted_sum") / F.lit(big_n)).alias("prior_weighted_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Model scoring (M1/M2) — tree-ensemble inference as relational CASE logic
+# --------------------------------------------------------------------------
+
+# Deterministic depth-2 tree spec: (feature, threshold, (ll, lr, rl, rr))
+_TREES = [
+    ("o_totalprice", 150000.0, "o_year", 1998, (-1.2, 0.4, 0.7, 1.5)),
+    ("o_totalprice", 80000.0, "o_year", 2000, (-0.8, -0.1, 0.3, 0.9)),
+    ("o_year", 1999, "o_totalprice", 220000.0, (-0.5, 0.2, 0.6, 1.1)),
+]
+
+
+def _tree_case_sql(f1: str, t1, f2: str, t2, leaves) -> str:
+    # leaves cast to DOUBLE: DuckDB types bare decimal literals as DECIMAL,
+    # Spark as double — the cast makes both engines sum identical doubles.
+    ll, lr, rl, rr = (f"CAST({x} AS DOUBLE)" for x in leaves)
+    return (
+        f"CASE WHEN {f1} < {t1} THEN (CASE WHEN {f2} < {t2} THEN {ll} ELSE {lr} END) "
+        f"ELSE (CASE WHEN {f2} < {t2} THEN {rl} ELSE {rr} END) END"
+    )
+
+
+@register(
+    "m1_tree_ensemble_score",
+    "M1,M2,P10,F4",
+    f"""
+    WITH feats AS (
+        SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year FROM orders
+    ),
+    scored AS (
+        SELECT o_orderkey,
+               {_tree_case_sql(*_TREES[0])} + {_tree_case_sql(*_TREES[1])}
+                 + {_tree_case_sql(*_TREES[2])} AS margin
+        FROM feats
+    )
+    SELECT o_orderkey, margin,
+           round(1.0 / (1.0 + exp(-margin)), 6) AS p_class,
+           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS predicted
+    FROM scored
+    """,
+)
+def m1_tree_ensemble_score(spark: SparkSession, sf_dir: str):
+    """Tree-ensemble batch inference as generated relational CASE logic.
+
+    Reference: treelite-compiled XGBoost value models scored on 264k-row
+    frames (play_eppa_cpu.py:456-459, :136-149). In production, real xgboost
+    artifacts would be scored via `predict_batch_udf` (Arrow-batched); this
+    query shows the same semantics pushed fully into WholeStageCodegen — for
+    small ensembles the JVM CASE cascade beats a Python round-trip.
+    """
+    o = t(spark, sf_dir, "orders")
+    feats = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+
+    def tree_col(f1, t1, f2, t2, leaves):
+        ll, lr, rl, rr = leaves
+        inner_l = F.when(F.col(f2) < t2, ll).otherwise(lr)
+        inner_r = F.when(F.col(f2) < t2, rl).otherwise(rr)
+        return F.when(F.col(f1) < t1, inner_l).otherwise(inner_r)
+
+    margin = tree_col(*_TREES[0]) + tree_col(*_TREES[1]) + tree_col(*_TREES[2])
+    scored = feats.select("o_orderkey", margin.alias("margin"))
+    return scored.select(
+        "o_orderkey",
+        "margin",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias("p_class"),
+        F.when(F.col("margin") > 0, 1).otherwise(0).alias("predicted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scans / unions / null handling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s3_multi_scan_union",
+    "S3,U1,P6",
+    f"""
+    WITH tx AS (
+        SELECT 'order' AS kind, o_orderkey AS key, o_totalprice AS amount FROM orders
+        UNION ALL
+        SELECT 'line' AS kind, l_orderkey AS key, l_extendedprice AS amount FROM lineitem
+    )
+    SELECT kind, COUNT(*) AS n, {dsum('amount')} AS total_amount,
+           COUNT(DISTINCT key) AS n_keys
+    FROM tx GROUP BY kind
+    """,
+)
+def s3_multi_scan_union(spark: SparkSession, sf_dir: str):
+    """Multi-source union scan into one homogeneous table.
+
+    Reference: weeks 1-17 multi-file union (completion_probability_torch.py:
+    29-34); per-play result union (play_eppa_cpu.py:654-657). unionByName on
+    aligned projections — Spark unions partitions without a shuffle.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.lit("line").alias("kind"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return o.unionByName(li).groupBy("kind").agg(
+        F.count("*").alias("n"),
+        dec_sum("amount").alias("total_amount"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+
+
+@register(
+    "p5_null_handling",
+    "P5,P13,P7,F6",
+    """
+    WITH with_nulls AS (
+        SELECT l_orderkey, l_linenumber,
+               NULLIF(l_discount, 0.0) AS disc_or_null,
+               CASE WHEN l_tax > 0.05 THEN l_tax END AS high_tax
+        FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(disc_or_null) AS n_discounted,
+           SUM(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
+           CAST(SUM(CAST(COALESCE(disc_or_null, -1.0) AS DECIMAL(18,2))) AS DOUBLE) AS filled_sum,
+           COUNT(high_tax) AS n_high_tax
+    FROM with_nulls
+    """,
+)
+def p5_null_handling(spark: SparkSession, sf_dir: str):
+    """Null predicates, null-generation, and constant fill.
+
+    Reference: penaltyCodes.isnull filter (eppa_analysis.ipynb · cell 11),
+    fillna (normalize.py:20,68-70; visualize.py:342).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    with_nulls = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.when(F.col("l_tax") > 0.05, F.col("l_tax")).alias("high_tax"),
+    )
+    return with_nulls.agg(
+        F.count("*").alias("n_rows"),
+        F.count("disc_or_null").alias("n_discounted"),
+        F.sum(F.when(F.col("disc_or_null").isNull(), 1).otherwise(0)).cast("long").alias("n_zero_disc"),
+        F.sum(dec(F.coalesce(F.col("disc_or_null"), F.lit(-1.0)))).cast("double").alias("filled_sum"),
+        F.count("high_tax").alias("n_high_tax"),
+    )
+
+
+@register(
+    "w2_first_event_offset",
+    "W2,A3,A4",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id, event_type)
+             AS us_since_first_of_type
+    FROM events
+    """,
+)
+def w2_first_event_offset(spark: SparkSession, sf_dir: str):
+    """First-event-per-group broadcast: transform('min') of the frame axis.
+
+    Reference: first event frame per (play, event) via groupby transform
+    (completion_probability_torch.py:65). Integer epoch arithmetic — exact.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts_us") - F.min("ts_us").over(w)).alias("us_since_first_of_type"),
+    )
+
+
+@register(
+    "o5_deterministic_shuffle",
+    "O5,O1,F10",
+    """
+    SELECT o_orderkey, shuffle_key
+    FROM (
+        SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR) || '_seed42') AS shuffle_key
+        FROM orders
+    ) keyed
+    ORDER BY shuffle_key
+    LIMIT 20
+    """,
+)
+def o5_deterministic_shuffle(spark: SparkSession, sf_dir: str):
+    """Seeded deterministic shuffle/sample: order by keyed hash, take N.
+
+    Reference: DataLoader shuffle / df.sample (completion_probability_torch.
+    py:518; eppa_np_anal.ipynb · cell 16). rand(seed) is not reproducible
+    across engines, so the engine exposes hash-ordered sampling — same
+    top-N on any cluster size, any partitioning.
+    """
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("_seed42"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return keyed.orderBy("shuffle_key").limit(20)

@@ -1,0 +1,202 @@
+"""EPPA kernel + priors tests (SURVEY §5: the reference's disabled invariant
+asserts, enabled as property tests, plus determinism and geometry sanity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bigdatabowl_spark.kernels.eppa import (
+    EppaParams,
+    EppaPriors,
+    eppa_field_surface,
+    eppa_pass_summary,
+    eppa_player_stats,
+    frame_surfaces,
+)
+from bigdatabowl_spark.kernels.params import N_CELLS, N_TOF
+from bigdatabowl_spark.kernels.priors import (
+    fit_gamma_by_group,
+    gamma_mle,
+    gamma_pdf,
+    p_t_prior,
+    T_given_L_prior,
+)
+
+# ------------------------------------------------------------------- priors
+
+
+def test_gamma_mle_recovers_parameters():
+    rng = np.random.default_rng(42)
+    sample = rng.gamma(shape=3.0, scale=2.0, size=20000)
+    k, theta = gamma_mle(sample)
+    assert k == pytest.approx(3.0, rel=0.05)
+    assert theta == pytest.approx(2.0, rel=0.05)
+
+
+def test_gamma_pdf_integrates_to_one():
+    x = np.linspace(0.001, 100, 200000)
+    p = gamma_pdf(x, 3.0, 2.0)
+    assert np.trapz(p, x) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_priors_normalized():
+    p_t = p_t_prior()
+    assert p_t.shape == (54,)
+    assert p_t.sum() == pytest.approx(1.0)
+    T_L = T_given_L_prior()
+    assert T_L.shape == (60, N_TOF)
+    np.testing.assert_allclose(T_L.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_fit_gamma_by_group_spark(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "grp": ["a"] * 5000 + ["b"] * 5000,
+            "v": np.concatenate(
+                [rng.gamma(2.0, 1.5, 5000), rng.gamma(6.0, 0.5, 5000)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r.grp: r for r in fit_gamma_by_group(df, ["grp"], "v").collect()}
+    assert out["a"].shape == pytest.approx(2.0, rel=0.1)
+    assert out["b"].shape == pytest.approx(6.0, rel=0.1)
+
+
+# ------------------------------------------------------------------- kernel
+
+
+def _players_frame() -> pd.DataFrame:
+    # 3 OFF receivers + 4 DEF, spread around midfield
+    return pd.DataFrame(
+        {
+            "nflId": [11, 12, 13, 21, 22, 23, 24],
+            "x": [40.0, 45.0, 50.0, 42.0, 47.0, 52.0, 60.0],
+            "y": [10.0, 26.0, 40.0, 12.0, 28.0, 42.0, 26.0],
+            "v_x": [5.0, 2.0, 0.0, -1.0, 0.0, 1.0, -3.0],
+            "v_y": [0.0, 1.0, 3.0, 0.5, -1.0, 0.0, 0.0],
+            "team_pos": ["OFF", "OFF", "OFF", "DEF", "DEF", "DEF", "DEF"],
+            "position": ["WR"] * 3 + ["CB"] * 4,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def surfaces():
+    return frame_surfaces(
+        _players_frame(),
+        ball_start=np.array([35.0, 26.5]),
+        frames_after_snap=20,
+        params=EppaParams(),
+        priors=EppaPriors.default(),
+    )
+
+
+def test_probability_bounds(surfaces):
+    for key in ("p_off", "p_def", "ppc_off", "ppc_def"):
+        arr = surfaces[key]
+        assert arr.shape == (N_CELLS, N_TOF)
+        assert np.isfinite(arr).all()
+        assert (arr >= 0).all() and (arr <= 1.0 + 1e-12).all(), key
+
+
+def test_ppc_mass_invariant(surfaces):
+    """The reference's commented assert (play_eppa_cpu.py:338-339):
+    catch probabilities partition — off + def ≤ 1 pointwise after
+    trajectory integration."""
+    total = surfaces["ppc_off"] + surfaces["ppc_def"]
+    assert (total <= 1.0 + 1e-9).all()
+
+
+def test_trans_normalized(surfaces):
+    assert surfaces["trans_prior"].sum() == pytest.approx(1.0, abs=1e-9)
+    assert surfaces["trans"].sum() == pytest.approx(1.0, abs=1e-9)
+    assert (surfaces["trans"] >= 0).all()
+
+
+def test_defender_suppresses_completion(surfaces):
+    """Geometry sanity: a cell on top of a defender (60,26) has higher
+    def-intercept probability than an empty deep corner."""
+    from bigdatabowl_spark.kernels.params import FIELD_X
+
+    def_cell = 26 * FIELD_X + 60
+    empty_cell = 50 * FIELD_X + 5
+    assert (
+        surfaces["p_def"][def_cell, -1] > surfaces["p_def"][empty_cell, -1]
+    )
+
+
+def test_kernel_deterministic():
+    a = frame_surfaces(
+        _players_frame(), np.array([35.0, 26.5]), 20, EppaParams(), EppaPriors.default()
+    )
+    b = frame_surfaces(
+        _players_frame(), np.array([35.0, 26.5]), 20, EppaParams(), EppaPriors.default()
+    )
+    np.testing.assert_array_equal(a["eppa_ft"], b["eppa_ft"])
+    # chunk size must not change results (F-axis chunking is pure partitioning)
+    c = frame_surfaces(
+        _players_frame(), np.array([35.0, 26.5]), 20, EppaParams(), EppaPriors.default(),
+        chunk=777,
+    )
+    np.testing.assert_array_equal(a["eppa_ft"], c["eppa_ft"])
+
+
+# ------------------------------------------------------- Spark integration
+
+
+@pytest.fixture(scope="module")
+def norm_fixture(spark):
+    rows = []
+    for fid in range(1, 26):
+        event = "ball_snap" if fid == 2 else ("pass_forward" if fid == 20 else None)
+        rows.append((1, 100, fid, event, 0, "Football", None, "FTBL", 35.0, 26.5, 0.0, 0.0))
+        rows.append((1, 100, fid, event, 99, "QB", "QB", "OFF", 35.0, 26.5, 0.0, 0.0))
+        for nid, pos, tp, x0, y0, vx, vy in [
+            (11, "WR", "OFF", 40.0, 10.0, 5.0, 0.0),
+            (12, "WR", "OFF", 45.0, 26.0, 2.0, 1.0),
+            (21, "CB", "DEF", 42.0, 12.0, -1.0, 0.5),
+            (22, "S", "DEF", 47.0, 28.0, 0.0, -1.0),
+        ]:
+            rows.append((1, 100, fid, event, nid, f"P{nid}", pos, tp,
+                         x0 + 0.3 * fid, y0, vx, vy))
+    # ineligible play: no pass_forward → must be excluded (guard P15)
+    for fid in range(1, 20):
+        event = "ball_snap" if fid == 2 else None
+        rows.append((1, 200, fid, event, 0, "Football", None, "FTBL", 35.0, 26.5, 0.0, 0.0))
+        rows.append((1, 200, fid, event, 11, "WR", "WR", "OFF", 40.0, 10.0, 5.0, 0.0))
+        rows.append((1, 200, fid, event, 21, "CB", "CB", "DEF", 42.0, 12.0, -1.0, 0.5))
+    return spark.createDataFrame(
+        rows,
+        "gameId long, playId long, frameId int, event string, nflId long, "
+        "displayName string, position string, team_pos string, x double, "
+        "y double, v_x double, v_y double",
+    )
+
+
+def test_eppa_field_surface_spark(spark, norm_fixture):
+    out = eppa_field_surface(norm_fixture)
+    # eligible frames: snap=2, throw=20 → frames 16..20 (snap+14 .. throw)
+    pdf = out.filter("frameId = 16").toPandas()
+    assert len(pdf) == N_CELLS
+    assert (pdf["eppa1"] >= -5).all() and np.isfinite(pdf["eppa1"]).all()
+    frames = [r.frameId for r in out.select("frameId").distinct().collect()]
+    assert sorted(frames) == [16, 17, 18, 19, 20]
+
+
+def test_eppa_pass_summary_spark(spark, norm_fixture):
+    pdf = eppa_pass_summary(norm_fixture).toPandas()
+    assert len(pdf) == 5  # one row per eligible frame
+    assert (pdf["max_eppa1"] > 0).all()
+    assert pdf["playId"].unique().tolist() == [100]  # play 200 guarded out
+
+
+def test_eppa_player_stats_spark(spark, norm_fixture):
+    pdf = eppa_player_stats(norm_fixture).toPandas()
+    # 4 non-QB players × 5 frames
+    assert len(pdf) == 20
+    off_share = pdf[pdf.team_pos == "OFF"]["ind_eppa1"].sum()
+    assert off_share > 0
