@@ -12,6 +12,9 @@ import os
 import re
 import time
 
+N_EPPA_FRAMES = 8  # eligible frames per play for the kernel throughput metric
+N_EPPA_PLAYS = 8
+
 BENCH_QUERIES = [
     "a1_pricing_summary",
     "a12_two_level_agg",
@@ -32,7 +35,48 @@ BENCH_QUERIES = [
     "embed_lsh_buckets",
     "multimodal_decode",
     "stream_tumbling_counts",
+    "a20_gamma_moments_fit",
+    "a21_adaptive_window_fit",
+    "m1_tree_ensemble_score",
+    "s3_multi_scan_union",
+    "j10_prior_weighted_rank",
 ]
+
+
+def _synthetic_play(spark, n_frames: int, n_plays: int = 8):
+    """22-player plays with snap/throw events for the EPPA kernel bench —
+    the reference's benchmark unit is one play (BASELINE.md); multiple plays
+    exercise the engine's play-level parallelism (one task per play)."""
+    rows = []
+    for pid in range(1, n_plays + 1):
+        for fid in range(1, n_frames + 16):
+            event = "ball_snap" if fid == 1 else ("pass_forward" if fid == n_frames + 14 else None)
+            rows.append((1, pid, fid, event, 0, "Football", None, "FTBL", 35.0, 26.5, 0.0, 0.0))
+            rows.append((1, pid, fid, event, 99, "QB", "QB", "OFF", 35.0, 26.5, 0.0, 0.0))
+            for j in range(10):
+                rows.append((1, pid, fid, event, 100 + j, f"O{j}", "WR", "OFF",
+                             40.0 + 2 * j + 0.2 * fid + 0.1 * pid, 5.0 + 4.5 * j, 4.0, 0.5 * (j % 3 - 1)))
+                rows.append((1, pid, fid, event, 200 + j, f"D{j}", "CB", "DEF",
+                             45.0 + 2 * j + 0.2 * fid + 0.1 * pid, 6.0 + 4.5 * j, -2.0, 0.3 * (j % 3 - 1)))
+    return spark.createDataFrame(
+        rows,
+        "gameId long, playId long, frameId int, event string, nflId long, "
+        "displayName string, position string, team_pos string, x double, "
+        "y double, v_x double, v_y double",
+    )
+
+
+def bench_eppa_kernel(spark) -> tuple[float, float]:
+    """Returns (sec, frames_per_sec) for the EPPA field-surface kernel over a
+    synthetic play — comparable to BASELINE.md's 1.13-1.31 frames/s."""
+    from bigdatabowl_spark.kernels.eppa import eppa_field_surface
+
+    play = _synthetic_play(spark, N_EPPA_FRAMES, N_EPPA_PLAYS)
+    t0 = time.perf_counter()
+    n = eppa_field_surface(play).count()
+    sec = time.perf_counter() - t0
+    frames = n / 6600
+    return round(sec, 3), round(frames / sec, 3)
 
 
 def main() -> None:
@@ -60,6 +104,8 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+    eppa_sec, eppa_fps = bench_eppa_kernel(spark)
+    timings["eppa_kernel_play"] = eppa_sec
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -68,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "eppa_frames_per_sec": eppa_fps,
                 "sf": sf,
             }
         )

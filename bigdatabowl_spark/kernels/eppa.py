@@ -52,6 +52,25 @@ from bigdatabowl_spark.kernels.priors import T_given_L_prior, p_t_prior
 
 _SIGMOID_K = np.pi / np.sqrt(3.0)  # logistic ≈ normal CDF scaling
 
+_TRAJ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _traj_constants(params: EppaParams) -> tuple[np.ndarray, np.ndarray]:
+    """Frame-independent trajectory tensors, cached per params:
+    frac (T_step, T_arr) path fraction, and zv = z-window × validity mask
+    (projectile z per F8 with z(0)=z(T)=2, play_eppa_cpu.py:340-351)."""
+    key = (params.z_min, params.z_max)
+    if key not in _TRAJ_CACHE:
+        tof = tof_values()
+        step_t = (np.arange(N_TOF, dtype=np.float64) + 1.0) * DT
+        frac = np.minimum(step_t[:, None] / tof[None, :], 1.0)  # (T_step, T_arr)
+        v_z = 0.5 * G * tof  # (T_arr,)
+        zt = 2.0 + v_z[None, :] * step_t[:, None] - 0.5 * G * step_t[:, None] ** 2
+        zmask = (zt >= params.z_min) & (zt <= params.z_max)
+        valid = step_t[:, None] <= tof[None, :] + 1e-9
+        _TRAJ_CACHE[key] = (frac, (zmask & valid).astype(np.float64))
+    return _TRAJ_CACHE[key]
+
 
 @dataclass
 class EppaPriors:
@@ -144,41 +163,40 @@ def frame_surfaces(
     # 8. trajectory-integrated completion (get_ppc, :336-390), F-chunked
     ppc_off = np.empty((N_CELLS, N_TOF), dtype=np.float64)
     ppc_def = np.empty((N_CELLS, N_TOF), dtype=np.float64)
-    steps = np.arange(N_TOF, dtype=np.float64)  # step i ↔ time (i+1)·DT
-    step_t = (steps + 1.0) * DT
+    frac, zv = _traj_constants(params)  # (T_step, T_arr) each, cached
+    bx, by = ball_start[0], ball_start[1]
+    p_off_flat = p_off_part.ravel()  # single-gather addressing
+    p_def_flat = p_def_part.ravel()
+    step_addend = np.arange(N_TOF, dtype=np.int64)[None, :, None]  # (1,T_step,1)
     for lo in range(0, N_CELLS, chunk):
         hi = min(lo + chunk, N_CELLS)
         gc = grid[lo:hi]  # (Fc, 2)
         Fc = hi - lo
-        # ball position along straight path at step i for arrival T (Fc,T,T,2)
-        frac = np.minimum(step_t[None, :, None] / tof[None, None, :], 1.0)  # (1,T_step,T_arr)
-        path = ball_start[None, None, None, :] + frac[..., None] * (
-            gc[:, None, None, :] - ball_start[None, None, None, :]
-        )
-        # projectile z: z(0)=2, z(T)=2 → v_z = G·T/2 (F8, :340-351)
-        v_z = 0.5 * G * tof  # (T_arr,)
-        zt = 2.0 + v_z[None, None, :] * step_t[None, :, None] - 0.5 * G * step_t[None, :, None] ** 2
-        zmask = (zt >= params.z_min) & (zt <= params.z_max)  # (1, T_step, T_arr)
-        valid = step_t[None, :, None] <= tof[None, None, :] + 1e-9  # steps before arrival
-        # flat cell index of path point (F13 ravel, :352)
-        cx = np.clip(np.rint(path[..., 0] - 0.5).astype(np.int64), 0, FIELD_X - 1)
-        cy = np.clip(np.rint(path[..., 1] - 0.5).astype(np.int64), 0, FIELD_Y - 1)
-        flat = cy * FIELD_X + cx  # (Fc, T_step, T_arr)
+        # ball path cell index at step i for arrival T, without materializing
+        # the (Fc,T,T,2) path tensor (F13 ravel, :352)
+        dx = (gc[:, 0] - bx)[:, None, None]  # (Fc,1,1)
+        dy = (gc[:, 1] - by)[:, None, None]
+        cx = np.clip(np.rint(bx + frac * dx - 0.5).astype(np.int64), 0, FIELD_X - 1)
+        cy = np.clip(np.rint(by + frac * dy - 0.5).astype(np.int64), 0, FIELD_Y - 1)
+        flat = (cy * FIELD_X + cx) * N_TOF + step_addend  # (Fc, T_step, T_arr)
         # memoized gather: partitioned team p at (path cell, step time)
         # (:337,355)
-        step_idx = np.broadcast_to(
-            np.arange(N_TOF)[None, :, None], flat.shape
-        )
-        catch_off = p_off_part[flat, step_idx] * zmask * valid  # (Fc, T_step, T_arr)
-        catch_def = p_def_part[flat, step_idx] * zmask * valid
+        catch_off = p_off_flat[flat]
+        catch_off *= zv
+        catch_def = p_def_flat[flat]
+        catch_def *= zv
         # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
-        no_event = np.clip(1.0 - catch_off - catch_def, 0.0, 1.0)
-        surv = np.cumprod(no_event, axis=1)
-        surv = np.concatenate(
-            [np.ones((Fc, 1, N_TOF)), surv[:, :-1, :]], axis=1
-        )
-        ppc_off[lo:hi] = (surv * catch_off).sum(axis=1)  # cumsum + diagonal (:385)
-        ppc_def[lo:hi] = (surv * catch_def).sum(axis=1)
+        no_event = 1.0 - catch_off
+        no_event -= catch_def
+        np.clip(no_event, 0.0, 1.0, out=no_event)
+        cum = np.cumprod(no_event, axis=1)
+        surv = np.empty_like(cum)  # shift-by-1, seed 1 (no overlapping write)
+        surv[:, 0, :] = 1.0
+        surv[:, 1:, :] = cum[:, :-1, :]
+        catch_off *= surv
+        catch_def *= surv
+        ppc_off[lo:hi] = catch_off.sum(axis=1)  # cumsum + diagonal (:385)
+        ppc_def[lo:hi] = catch_def.sum(axis=1)
 
     # 9. value models on arrival features (get_xyac, :392-464)
     d_def = d_mag[:, ~is_off]
@@ -197,11 +215,12 @@ def frame_surfaces(
     value_ft = ppc_off * xepa_comp[:, None] + (1.0 - ppc_off) * xepa_inc[:, None]
     eppa_ft = trans * value_ft
 
-    # 12. per-player attribution: share of team p_int at each (F,T)
-    p_int_off_players = np.where(is_off[None, None, :], p_int, 0.0)
-    off_tot = p_int_off_players.sum(-1) + 1e-12  # (F,T)
-    share = p_int_off_players / off_tot[..., None]  # (F,T,J)
-    ind_eppa = (eppa_ft[..., None] * share).sum(axis=(0, 1))  # (J,)
+    # 12. per-player attribution: share of team p_int at each (F,T),
+    # contracted with einsum so no (F,T,J) temporary is materialized
+    p_int_off_sum = p_int[:, :, is_off].sum(-1) + 1e-12  # (F,T)
+    weight = eppa_ft / p_int_off_sum  # (F,T)
+    ind_eppa = np.zeros(J, dtype=np.float64)
+    ind_eppa[is_off] = np.einsum("ft,ftj->j", weight, p_int[:, :, is_off])
 
     return {
         "p_off": p_off,
@@ -289,21 +308,31 @@ def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 
 
 
 def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPriors | None):
+    """Per-PLAY kernel: loops the play's eligible frames inside one task —
+    the reference's own loop structure (play_eppa_cpu.py:651). Grouping at
+    play grain amortizes worker warmup and keeps shuffle groups ≈ plays;
+    at 100 TB parallelism across plays is ample (millions of groups)."""
     params = params or EppaParams()
     priors = priors or EppaPriors.default()
+    empty = pd.DataFrame(columns=[f.split()[0] for f in schema.split(", ")])
 
     def kernel(pdf: pd.DataFrame):
-        prep = _prep_frame(pdf)
-        if prep is None:
-            return pd.DataFrame(columns=[f.split()[0] for f in schema.split(", ")])
-        players, ball_start, fas = prep
-        s = frame_surfaces(players, ball_start, fas, params, priors)
-        key = (
-            int(pdf["gameId"].iloc[0]),
-            int(pdf["playId"].iloc[0]),
-            int(pdf["frameId"].iloc[0]),
-        )
-        return emit(key, fas, s)
+        out = []
+        for fid, frame_pdf in pdf.groupby("frameId", sort=True):
+            prep = _prep_frame(frame_pdf)
+            if prep is None:
+                continue
+            players, ball_start, fas = prep
+            s = frame_surfaces(players, ball_start, fas, params, priors)
+            key = (
+                int(frame_pdf["gameId"].iloc[0]),
+                int(frame_pdf["playId"].iloc[0]),
+                int(fid),
+            )
+            out.append(emit(key, fas, s))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
     return kernel
 
@@ -339,7 +368,7 @@ def eppa_field_surface(
         )
 
     eligible = _with_frame_meta(norm)
-    return eligible.groupBy("gameId", "playId", "frameId").applyInPandas(
+    return eligible.groupBy("gameId", "playId").applyInPandas(
         _make_kernel(FIELD_SCHEMA, emit, params, priors), FIELD_SCHEMA
     )
 
@@ -375,7 +404,7 @@ def eppa_pass_summary(
         )
 
     eligible = _with_frame_meta(norm)
-    return eligible.groupBy("gameId", "playId", "frameId").applyInPandas(
+    return eligible.groupBy("gameId", "playId").applyInPandas(
         _make_kernel(PASS_SCHEMA, emit, params, priors), PASS_SCHEMA
     )
 
@@ -399,6 +428,6 @@ def eppa_player_stats(
         )
 
     eligible = _with_frame_meta(norm)
-    return eligible.groupBy("gameId", "playId", "frameId").applyInPandas(
+    return eligible.groupBy("gameId", "playId").applyInPandas(
         _make_kernel(PLAYER_SCHEMA, emit, params, priors), PLAYER_SCHEMA
     )

@@ -1,0 +1,91 @@
+"""Scan/sink operators (SURVEY §2.1 S1-S13) beyond plain parquet reads.
+
+The reference's IO layer is pandas read_csv with manual usecols, per-week
+file globs, pickle/npy sinks, and a hand-rolled resumable driver loop
+(comb_model_big_run_cpu.py:16-45). Spark-first equivalents:
+
+- S1/S2: schema'd CSV scan — column pruning happens in Catalyst, not usecols;
+- S3: multi-path / glob scan is native to the reader;
+- S8: directory-walk provenance via input_file_name();
+- S9/S10/S11: columnar parquet sinks, partitioned by the job's natural keys
+  (pickle/npy artifacts are re-materialized as parquet tables);
+- S12: idempotent resume = partition-overwrite semantics + existing-partition
+  pruning, replacing the reference's "skip if output dir exists" loop;
+- S13: error-channel = try/except inside the kernel surfaced as a status
+  column, filtered into an errors table — no driver-side errors.txt.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv_schema(spark: SparkSession, path: str, schema: StructType | str, **options) -> DataFrame:
+    """S1: CSV scan with explicit schema (no inference job at scale).
+
+    Reference: pd.read_csv(..., low_memory=False) (normalize.py:13-15) —
+    schema-on-read is replaced by a declared StructType so the scan is a
+    single pass and Catalyst can prune columns into the reader (S2).
+    """
+    return spark.read.csv(path, header=True, schema=schema, **options)
+
+
+def read_multi(spark: SparkSession, paths: list[str], fmt: str = "parquet") -> DataFrame:
+    """S3: multi-file union scan (weeks 1-17 glob,
+    completion_probability_torch.py:29-34). One reader, N files — Spark
+    plans one scan with file-level parallelism, no unionByName needed."""
+    return spark.read.format(fmt).load(paths)
+
+
+def with_provenance(df: DataFrame) -> DataFrame:
+    """S8: attach source-file provenance (directory-walk-as-table,
+    eppa_analysis.ipynb · cell 3)."""
+    return df.withColumn(
+        "source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """S10: partitioned columnar sink (per-play pickle dirs →
+    partitionBy parquet; play_eppa_cpu.py:670-677). Dynamic partition
+    overwrite keeps re-runs idempotent per partition (S12)."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def existing_partitions(spark: SparkSession, path: str, key: str) -> list[str]:
+    """S12: enumerate already-materialized partition values (the reference's
+    os.path.exists play-skip, comb_model_big_run_cpu.py:31-33)."""
+    if not os.path.exists(path):
+        return []
+    return [
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith(f"{key}=") and not d.startswith("_")
+    ]
+
+
+def resume_filter(df: DataFrame, spark: SparkSession, path: str, key: str) -> DataFrame:
+    """S12: drop rows whose partition already exists at the sink — combined
+    with write_partitioned this gives restartable long jobs."""
+    done = existing_partitions(spark, path, key)
+    if not done:
+        return df
+    return df.filter(~F.col(key).cast("string").isin(done))
+
+
+def split_error_channel(df: DataFrame, status_col: str = "status") -> tuple[DataFrame, DataFrame]:
+    """S13: split a kernel output carrying a status column into
+    (ok, errors) tables — the reference's errors.txt + failed-key list
+    (comb_model_big_run_cpu.py:27-45) as first-class DataFrames."""
+    ok = df.filter(F.col(status_col) == "ok").drop(status_col)
+    errors = df.filter(F.col(status_col) != "ok")
+    return ok, errors

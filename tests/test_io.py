@@ -1,0 +1,75 @@
+"""S-family scan/sink tests (SURVEY §2.1) over temp directories."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatabowl_spark.sources.io import (
+    existing_partitions,
+    read_csv_schema,
+    read_multi,
+    resume_filter,
+    split_error_channel,
+    with_provenance,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_csv_roundtrip_with_schema(spark, tmp):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2.5).alias("v"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    path = f"{tmp}/csv_out"
+    df.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv_schema(spark, path, "id long, v double, name string")
+    assert back.count() == 100
+    assert back.schema.simpleString() == "struct<id:bigint,v:double,name:string>"
+    assert back.agg(F.sum("v")).first()[0] == pytest.approx(2.5 * sum(range(100)))
+
+
+def test_multi_path_scan_and_provenance(spark, tmp):
+    a, b = f"{tmp}/week1", f"{tmp}/week2"
+    spark.range(10).write.parquet(a)
+    spark.range(20).write.parquet(b)
+    df = with_provenance(read_multi(spark, [a, b]))
+    assert df.count() == 30
+    assert df.select("source_file").distinct().count() >= 2  # ≥1 file per dir
+
+
+def test_partitioned_write_and_resume(spark, tmp):
+    path = f"{tmp}/sink"
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "playId int, v double"
+    )
+    write_partitioned(df, path, ["playId"])
+    assert sorted(existing_partitions(spark, path, "playId")) == ["1", "2"]
+    # resume: play 1 and 2 done → only play 3 remains
+    more = spark.createDataFrame([(2, 21.0), (3, 30.0)], "playId int, v double")
+    remaining = resume_filter(more, spark, path, "playId")
+    assert [r.playId for r in remaining.collect()] == [3]
+    # dynamic partition overwrite: rewriting play 2 must not clobber play 1
+    write_partitioned(
+        spark.createDataFrame([(2, 99.0)], "playId int, v double"), path, ["playId"]
+    )
+    back = spark.read.parquet(path)
+    assert back.filter("playId = 1").count() == 2
+    assert back.filter("playId = 2").count() == 1
+
+
+def test_error_channel_split(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", 1.0), (2, "ok", 2.0), (3, "ValueError: no pass_forward", 0.0)],
+        "playId int, status string, v double",
+    )
+    ok, errors = split_error_channel(df)
+    assert ok.count() == 2 and "status" not in ok.columns
+    assert errors.count() == 1
+    assert "pass_forward" in errors.first().status
