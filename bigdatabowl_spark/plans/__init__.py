@@ -6,4 +6,5 @@ from bigdatabowl_spark.plans import scalar_queries  # noqa: F401,E402
 from bigdatabowl_spark.plans import datapipe  # noqa: F401,E402
 from bigdatabowl_spark.plans import advanced  # noqa: F401,E402
 from bigdatabowl_spark.plans import tracking  # noqa: F401,E402
+from bigdatabowl_spark.plans import gaps  # noqa: F401,E402
 from bigdatabowl_spark.streaming import events as _streaming_events  # noqa: F401,E402
