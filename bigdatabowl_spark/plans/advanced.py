@@ -274,7 +274,7 @@ def _tree_case_sql(f1: str, t1, f2: str, t2, leaves) -> str:
 
 @register(
     "m1_tree_ensemble_score",
-    "M1,M2,P10,F4",
+    "M1,M2,S4,S6,P10,F4",
     f"""
     WITH feats AS (
         SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year FROM orders

@@ -1,0 +1,122 @@
+"""EPPA kernel queries (SURVEY §2.10 M3/M4, §3.2) through the driver contract.
+
+The testdata star schema has no tracking table, so these queries derive a
+tracking-shaped play deterministically from the `events` table with pure
+DataFrame ops (player identities = smallest distinct user_ids; kinematics =
+arithmetic on the slot index and a per-player jitter from user_id). The
+kernel itself — p_int sigmoid field, historical transition prior,
+trajectory-integrated completion, value models, per-player attribution
+(play_eppa_cpu.py:222-641) — is genuinely non-SQL-expressible, so these are
+rows-only entries (no oracle SQL); numeric correctness is covered by
+tests/test_kernels.py against hand-computed invariants and the probability
+asserts the reference left commented out (play_eppa_cpu.py:338-339).
+
+Scale posture: groups are (gameId, playId) — at 100 TB there are millions of
+plays, so parallelism is ample and each Arrow batch holds one play (~22
+players × ~35 frames). Priors/params ride inside the kernel closure
+(broadcast once per executor via task serialization, S4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatabowl_spark.kernels.eppa import (
+    eppa_field_surface,
+    eppa_pass_summary,
+    eppa_player_stats,
+)
+from bigdatabowl_spark.plans.catalog import register, t
+
+N_SLOTS = 20  # 10 OFF + 10 DEF (ball and QB added separately)
+N_FRAMES = 16  # snap at 1, throw at 16 → 2 eligible EPPA frames per play
+N_PLAYS = 2
+
+
+def tracking_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tracking-shaped plays derived from the events table."""
+    ev = t(spark, sf_dir, "events")
+    slots = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("slot", F.row_number().over(Window.orderBy("user_id")) - 1)
+        .filter(F.col("slot") < N_SLOTS)
+    )
+    plays = spark.range(1, N_PLAYS + 1).select(F.col("id").alias("playId"))
+    frames = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(N_FRAMES))).alias("frameId")
+    )
+    base = slots.crossJoin(plays).crossJoin(frames)
+
+    lane = (F.col("slot") % 10).cast("double")
+    is_off = F.col("slot") < 10
+    jitter = (F.col("user_id") % 7).cast("double") * 0.37
+    event = (
+        F.when(F.col("frameId") == 1, F.lit("ball_snap"))
+        .when(F.col("frameId") == N_FRAMES, F.lit("pass_forward"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    players = base.select(
+        F.lit(1).cast("long").alias("gameId"),
+        F.col("playId").cast("long"),
+        F.col("frameId").cast("int"),
+        event.alias("event"),
+        (F.col("user_id") + 100).cast("long").alias("nflId"),
+        F.concat(F.lit("P"), F.col("slot")).alias("displayName"),
+        F.when(is_off, F.lit("WR")).otherwise(F.lit("CB")).alias("position"),
+        F.when(is_off, F.lit("OFF")).otherwise(F.lit("DEF")).alias("team_pos"),
+        (12.0 + 4.0 * lane + 0.3 * F.col("frameId") + 0.5 * jitter
+         + F.when(is_off, 0.0).otherwise(3.0) + F.col("playId").cast("double")).alias("x"),
+        (3.0 + 4.8 * lane + F.when(is_off, 0.0).otherwise(1.2)).alias("y"),
+        (F.when(is_off, 4.0).otherwise(-2.0) + 0.1 * jitter).alias("v_x"),
+        (0.4 * (lane - 4.5) / 4.5).alias("v_y"),
+    )
+    anchors = plays.crossJoin(frames).select(
+        F.lit(1).cast("long").alias("gameId"),
+        F.col("playId").cast("long"),
+        F.col("frameId").cast("int"),
+        event.alias("event"),
+        F.lit(0).cast("long").alias("nflId"),
+        F.lit("Football").alias("displayName"),
+        F.lit(None).cast("string").alias("position"),
+        F.lit("FTBL").alias("team_pos"),
+        (30.0 + F.col("playId").cast("double")).alias("x"),
+        F.lit(26.5).alias("y"),
+        F.lit(0.0).alias("v_x"),
+        F.lit(0.0).alias("v_y"),
+    )
+    qbs = anchors.select(
+        "gameId", "playId", "frameId", "event",
+        F.lit(999).cast("long").alias("nflId"),
+        F.lit("QB1").alias("displayName"),
+        F.lit("QB").alias("position"),
+        F.lit("OFF").alias("team_pos"),
+        "x", "y", "v_x", "v_y",
+    )
+    return players.unionByName(anchors).unionByName(qbs)
+
+
+@register(
+    "eppa_field_surface",
+    "M3,M4,M9,S4,J12,O3,A23,A25,W7",
+    None,  # non-SQL-expressible kernel → rows-only check
+)
+def q_eppa_field_surface(spark: SparkSession, sf_dir: str):
+    """field_df viz surface: 6,600 cells × eligible frames — the per-frame
+    EPPA hot path (play_eppa_cpu.py:222-641) as applyInPandas over plays."""
+    return eppa_field_surface(tracking_from_events(spark, sf_dir))
+
+
+@register("eppa_pass_summary", "M3,A26,A28", None)
+def q_eppa_pass_summary(spark: SparkSession, sf_dir: str):
+    """passes_df: per-frame argmax — best hypothetical pass via
+    unravel_index(argmax) (play_eppa_cpu.py:564-614,621-637)."""
+    return eppa_pass_summary(tracking_from_events(spark, sf_dir))
+
+
+@register("eppa_player_stats", "M3,A24,A9", None)
+def q_eppa_player_stats(spark: SparkSession, sf_dir: str):
+    """player_stats_df: per-player EPPA attribution shares
+    (play_eppa_cpu.py:553-559)."""
+    return eppa_player_stats(tracking_from_events(spark, sf_dir))

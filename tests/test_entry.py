@@ -28,5 +28,11 @@ def test_queries_and_oracles_aligned(spark):
     assert qs, "no queries declared"
     # every oracle key must be a declared query
     assert set(oracles) <= set(qs)
-    # and (round-1 invariant) every query has an oracle
-    assert set(oracles) == set(qs)
+    # every query has an oracle except the declared non-SQL-expressible
+    # kernel entries (driver records a rows-only check for those)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "eppa_field_surface",
+        "eppa_pass_summary",
+        "eppa_player_stats",
+    }, f"unexpected oracle-less queries: {rows_only}"
