@@ -1,0 +1,211 @@
+"""Greedy defensive-position optimizer (SURVEY §2.10 M6).
+
+Reference: optimize_def.py:52-139 — per frame, project every player forward
+one planning horizon, then loop defenders from the line of scrimmage
+backward; for each defender enumerate the field cells reachable under
+(a_max, s_max) kinematics and greedily move him to the cell minimizing the
+conceded EPPA surface. Inherently sequential across defenders (each move
+changes the surface the next defender sees) — SURVEY §7 Phase 5.
+
+Spark shape: the whole greedy loop runs INSIDE applyInPandas per
+(gameId, playId) — plays are independent, so the cluster parallelizes
+across plays exactly like the reference's per-GPU play round-robin
+(optimize_def.py:188-190), with no driver orchestration. Within one
+defender step the reference re-runs the full frame kernel once per
+reachable cell (a Python loop, :120-126); here the candidate axis is
+vectorized through the same `player_intercept_field` geometry the kernel
+uses — all candidates are scored in one NumPy pass over a strided
+evaluation grid.
+
+The candidate objective is the transition-weighted completion value
+(trans · [p_off·xepa_comp + (1−p_off)·xepa_inc]) WITHOUT the
+trajectory-integration stage — ppc needs the full-resolution path gather
+(play_eppa_cpu.py:336-390) and its argmin ordering is dominated by the
+p_int/trans terms the surrogate keeps. `reduce` supports the reference's
+sum/max modes (optimize_def.py:40-50).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from bigdatabowl_spark.kernels.eppa import (
+    EppaPriors,
+    _prep_frame,
+    _with_frame_meta,
+    default_ep_curve,
+    default_xyac_scorer,
+    player_intercept_field,
+)
+from bigdatabowl_spark.kernels.params import EppaParams, field_grid, tof_values
+
+OPT_SCHEMA = (
+    "gameId long, playId long, frameId int, nflId long, x_opt double, "
+    "y_opt double, v_x_opt double, v_y_opt double, eppa_before double, "
+    "eppa_after double"
+)
+
+
+@dataclass
+class OptimizeConfig:
+    plan_horizon: float = 0.8  # seconds each defender plans over (optimize_def.py:18)
+    grid_stride: int = 8  # evaluation/candidate grid subsampling
+    reduce: str = "sum"  # 'sum' | 'max' (reduce_eppa, optimize_def.py:40-50)
+    max_candidates: int = 512
+
+
+def _objective(
+    log_no: np.ndarray,  # (F, T, J) per-player log(1-p_int)
+    trans: np.ndarray,  # (F, T)
+    xepa_comp: np.ndarray,  # (F,)
+    xepa_inc: float,
+    is_off: np.ndarray,
+    reduce: str,
+) -> float:
+    p_off = 1.0 - np.exp(log_no[:, :, is_off].sum(-1))
+    p_def = 1.0 - np.exp(log_no[:, :, ~is_off].sum(-1))
+    p_any = 1.0 - np.exp(log_no.sum(-1))
+    p_off_part = p_any * p_off / (p_off + p_def + 1e-12)
+    value = p_off_part * xepa_comp[:, None] + (1.0 - p_off_part) * xepa_inc
+    surface = trans * value
+    return float(surface.max() if reduce == "max" else surface.sum())
+
+
+def optimize_defense_frame(
+    players: pd.DataFrame,
+    ball_start: np.ndarray,
+    frames_after_snap: int,
+    params: EppaParams,
+    priors: EppaPriors,
+    cfg: OptimizeConfig,
+) -> tuple[pd.DataFrame, float, float]:
+    """One greedy optimization step over all defenders of one frame.
+
+    Returns (per-defender placements, eppa_before, eppa_after)."""
+    grid = field_grid()[:: cfg.grid_stride]
+    tof = tof_values()
+    px = players[["x", "y"]].to_numpy(dtype=np.float64)
+    pv = players[["v_x", "v_y"]].to_numpy(dtype=np.float64)
+    is_off = (players["team_pos"] == "OFF").to_numpy()
+    h = cfg.plan_horizon
+
+    # project everyone forward one horizon, speed-clipped (optimize_def.py:79-91)
+    proj_p = px + pv * h
+    vmag = np.sqrt((pv**2).sum(-1))
+    scale = np.where(vmag > params.s_max, params.s_max / np.maximum(vmag, 1e-9), 1.0)
+    proj_v = pv * scale[:, None]
+
+    # transition prior + value curves on the strided grid (M4 twin)
+    L = np.sqrt(((grid - ball_start[None, :]) ** 2).sum(-1))
+    Lbin = np.clip(np.rint(L).astype(np.int64), 1, 60) - 1
+    mask = (L > 1.0) & (L <= 60.0)
+    t_idx = min(max(frames_after_snap, 1), len(priors.p_t)) - 1
+    trans = priors.T_given_L[Lbin, :] * priors.p_t[t_idx] * mask[:, None]
+    s = trans.sum()
+    trans = trans / s if s > 0 else trans
+
+    d_mag, p_int = player_intercept_field(proj_p, proj_v, grid, tof, params)
+    log_no = np.log1p(-np.clip(p_int, 0.0, 1.0 - 1e-12))  # (F, T, J)
+    d_def = d_mag[:, ~is_off]
+    nearest_def = d_def.min(axis=1) if d_def.shape[1] else np.full(len(grid), 60.0)
+    xepa_comp = default_ep_curve(grid[:, 0] + default_xyac_scorer(nearest_def, grid[:, 0]))
+    xepa_inc = float(default_ep_curve(ball_start[0] - 10.0))
+
+    before = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
+
+    # defenders from LoS to backfield: ascending x (optimize_def.py:103-104)
+    def_order = np.argsort(px[:, 0], kind="stable")
+    def_order = def_order[~is_off[def_order]]
+    placements = []
+    full_grid = field_grid()  # candidates at full 1-yd resolution
+    for j in def_order:
+        loc, vel = px[j], pv[j]
+        # reachable-cell enumeration under kinematic limits (:110-118)
+        reach_vecs = full_grid - loc[None, :]
+        reach_accs = 2.0 * (reach_vecs - vel[None, :] * h) / (h * h)
+        reach_vels = reach_accs * h + vel[None, :]
+        ok = (np.sqrt((reach_accs**2).sum(-1)) < params.a_max) & (
+            np.sqrt((reach_vels**2).sum(-1)) < params.s_max
+        )
+        cand_idx = np.flatnonzero(ok)
+        if cand_idx.size == 0:
+            placements.append((j, proj_p[j], proj_v[j]))
+            continue
+        if cand_idx.size > cfg.max_candidates:  # even subsample, keep spread
+            step = int(np.ceil(cand_idx.size / cfg.max_candidates))
+            cand_idx = cand_idx[::step]
+        cand_p = full_grid[cand_idx]  # (R, 2)
+        cand_v = reach_vels[cand_idx]
+        # vectorized candidate scoring: candidate axis plays the J axis of
+        # the shared intercept-field geometry (one NumPy pass, not R kernel
+        # re-runs as in optimize_def.py:120-126)
+        _, p_int_c = player_intercept_field(cand_p, cand_v, grid, tof, params)
+        log_no_c = np.log1p(-np.clip(p_int_c, 0.0, 1.0 - 1e-12))  # (F, T, R)
+        static = np.delete(log_no, j, axis=2)
+        static_off = static[:, :, np.delete(is_off, j)]
+        off_sum = static_off.sum(-1)  # unchanged by the candidate
+        def_sum = static[:, :, ~np.delete(is_off, j)].sum(-1)
+        p_off = 1.0 - np.exp(off_sum)  # (F, T)
+        scores = np.empty(cand_idx.size)
+        for r in range(cand_idx.size):  # small R; memory-bounded loop
+            p_def = 1.0 - np.exp(def_sum + log_no_c[:, :, r])
+            p_any = 1.0 - np.exp(off_sum + def_sum + log_no_c[:, :, r])
+            p_off_part = p_any * p_off / (p_off + p_def + 1e-12)
+            value = p_off_part * xepa_comp[:, None] + (1.0 - p_off_part) * xepa_inc
+            surface = trans * value
+            scores[r] = surface.max() if cfg.reduce == "max" else surface.sum()
+        best = int(scores.argmin())  # greedy argmin EPPA (:127)
+        px[j], pv[j] = cand_p[best], cand_v[best]
+        log_no[:, :, j] = log_no_c[:, :, best]
+        placements.append((j, cand_p[best], cand_v[best]))
+
+    after = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
+    nfl = players["nflId"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "nflId": [int(nfl[j]) for j, _, _ in placements],
+            "x_opt": [float(p[0]) for _, p, _ in placements],
+            "y_opt": [float(p[1]) for _, p, _ in placements],
+            "v_x_opt": [float(v[0]) for _, _, v in placements],
+            "v_y_opt": [float(v[1]) for _, _, v in placements],
+        }
+    )
+    return out, before, after
+
+
+def optimize_defense(
+    norm: DataFrame,
+    params: EppaParams | None = None,
+    priors: EppaPriors | None = None,
+    cfg: OptimizeConfig | None = None,
+) -> DataFrame:
+    """Optimized defender placements for each play's first eligible frame.
+
+    applyInPandas over (gameId, playId): the greedy sequential loop stays
+    inside one task per play; the cluster fans out across plays."""
+    params = params or EppaParams()
+    priors = priors or EppaPriors.default()
+    cfg = cfg or OptimizeConfig()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf[pdf["frameId"] == pdf["frameId"].min()]
+        prep = _prep_frame(first)
+        if prep is None:
+            return pd.DataFrame(columns=[f.split()[0] for f in OPT_SCHEMA.split(", ")])
+        players, ball_start, fas = prep
+        placed, before, after = optimize_defense_frame(
+            players.reset_index(drop=True), ball_start, fas, params, priors, cfg
+        )
+        placed.insert(0, "gameId", int(first["gameId"].iloc[0]))
+        placed.insert(1, "playId", int(first["playId"].iloc[0]))
+        placed.insert(2, "frameId", int(first["frameId"].iloc[0]))
+        placed["eppa_before"] = before
+        placed["eppa_after"] = after
+        return placed
+
+    eligible = _with_frame_meta(norm)
+    return eligible.groupBy("gameId", "playId").applyInPandas(kernel, OPT_SCHEMA)

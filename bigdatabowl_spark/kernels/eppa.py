@@ -97,26 +97,21 @@ def default_ep_curve(x: np.ndarray) -> np.ndarray:
     return -2.0 + 9.0 / (1.0 + np.exp(-0.08 * (x - 60.0)))
 
 
-def frame_surfaces(
-    players: pd.DataFrame,
-    ball_start: np.ndarray,
-    frames_after_snap: int,
+def player_intercept_field(
+    px: np.ndarray,
+    pv: np.ndarray,
+    grid: np.ndarray,
+    tof: np.ndarray,
     params: EppaParams,
-    priors: EppaPriors,
-    chunk: int = 1100,
-) -> dict[str, np.ndarray]:
-    """Compute all per-frame surfaces. Returns dict of (F,)/(F,T)/(J,) arrays.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Steps 1-5 of the frame kernel: reaction projection, intercept
+    geometry, piecewise time-to-reach, P(intercept) sigmoid.
 
-    players: one row per non-ball, non-QB player with columns
-    x, y, v_x, v_y, team_pos ('OFF'/'DEF'), nflId.
+    px/pv: (J, 2) positions/velocities; grid: (F, 2); tof: (T,).
+    Returns (d_mag (F, J), p_int (F, T, J)). Shared by the EPPA kernel
+    (play_eppa_cpu.py:235-269) and the defensive optimizer's candidate
+    evaluation (optimize_def.py:52-139), where J is the candidate axis.
     """
-    grid = field_grid()  # (F, 2)
-    tof = tof_values()  # (T,)
-    px = players[["x", "y"]].to_numpy(dtype=np.float64)  # (J, 2)
-    pv = players[["v_x", "v_y"]].to_numpy(dtype=np.float64)
-    is_off = (players["team_pos"] == "OFF").to_numpy()
-    J = len(players)
-
     # 1-2. reaction projection + intercept geometry (play_eppa_cpu.py:235-251)
     reax_p = px + pv * params.reax_t
     d_vec = grid[:, None, :] - reax_p[None, :, :]  # (F, J, 2) — grid crossJoin J12
@@ -137,6 +132,31 @@ def frame_surfaces(
     # 5. P(intercept) sigmoid field (M3 core, :268-269)
     int_dT = tof[None, :, None] - t_tot[:, None, :]  # (F, T, J)
     p_int = 1.0 / (1.0 + np.exp(-_SIGMOID_K / params.tti_sigma * int_dT))
+    return d_mag, p_int
+
+
+def frame_surfaces(
+    players: pd.DataFrame,
+    ball_start: np.ndarray,
+    frames_after_snap: int,
+    params: EppaParams,
+    priors: EppaPriors,
+    chunk: int = 1100,
+) -> dict[str, np.ndarray]:
+    """Compute all per-frame surfaces. Returns dict of (F,)/(F,T)/(J,) arrays.
+
+    players: one row per non-ball, non-QB player with columns
+    x, y, v_x, v_y, team_pos ('OFF'/'DEF'), nflId.
+    """
+    grid = field_grid()  # (F, 2)
+    tof = tof_values()  # (T,)
+    px = players[["x", "y"]].to_numpy(dtype=np.float64)  # (J, 2)
+    pv = players[["v_x", "v_y"]].to_numpy(dtype=np.float64)
+    is_off = (players["team_pos"] == "OFF").to_numpy()
+    J = len(players)
+
+    # 1-5. reaction projection → P(intercept) sigmoid field
+    d_mag, p_int = player_intercept_field(px, pv, grid, tof, params)
 
     # 6. team aggregates 1−∏(1−p) (A23, :270-271). For the trajectory step
     # probabilities the event space is partitioned properly: P(any) split

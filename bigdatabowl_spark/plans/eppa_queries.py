@@ -30,7 +30,9 @@ from bigdatabowl_spark.kernels.eppa import (
 from bigdatabowl_spark.plans.catalog import register, t
 
 N_SLOTS = 20  # 10 OFF + 10 DEF (ball and QB added separately)
-N_FRAMES = 16  # snap at 1, throw at 16 → 2 eligible EPPA frames per play
+N_FRAMES = 20  # snap@1, throw@16 (2 eligible EPPA frames), arrival@19, outcome@20
+THROW_FRAME = 16
+ARRIVE_FRAME = 19
 N_PLAYS = 2
 
 
@@ -49,12 +51,23 @@ def tracking_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = slots.crossJoin(plays).crossJoin(frames)
 
-    lane = (F.col("slot") % 10).cast("double")
-    is_off = F.col("slot") < 10
+    # alternate sides by slot parity: robust when the table has fewer than
+    # N_SLOTS distinct users (sf0.001 has 15)
+    lane = F.floor(F.col("slot") / 2).cast("double")
+    is_off = F.col("slot") % 2 == 0
     jitter = (F.col("user_id") % 7).cast("double") * 0.37
     event = (
         F.when(F.col("frameId") == 1, F.lit("ball_snap"))
-        .when(F.col("frameId") == N_FRAMES, F.lit("pass_forward"))
+        .when(F.col("frameId") == THROW_FRAME, F.lit("pass_forward"))
+        .when(F.col("frameId") == ARRIVE_FRAME, F.lit("pass_arrived"))
+        .when(
+            F.col("frameId") == N_FRAMES,
+            # odd plays complete, even plays fall incomplete — gives the
+            # tuning dataset (M5) both outcome labels
+            F.when(F.col("playId") % 2 == 1, F.lit("pass_outcome_caught")).otherwise(
+                F.lit("pass_outcome_incomplete")
+            ),
+        )
         .otherwise(F.lit(None).cast("string"))
     )
     players = base.select(
@@ -81,9 +94,9 @@ def tracking_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Football").alias("displayName"),
         F.lit(None).cast("string").alias("position"),
         F.lit("FTBL").alias("team_pos"),
-        (30.0 + F.col("playId").cast("double")).alias("x"),
+        (28.0 + F.col("playId").cast("double") + 0.4 * F.col("frameId")).alias("x"),
         F.lit(26.5).alias("y"),
-        F.lit(0.0).alias("v_x"),
+        F.lit(4.0).alias("v_x"),
         F.lit(0.0).alias("v_y"),
     )
     qbs = anchors.select(
@@ -120,3 +133,25 @@ def q_eppa_player_stats(spark: SparkSession, sf_dir: str):
     """player_stats_df: per-player EPPA attribution shares
     (play_eppa_cpu.py:553-559)."""
     return eppa_player_stats(tracking_from_events(spark, sf_dir))
+
+
+@register("m5_tuning_dataset", "M5,J7,J8,P2", None)
+def q_m5_tuning_dataset(spark: SparkSession, sf_dir: str):
+    """Parameter-tuning dataset (PlaysDataset ETL,
+    completion_probability_torch.py:22-216): ball-start/ball-end self-join
+    per pass (J7), off-field passes dropped (J8), completion label — one
+    row per true pass. The fit itself (kernels/tuning.py) is driver-side
+    model training, not query execution (SURVEY §7 Phase 5)."""
+    from bigdatabowl_spark.kernels.tuning import pass_dataset
+
+    return pass_dataset(tracking_from_events(spark, sf_dir))
+
+
+@register("m6_optimize_defense", "M6", None)
+def q_m6_optimize_defense(spark: SparkSession, sf_dir: str):
+    """Greedy defensive-position optimizer (optimize_def.py:52-139):
+    sequential argmin-EPPA placement per defender inside one task per play,
+    candidate cells scored in a single vectorized pass."""
+    from bigdatabowl_spark.kernels.defense import optimize_defense
+
+    return optimize_defense(tracking_from_events(spark, sf_dir))

@@ -1,0 +1,139 @@
+"""M5 (parameter tuning) and M6 (defensive optimizer) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bigdatabowl_spark.kernels.defense import (
+    OptimizeConfig,
+    optimize_defense,
+    optimize_defense_frame,
+)
+from bigdatabowl_spark.kernels.eppa import EppaPriors
+from bigdatabowl_spark.kernels.params import EppaParams
+from bigdatabowl_spark.kernels.tuning import fit_completion_params, pass_dataset
+
+
+@pytest.fixture(scope="module")
+def pass_norm(spark):
+    """Two plays with full pass lifecycle events; play 300 completes,
+    play 400 does not."""
+    rows = []
+    for pid, caught in ((300, True), (400, False)):
+        for fid in range(1, 26):
+            if fid == 2:
+                event = "ball_snap"
+            elif fid == 18:
+                event = "pass_forward"
+            elif fid == 23:
+                event = "pass_arrived"
+            elif fid == 24:
+                event = "pass_outcome_caught" if caught else "pass_outcome_incomplete"
+            else:
+                event = None
+            bx = 30.0 + 0.5 * fid
+            rows.append((1, pid, fid, event, 0, "Football", None, "FTBL", bx, 26.5, 5.0, 0.0))
+            rows.append((1, pid, fid, event, 99, "QB", "QB", "OFF", 30.0, 26.5, 0.0, 0.0))
+            for nid, pos, tp, x0, y0, vx, vy in [
+                (11, "WR", "OFF", 40.0, 10.0, 5.0, 0.0),
+                (12, "WR", "OFF", 45.0, 26.0, 2.0, 1.0),
+                (21, "CB", "DEF", 42.0, 12.0 + (0.0 if caught else 8.0), -1.0, 0.5),
+                (22, "S", "DEF", 47.0, 28.0, 0.0, -1.0),
+            ]:
+                rows.append((1, pid, fid, event, nid, f"P{nid}", pos, tp,
+                             x0 + 0.3 * fid, y0, vx, vy))
+    return spark.createDataFrame(
+        rows,
+        "gameId long, playId long, frameId int, event string, nflId long, "
+        "displayName string, position string, team_pos string, x double, "
+        "y double, v_x double, v_y double",
+    )
+
+
+def test_pass_dataset(spark, pass_norm):
+    pdf = pass_dataset(pass_norm).toPandas().sort_values("playId")
+    assert len(pdf) == 2  # one row per true pass (J7 self-join)
+    assert pdf["completed"].tolist() == [1, 0]
+    assert (pdf["pass_dist"] > 0).all()
+    assert (pdf["nearest_def_dist"] > 0).all()
+
+
+def test_fit_completion_params(spark):
+    """BCE fit separates a synthetic separable dataset: completions happen
+    when the nearest defender is far — w_def must come out positive and
+    the loss must beat the coin-flip baseline ln(2)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    d_def = rng.uniform(0.5, 12.0, n)
+    dist = rng.uniform(2.0, 40.0, n)
+    completed = (d_def > 5.0).astype(int)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"pass_dist": dist, "nearest_def_dist": d_def, "completed": completed}
+        )
+    )
+    fit = fit_completion_params(df, n_iter=800)
+    assert fit.w_def > 0
+    assert fit.loss < np.log(2.0)
+    # determinism: same data, same init, same trajectory
+    fit2 = fit_completion_params(df, n_iter=800)
+    assert fit.w_dist == fit2.w_dist and fit.loss == fit2.loss
+
+
+def _def_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "nflId": [11, 12, 21, 22],
+            "x": [44.0, 46.0, 52.0, 55.0],
+            "y": [10.0, 40.0, 20.0, 35.0],
+            "v_x": [5.0, 4.0, 0.0, 0.0],
+            "v_y": [0.0, 0.0, 0.0, 0.0],
+            "team_pos": ["OFF", "OFF", "DEF", "DEF"],
+            "position": ["WR", "WR", "CB", "S"],
+        }
+    )
+
+
+def test_optimize_defense_frame_improves():
+    placed, before, after = optimize_defense_frame(
+        _def_frame(),
+        ball_start=np.array([35.0, 26.5]),
+        frames_after_snap=20,
+        params=EppaParams(),
+        priors=EppaPriors.default(),
+        cfg=OptimizeConfig(max_candidates=64),
+    )
+    assert len(placed) == 2  # one placement per defender
+    assert np.isfinite([before, after]).all()
+    # greedy argmin over candidates that include near-ballistic cells
+    # must not concede more than the un-optimized projection
+    assert after <= before + 1e-9
+    # placements stay on the field
+    assert placed["x_opt"].between(0, 120).all()
+    assert placed["y_opt"].between(0, 54).all()
+
+
+def test_optimize_defense_deterministic():
+    kw = dict(
+        ball_start=np.array([35.0, 26.5]),
+        frames_after_snap=20,
+        params=EppaParams(),
+        priors=EppaPriors.default(),
+        cfg=OptimizeConfig(max_candidates=32),
+    )
+    a = optimize_defense_frame(_def_frame(), **kw)
+    b = optimize_defense_frame(_def_frame(), **kw)
+    pd.testing.assert_frame_equal(a[0], b[0])
+    assert a[1] == b[1] and a[2] == b[2]
+
+
+def test_optimize_defense_spark(spark, pass_norm):
+    out = optimize_defense(
+        pass_norm, cfg=OptimizeConfig(max_candidates=24)
+    ).toPandas()
+    # 2 plays × 2 defenders
+    assert len(out) == 4
+    assert set(out["playId"]) == {300, 400}
+    assert (out["eppa_after"] <= out["eppa_before"] + 1e-9).all()
