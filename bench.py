@@ -12,8 +12,8 @@ import os
 import re
 import time
 
-N_EPPA_FRAMES = 8  # eligible frames per play for the kernel throughput metric
-N_EPPA_PLAYS = 8
+N_EPPA_FRAMES = 4  # eligible frames per play for the kernel throughput metric
+N_EPPA_PLAYS = 16  # 16 independent plays → play-level task parallelism
 
 BENCH_QUERIES = [
     "a1_pricing_summary",

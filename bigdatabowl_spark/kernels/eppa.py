@@ -317,7 +317,7 @@ def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 
         .withColumn("throw_frame", throw)
         .withColumn("has_fumble", fumble)
     )
-    return (
+    eligible = (
         df.filter(F.col("throw_frame").isNotNull() & (F.col("has_fumble") == 0))
         .filter(
             (F.col("frameId") >= F.col("snap_frame") + min_t_frame)
@@ -325,6 +325,15 @@ def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 
         )
         .withColumn("frames_after_snap", (F.col("frameId") - F.col("snap_frame")).cast("int"))
     )
+    # Explicit play-key repartition before applyInPandas: the kernel is
+    # COMPUTE-bound (~0.6 s/frame on ~KBs of input), so AQE's byte-based
+    # post-shuffle coalescing would funnel every play into ONE task
+    # (measured: 1 partition, zero parallelism). A user-specified partition
+    # count is exempt from AQE coalescing and satisfies applyInPandas's
+    # ClusteredDistribution, so no second exchange is planned. 3× tasks per
+    # core load-balances the skewed frames-per-play distribution.
+    sc = norm.sparkSession.sparkContext
+    return eligible.repartition(sc.defaultParallelism * 3, "gameId", "playId")
 
 
 def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPriors | None):

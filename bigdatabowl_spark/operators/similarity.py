@@ -52,17 +52,23 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # norms precomputed per side: one aggregate per ROW instead of three
+    # per PAIR (numerically identical — same sequential fold)
     q = emb.filter(F.col(id_col) < query_ids_max).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qvec"), F.col("cvec")) / (norm(F.col("qvec")) * norm(F.col("cvec")))).alias(
-            "cosine"
-        ),
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
