@@ -358,3 +358,68 @@ def multimodal_decode(spark: SparkSession, sf_dir: str):
     """
     docs = t(spark, sf_dir, "documents")
     return multimodal.decode_metadata(docs)
+
+
+@register(
+    "multimodal_resize",
+    "MM1,M3,F6",
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               64 + octet_length(encode(text)) % 512 AS w,
+               64 + (octet_length(encode(text)) * 7) % 512 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST((w * 224) // GREATEST(w, h) AS INTEGER) AS out_width,
+           CAST((h * 224) // GREATEST(w, h) AS INTEGER) AS out_height,
+           CAST((224 * 1000000) // GREATEST(w, h) AS BIGINT) AS scale_num
+    FROM meta
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str):
+    """Aspect-preserving resize geometry over binary payloads (stubbed
+    pixel op, real Arrow plumbing + integer geometry)."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.resize_metadata(docs, target=224)
+
+
+@register(
+    "multimodal_frame_sample",
+    "MM1,M3,F14",
+    """
+    WITH vids AS (
+        SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(k * 100 AS BIGINT) AS frame_offset
+    FROM vids, LATERAL unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) t(k)
+    WHERE n_frames > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    """Every-4th-frame sampling from a binary video payload — a
+    row-expanding mapInPandas stage (one row per sampled frame)."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(docs, frame_bytes=100, stride=4)
+
+
+@register(
+    "multimodal_features",
+    "MM1,M1,F4",
+    f"""
+    SELECT doc_id,
+           {", ".join(f"CAST(('0x' || substr(md5(text || '_{i}'), 1, 8)) AS BIGINT) / 4294967296.0 AS f{i}" for i in range(4))}
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str):
+    """Deterministic pseudo-embedding per payload (md5-folded features) —
+    the feature-extraction stage of a multimodal pipeline with the model
+    call stubbed."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.md5_features(docs, dims=4)

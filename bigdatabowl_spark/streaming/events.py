@@ -58,9 +58,12 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    # filter to the events file — the sf dir holds every table's parquet,
+    # and the file stream source would otherwise ingest them all
     stream = (
         spark.readStream.schema(batch.schema)
-        .parquet(f"{sf_dir.rstrip('/')}")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
     )
     with_ts = stream.withColumn(
         "event_time", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
@@ -73,5 +76,155 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
             "event_type",
             "n",
+        )
+    )
+
+
+SLIDE_US = 300_000_000  # 5-minute slide (2 overlapping windows per event)
+SESSION_GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+@register(
+    "stream_sliding_counts",
+    "ST2,A1,W3",
+    """
+    WITH contrib AS (
+        SELECT (epoch_us(ts) // 300000000 - k) * 300000000 AS window_start_us,
+               event_type, value
+        FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+        WHERE epoch_us(ts) < (epoch_us(ts) // 300000000 - k) * 300000000 + 600000000
+          AND epoch_us(ts) >= (epoch_us(ts) // 300000000 - k) * 300000000
+    )
+    SELECT window_start_us, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+    FROM contrib GROUP BY window_start_us, event_type
+    """,
+)
+def sliding_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes, batch form.
+
+    Each event lands in window/slide = 2 overlapping windows — expressed by
+    exploding the per-event window list (the exact expansion Spark's
+    streaming `window(ts, '10 minutes', '5 minutes')` performs internally).
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    contrib = ev.select("ts_us", "event_type", "value", k).withColumn(
+        "window_start_us",
+        (F.col("ts_us") / SLIDE_US - F.col("k")).cast("long") * SLIDE_US,
+    )
+    valid = contrib.filter(
+        (F.col("ts_us") >= F.col("window_start_us"))
+        & (F.col("ts_us") < F.col("window_start_us") + WINDOW_US)
+    )
+    return valid.groupBy("window_start_us", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("window_value"),
+    )
+
+
+@register(
+    "stream_session_windows",
+    "ST3,W1,A25",
+    """
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                         OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Spark side: the built-in `session_window` (same operator Structured
+    Streaming uses for stateful sessionization). Oracle side: the classic
+    gaps-and-islands rewrite — lag → new-session flag → running sum →
+    group. Window start = first event time in both formulations; Spark's
+    session end is exclusive at last+gap, matching the `>= gap` island
+    boundary.
+
+    Reference analogue: event-ordered session boundaries (snap →
+    pass_forward span, SURVEY §2.9 / J13).
+    """
+    from bigdatabowl_spark.session import configure
+
+    configure(spark)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------- stateful
+
+STATEFUL_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals(key, pdfs, state):
+    """Custom stateful operator: running per-user (count, value-total).
+
+    State is a (n, total) tuple carried across micro-batches — the
+    applyInPandasWithState form of a continuously-maintained aggregate
+    (the streaming analogue of the reference's per-play accumulating
+    loops, play_eppa_cpu.py:654-657)."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → applyInPandasWithState running totals per user.
+
+    Caller attaches a sink and starts the query (update output mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.session import configure
+
+    configure(spark)
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return (
+        stream.select("user_id", F.col("value").cast("double").alias("value"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=STATEFUL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -33,3 +33,31 @@ def test_stream_matches_batch(spark, sf_dir):
     # window ids line up with the batch epoch arithmetic
     win = spark.sql("SELECT DISTINCT window_start_us FROM tumbling_test").collect()
     assert all(r.window_start_us % WINDOW_US == 0 for r in win)
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState running totals equal the batch aggregate
+    after one availableNow pass."""
+    from bigdatabowl_spark.sources.tables import load_table
+    from bigdatabowl_spark.streaming.events import stateful_user_totals
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    expected = {r.user_id: r.n for r in batch.collect()}
+
+    q = (
+        stateful_user_totals(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n FROM stateful_test GROUP BY user_id"
+    ).collect()
+    assert {r.user_id: r.n for r in got} == expected
