@@ -40,6 +40,13 @@ BENCH_QUERIES = [
     "m1_tree_ensemble_score",
     "s3_multi_scan_union",
     "j10_prior_weighted_rank",
+    "dedup_embed_cosine",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "multimodal_frame_sample",
+    "m7_grouped_matrix",
+    "j11_selfjoin_compare",
+    "s13_error_channel",
 ]
 
 

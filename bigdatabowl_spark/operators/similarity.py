@@ -136,3 +136,85 @@ def lsh_bucket_histogram(emb: DataFrame, spark, planes: int = 8, **kw) -> DataFr
         F.count("*").alias("n_vectors"),
         F.min(kw.get("id_col", "vec_id")).alias("min_vec_id"),
     )
+
+
+def cosine_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: for every pair with
+    round(cosine, 8) ≥ threshold, the larger id is marked a duplicate of
+    the smaller (keep-min-id policy). Returns one row per dropped vector.
+
+    This is the exact all-pairs baseline (O(n²) — fine for a dim-table-
+    sized corpus). The 100 TB path runs the same scoring inside
+    hyperplane-LSH buckets (lsh_bucket_assignments) so candidate
+    generation is an equi-join, not a cross join.
+    """
+    a = emb.select(
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("drop_id"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.join(b, F.col("keep_id") < F.col("drop_id"))
+    scored = pairs.select(
+        "keep_id",
+        "drop_id",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    return scored.groupBy("drop_id").agg(
+        F.count("*").alias("n_dups"),
+        F.min("keep_id").alias("canonical_id"),
+        F.max("cosine").alias("best_cosine"),
+    )
+
+
+def lsh_cosine_near_dups(
+    emb: DataFrame,
+    spark,
+    threshold: float = 0.3,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup removal at scale: LSH-bucketed candidate generation + exact
+    within-bucket cosine confirmation (keep-min-id policy).
+
+    Candidate pairs come from an equi-join on the integer-deterministic
+    hyperplane bucket — pair count drops from n²/2 to Σ_b n_b²/2, and the
+    expensive sequential-fold cosine runs only on candidates. Bucketing
+    trades recall for linearity exactly as in production LSH dedup; the
+    exact all-pairs baseline (cosine_near_dups) is the small-corpus twin.
+    """
+    buckets = lsh_bucket_assignments(emb, spark, planes, id_col=id_col, vec_col=vec_col)
+    withb = emb.join(buckets, id_col).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket"), norm(F.col(vec_col)).alias("nrm")
+    )
+    a = withb.select(
+        F.col(id_col).alias("keep_id"), F.col(vec_col).alias("va"),
+        F.col("bucket"), F.col("nrm").alias("na"),
+    )
+    b = withb.select(
+        F.col(id_col).alias("drop_id"), F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bucket_b"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("keep_id") < F.col("drop_id"))
+    )
+    scored = pairs.select(
+        "keep_id",
+        "drop_id",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    return scored.groupBy("drop_id").agg(
+        F.count("*").alias("n_dups"),
+        F.min("keep_id").alias("canonical_id"),
+        F.max("cosine").alias("best_cosine"),
+    )

@@ -423,3 +423,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str):
     call stubbed."""
     docs = t(spark, sf_dir, "documents")
     return multimodal.md5_features(docs, dims=4)
+
+
+_LSH_BUCKETS_CTE = """
+    w AS (
+        SELECT d.d, k.k,
+               ((1103515245*(d.d*8 + k.k) + 12345) % 2147483648) - 1073741824 AS wq
+        FROM generate_series(0, 63) d(d), generate_series(0, 7) k(k)
+    ),
+    vals AS (
+        SELECT vec_id, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS vq
+        FROM embeddings, generate_series(1, 64) s(i)
+    ),
+    proj AS (
+        SELECT vec_id, k, CAST(SUM(vq * wq) AS BIGINT) AS s
+        FROM vals JOIN w USING (d) GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    )"""
+
+
+@register(
+    "dedup_embed_cosine",
+    "DD5,SIM1,SIM2,J12",
+    f"""
+    WITH {_LSH_BUCKETS_CTE},
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, bucket
+        FROM embeddings JOIN buckets USING (vec_id)
+    ),
+    scored AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+               round({_DOT.format(a='a.v', b='b.v')} /
+                     (sqrt({_DOT.format(a='a.v', b='a.v')}) * sqrt({_DOT.format(a='b.v', b='b.v')})), 8) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT drop_id, COUNT(*) AS n_dups, MIN(keep_id) AS canonical_id,
+           MAX(cosine) AS best_cosine
+    FROM scored WHERE cosine >= 0.3
+    GROUP BY drop_id
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-dup removal, scale shape: LSH-bucketed
+    candidate generation (equi-join on the integer-deterministic hyperplane
+    bucket) + exact sequential-fold cosine confirmation within buckets,
+    keep-min-id policy. The O(n²) all-pairs twin is
+    similarity.cosine_near_dups (tested at small n); bucketing makes pair
+    count Σ_b n_b²/2 — linear-ish at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_near_dups(emb, spark, threshold=0.3, planes=8)

@@ -77,3 +77,24 @@ def test_bpe_and_fingerprint_deterministic(spark):
     r2 = df.select(bpe_token_count(F.col("text")).alias("n"), fingerprint(F.col("text")).alias("fp")).first()
     assert r1.n == 4  # hello / world / 42 / !
     assert r1.fp == r2.fp
+
+
+def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
+    """Bucketed near-dup candidates are a subset of the exact all-pairs
+    result (LSH trades recall, never precision)."""
+    from bigdatabowl_spark.operators.similarity import (
+        cosine_near_dups,
+        lsh_cosine_near_dups,
+    )
+    from bigdatabowl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.drop_id, r.canonical_id)
+        for r in cosine_near_dups(emb, threshold=0.3).collect()
+    }
+    bucketed = lsh_cosine_near_dups(emb, spark, threshold=0.3).collect()
+    assert bucketed, "bucketed near-dup found nothing at sf0.001"
+    exact_drops = {d for d, _ in exact}
+    for r in bucketed:
+        assert r.drop_id in exact_drops
