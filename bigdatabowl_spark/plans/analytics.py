@@ -1,0 +1,127 @@
+"""Analytics layer (SURVEY §7 Phase 4): the reference's read-side notebooks
+as a library over the kernel's output tables.
+
+The reference walks per-play pickle dirs, unions them, joins dims, and runs
+p(t)-weighted grouped aggregations into rankings
+(eppa_analysis_all_plays.ipynb · cells 1-12; eppa_analysis.ipynb).
+Here the same reads are DataFrame functions over the kernel DataFrames —
+composable with any tracking source, no filesystem walking (the sink side
+is partitioned parquet, SURVEY §2.1 S10).
+
+Registered catalog entries run the full chain tracking → kernel →
+analytics; they are rows-only (the kernel stage is non-SQL-expressible) —
+the relational shapes they compose (J6/J10/A9/A1/W4/A19) are each
+oracle-checked standalone elsewhere in the catalog.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatabowl_spark.plans.catalog import register
+
+
+def p_t_table(spark: SparkSession) -> DataFrame:
+    """The p(t) throw-time prior as a broadcast-sized dimension table
+    (frames_after_snap, p_t) — S4 artifact re-materialized relationally."""
+    from bigdatabowl_spark.kernels.priors import p_t_prior
+
+    p_t = p_t_prior()
+    pdf = pd.DataFrame(
+        {"frames_after_snap": range(1, len(p_t) + 1), "p_t": p_t}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def player_eppa_rankings(
+    player_stats: DataFrame, pass_summary: DataFrame, spark: SparkSession, top_n: int = 50
+) -> DataFrame:
+    """p(t)-weighted per-player EPPA ranking.
+
+    Reference: eppa_analysis_all_plays.ipynb · cells 2-4 — per-frame player
+    attribution joined to the p(t) prior on frames_after_snap (J10), prior
+    renormalized within each play over its observed frames (A9), weighted
+    sum per player (A1), ranked (O2). frames_after_snap comes from
+    re-joining the pass summary on (gameId, playId, frameId) (J6)."""
+    fas = pass_summary.select("gameId", "playId", "frameId", "frames_after_snap")
+    joined = player_stats.join(fas, ["gameId", "playId", "frameId"])
+    with_prior = joined.join(F.broadcast(p_t_table(spark)), "frames_after_snap", "left").withColumn(
+        "p_t", F.coalesce("p_t", F.lit(0.0))
+    )
+    w_play = Window.partitionBy("gameId", "playId", "nflId")
+    renorm = with_prior.withColumn(
+        "w", F.col("p_t") / F.sum("p_t").over(w_play)
+    )
+    per_player = renorm.groupBy("nflId", "team_pos").agg(
+        F.sum(F.col("w") * F.col("ind_eppa1")).alias("weighted_eppa"),
+        F.countDistinct("gameId", "playId").alias("n_plays"),
+    )
+    return (
+        per_player.orderBy(F.desc("weighted_eppa"), F.asc("nflId")).limit(top_n)
+    )
+
+
+def play_rankings(pass_summary: DataFrame, top_n: int = 20) -> DataFrame:
+    """Best-frame ranking of plays by peak hypothetical-pass EPPA
+    (eppa_analysis.ipynb · cells 4,9: groupby.nlargest per play)."""
+    w = Window.partitionBy("gameId", "playId").orderBy(
+        F.desc("max_eppa1"), F.asc("frameId")
+    )
+    best = pass_summary.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.select(
+            "gameId", "playId", "frameId", "max_eppa1", "max_eppa1_x",
+            "max_eppa1_y", "max_eppa1_T", "eppa1_tot",
+        )
+        .orderBy(F.desc("max_eppa1"), F.asc("playId"))
+        .limit(top_n)
+    )
+
+
+def throw_calibration(
+    pass_summary: DataFrame, outcomes: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Calibration of the kernel's best-pass transition probability against
+    realized completions (Calibration Viz.ipynb · cell 5 / SURVEY §5.3):
+    bucketize max_eppa1_trans, per-bin empirical completion rate (A19)."""
+    last = pass_summary.groupBy("gameId", "playId").agg(
+        F.max_by("max_eppa1_trans", "frameId").alias("trans_prob")
+    )
+    joined = last.join(outcomes.select("gameId", "playId", "completed"), ["gameId", "playId"])
+    binned = joined.withColumn(
+        "bin", F.least(F.floor(F.col("trans_prob") * n_bins), F.lit(n_bins - 1)).cast("int")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("trans_prob").alias("mean_predicted"),
+        F.avg(F.col("completed").cast("double")).alias("empirical_rate"),
+    )
+
+
+# ------------------------------------------------------- catalog entries
+
+
+@register("analytics_player_rankings", "A1,A9,J6,J10,O2,M3", None)
+def q_player_rankings(spark: SparkSession, sf_dir: str):
+    """Full chain: tracking → EPPA kernel → p(t)-weighted player ranking."""
+    from bigdatabowl_spark.kernels.eppa import eppa_pass_summary, eppa_player_stats
+    from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
+
+    norm = tracking_from_events(spark, sf_dir)
+    return player_eppa_rankings(
+        eppa_player_stats(norm), eppa_pass_summary(norm), spark
+    )
+
+
+@register("analytics_throw_calibration", "A19,A14,M3,M5", None)
+def q_throw_calibration(spark: SparkSession, sf_dir: str):
+    """Full chain: tracking → kernel best-pass trans prob → calibration
+    against the tuning dataset's realized completions."""
+    from bigdatabowl_spark.kernels.eppa import eppa_pass_summary
+    from bigdatabowl_spark.kernels.tuning import pass_dataset
+    from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
+
+    norm = tracking_from_events(spark, sf_dir)
+    return throw_calibration(eppa_pass_summary(norm), pass_dataset(norm))

@@ -37,4 +37,6 @@ def test_queries_and_oracles_aligned(spark):
         "eppa_player_stats",
         "m5_tuning_dataset",
         "m6_optimize_defense",
+        "analytics_player_rankings",
+        "analytics_throw_calibration",
     }, f"unexpected oracle-less queries: {rows_only}"

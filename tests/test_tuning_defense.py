@@ -137,3 +137,32 @@ def test_optimize_defense_spark(spark, pass_norm):
     assert len(out) == 4
     assert set(out["playId"]) == {300, 400}
     assert (out["eppa_after"] <= out["eppa_before"] + 1e-9).all()
+
+
+def test_analytics_layer(spark, pass_norm):
+    """Phase-4 read side over actual kernel outputs."""
+    from bigdatabowl_spark.kernels.eppa import eppa_pass_summary, eppa_player_stats
+    from bigdatabowl_spark.kernels.tuning import pass_dataset
+    from bigdatabowl_spark.plans.analytics import (
+        play_rankings,
+        player_eppa_rankings,
+        throw_calibration,
+    )
+
+    ps = eppa_pass_summary(pass_norm)
+    stats = eppa_player_stats(pass_norm)
+
+    ranks = player_eppa_rankings(stats, ps, spark).toPandas()
+    assert not ranks.empty
+    assert (ranks["n_plays"] >= 1).all()
+    # weights renormalize within play: per-player weighted eppa is finite
+    assert np.isfinite(ranks["weighted_eppa"]).all()
+
+    plays = play_rankings(ps).toPandas()
+    assert set(plays["playId"]) <= {300, 400}
+    assert plays["max_eppa1"].is_monotonic_decreasing
+
+    cal = throw_calibration(ps, pass_dataset(pass_norm)).toPandas()
+    assert not cal.empty
+    assert cal["mean_predicted"].between(0, 1).all()
+    assert cal["empirical_rate"].between(0, 1).all()
