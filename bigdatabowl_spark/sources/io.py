@@ -89,3 +89,33 @@ def split_error_channel(df: DataFrame, status_col: str = "status") -> tuple[Data
     ok = df.filter(F.col(status_col) == "ok").drop(status_col)
     errors = df.filter(F.col(status_col) != "ok")
     return ok, errors
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table sink: pre-shuffles once at write time so every later
+    join/aggregation on the bucket key is exchange-free (co-located).
+
+    The 100 TB pattern for the tracking fact table: bucket by gameId so
+    play-grain joins (tracking ⋈ per-play aggregates, SURVEY J6) and the
+    kernel's play grouping read co-located data. Local runs use the
+    session's spark_warehouse dir.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed prior run can leave the managed location behind
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.exists(loc):
+        import shutil
+
+        shutil.rmtree(loc)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -1,0 +1,67 @@
+"""Scale-pattern tests: bucketed co-located joins, skew salting.
+
+These assert on the PHYSICAL PLAN (no exchange on bucketed joins) and on
+result equivalence (salted == unsalted), because the behaviors they protect
+only matter at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdatabowl_spark.operators.skew import salted_count_sum, salted_join
+from bigdatabowl_spark.sources.io import write_bucketed
+from bigdatabowl_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "orders_b", ["o_orderkey"])
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "lineitem_b", ["l_orderkey"]
+    )
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    # at testdata scale the planner prefers broadcast (which would bypass
+    # the bucketed scan entirely); force the at-scale shuffle join shape
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # co-located: neither side shuffles (bucketed scans line up)
+    assert "Exchange hashpartitioning" not in plan
+    # and the join result is right
+    assert joined.count() == li.count()
+
+
+def test_salted_agg_matches_unsalted(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.n, round(r.total, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.total, 6))
+        for r in salted_count_sum(ev, "event_type", "value", "event_id").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_unsalted(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(o, "l_orderkey")
+    salted = salted_join(li, o, "l_orderkey", big_id_col="l_linenumber", n_salts=4)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.select(*plain.columns).collect()}
+    assert a == b
