@@ -56,6 +56,8 @@ class OptimizeConfig:
     grid_stride: int = 8  # evaluation/candidate grid subsampling
     reduce: str = "sum"  # 'sum' | 'max' (reduce_eppa, optimize_def.py:40-50)
     max_candidates: int = 512
+    n_steps: int = 1  # rollout length (re-plan points per play)
+    frame_stride: int = 3  # eligible frames between re-plans (plan_res/dt)
 
 
 def _objective(
@@ -183,29 +185,51 @@ def optimize_defense(
     priors: EppaPriors | None = None,
     cfg: OptimizeConfig | None = None,
 ) -> DataFrame:
-    """Optimized defender placements for each play's first eligible frame.
+    """Multi-step greedy defensive rollout per play (optimize_def.py:142-163).
 
-    applyInPandas over (gameId, playId): the greedy sequential loop stays
-    inside one task per play; the cluster fans out across plays."""
+    The reference replays a play re-planning the defense every plan_res
+    seconds: offense follows its recorded track; defenders carry their
+    OPTIMIZED positions/velocities from the previous step (inherently
+    sequential across frames — SURVEY §7 Phase 5). One rollout = one
+    applyInPandas task; the cluster fans out across plays. Output: one row
+    per (defender, optimized frame)."""
     params = params or EppaParams()
     priors = priors or EppaPriors.default()
     cfg = cfg or OptimizeConfig()
+    cols = [f.split()[0] for f in OPT_SCHEMA.split(", ")]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf[pdf["frameId"] == pdf["frameId"].min()]
-        prep = _prep_frame(first)
-        if prep is None:
-            return pd.DataFrame(columns=[f.split()[0] for f in OPT_SCHEMA.split(", ")])
-        players, ball_start, fas = prep
-        placed, before, after = optimize_defense_frame(
-            players.reset_index(drop=True), ball_start, fas, params, priors, cfg
-        )
-        placed.insert(0, "gameId", int(first["gameId"].iloc[0]))
-        placed.insert(1, "playId", int(first["playId"].iloc[0]))
-        placed.insert(2, "frameId", int(first["frameId"].iloc[0]))
-        placed["eppa_before"] = before
-        placed["eppa_after"] = after
-        return placed
+        frames = sorted(pdf["frameId"].unique())
+        chosen = frames[:: cfg.frame_stride][: cfg.n_steps]
+        def_state: dict[int, tuple[float, float, float, float]] = {}
+        out = []
+        for fid in chosen:
+            fr = pdf[pdf["frameId"] == fid]
+            prep = _prep_frame(fr)
+            if prep is None:
+                continue
+            players, ball_start, fas = prep
+            players = players.reset_index(drop=True).copy()
+            # defenders resume from their optimized state; offense follows
+            # the recorded track (optimize_def.py:101-107 semantics)
+            for i, row in players.iterrows():
+                st = def_state.get(int(row["nflId"]))
+                if st is not None and row["team_pos"] == "DEF":
+                    players.loc[i, ["x", "y", "v_x", "v_y"]] = st
+            placed, before, after = optimize_defense_frame(
+                players, ball_start, fas, params, priors, cfg
+            )
+            for r in placed.itertuples(index=False):
+                def_state[int(r.nflId)] = (r.x_opt, r.y_opt, r.v_x_opt, r.v_y_opt)
+            placed.insert(0, "gameId", int(fr["gameId"].iloc[0]))
+            placed.insert(1, "playId", int(fr["playId"].iloc[0]))
+            placed.insert(2, "frameId", int(fid))
+            placed["eppa_before"] = before
+            placed["eppa_after"] = after
+            out.append(placed)
+        if not out:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(out, ignore_index=True)
 
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(kernel, OPT_SCHEMA)

@@ -166,3 +166,15 @@ def test_analytics_layer(spark, pass_norm):
     assert not cal.empty
     assert cal["mean_predicted"].between(0, 1).all()
     assert cal["empirical_rate"].between(0, 1).all()
+
+
+def test_optimize_defense_rollout(spark, pass_norm):
+    """Multi-step rollout: defenders carry optimized state across re-plan
+    frames; each step's result still improves on its projection."""
+    out = optimize_defense(
+        pass_norm, cfg=OptimizeConfig(max_candidates=16, n_steps=2, frame_stride=2)
+    ).toPandas()
+    # 2 plays × 2 steps × 2 defenders
+    assert len(out) == 8
+    assert set(out.groupby("playId")["frameId"].nunique()) == {2}
+    assert (out["eppa_after"] <= out["eppa_before"] + 1e-9).all()
