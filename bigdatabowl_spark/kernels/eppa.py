@@ -54,6 +54,27 @@ _SIGMOID_K = np.pi / np.sqrt(3.0)  # logistic ≈ normal CDF scaling
 
 _TRAJ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
+# Per-process buffer workspace for the kernel's large intermediates.
+#
+# Why: the hot path allocates ~300 MB of >32 MB NumPy temporaries per frame;
+# glibc serves blocks that size via mmap/munmap, so EVERY call re-faults the
+# pages (expensive under virtualized memory — measured 2-17 s first-touch
+# cost per worker under 16-way concurrency vs 0.5 s compute). Reusing
+# buffers keyed by (name, shape, dtype) faults once per worker process and
+# then runs at pure-compute speed. Python workers are single-threaded
+# processes, so no locking is needed; key count is bounded (shapes vary only
+# with J ∈ [2, ~22] and the F-chunk size).
+_WS: dict[tuple, np.ndarray] = {}
+
+
+def _ws(name: str, shape: tuple, dtype=np.float64) -> np.ndarray:
+    key = (name, shape, np.dtype(dtype).str)
+    buf = _WS.get(key)
+    if buf is None:
+        buf = np.empty(shape, dtype=dtype)
+        _WS[key] = buf
+    return buf
+
 
 def _traj_constants(params: EppaParams) -> tuple[np.ndarray, np.ndarray]:
     """Frame-independent trajectory tensors, cached per params:
@@ -103,6 +124,7 @@ def player_intercept_field(
     grid: np.ndarray,
     tof: np.ndarray,
     params: EppaParams,
+    reuse: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Steps 1-5 of the frame kernel: reaction projection, intercept
     geometry, piecewise time-to-reach, P(intercept) sigmoid.
@@ -111,27 +133,72 @@ def player_intercept_field(
     Returns (d_mag (F, J), p_int (F, T, J)). Shared by the EPPA kernel
     (play_eppa_cpu.py:235-269) and the defensive optimizer's candidate
     evaluation (optimize_def.py:52-139), where J is the candidate axis.
+
+    With reuse=True the returned arrays live in the per-process workspace
+    (_WS) and are only valid until the next reuse=True call. The in-place
+    ufunc forms are chosen to be bit-identical to the allocating forms
+    (same ops, same operand order — IEEE add/mul commute bitwise).
     """
+    F, J = grid.shape[0], px.shape[0]
+    T = tof.shape[0]
+    alloc = _ws if reuse else (lambda name, shape, dtype=np.float64: np.empty(shape, dtype=dtype))
+
     # 1-2. reaction projection + intercept geometry (play_eppa_cpu.py:235-251)
     reax_p = px + pv * params.reax_t
-    d_vec = grid[:, None, :] - reax_p[None, :, :]  # (F, J, 2) — grid crossJoin J12
-    d_mag = np.sqrt((d_vec**2).sum(-1)) + 1e-3  # epsilon frame_eppa.py:185
+    d_vec = alloc("pif.d_vec", (F, J, 2))
+    np.subtract(grid[:, None, :], reax_p[None, :, :], out=d_vec)  # grid crossJoin J12
+    dx, dy = d_vec[:, :, 0], d_vec[:, :, 1]
+    tmp = alloc("pif.tmp", (F, J))
+    d_mag = alloc("pif.d_mag", (F, J))
+    np.multiply(dx, dx, out=d_mag)
+    np.multiply(dy, dy, out=tmp)
+    d_mag += tmp
+    np.sqrt(d_mag, out=d_mag)
+    d_mag += 1e-3  # epsilon frame_eppa.py:185
 
     # 3. initial speed toward target (F17 dot projection, :254)
-    int_s0 = np.clip((pv[None, :, :] * d_vec).sum(-1) / d_mag, -params.s_max, params.s_max)
+    int_s0 = alloc("pif.int_s0", (F, J))
+    np.multiply(pv[None, :, 0], dx, out=int_s0)
+    np.multiply(pv[None, :, 1], dy, out=tmp)
+    int_s0 += tmp
+    int_s0 /= d_mag
+    np.clip(int_s0, -params.s_max, params.s_max, out=int_s0)
 
     # 4. piecewise time-to-reach (F16 np.select kinematics, :279-297)
-    t_acc = (params.s_max - int_s0) / params.a_max
-    d_acc = int_s0 * t_acc + 0.5 * params.a_max * t_acc**2
-    reaches_early = d_acc >= d_mag
-    disc = np.sqrt(np.maximum(int_s0**2 + 2 * params.a_max * d_mag, 0.0))
-    t_quad = (-int_s0 + disc) / params.a_max
-    t_tot = np.where(reaches_early, t_quad, t_acc + (d_mag - d_acc) / params.s_max)
-    t_tot = t_tot + params.reax_t
+    t_acc = alloc("pif.t_acc", (F, J))
+    np.subtract(params.s_max, int_s0, out=t_acc)
+    t_acc /= params.a_max
+    d_acc = alloc("pif.d_acc", (F, J))  # int_s0·t + ½·a_max·t²
+    np.multiply(t_acc, t_acc, out=d_acc)
+    d_acc *= 0.5 * params.a_max
+    np.multiply(int_s0, t_acc, out=tmp)
+    d_acc += tmp
+    reaches_early = alloc("pif.early", (F, J), np.bool_)
+    np.greater_equal(d_acc, d_mag, out=reaches_early)
+    disc = alloc("pif.disc", (F, J))  # sqrt(max(s0² + 2·a_max·d, 0))
+    np.multiply(int_s0, int_s0, out=disc)
+    np.multiply(d_mag, 2.0 * params.a_max, out=tmp)
+    disc += tmp
+    np.maximum(disc, 0.0, out=disc)
+    np.sqrt(disc, out=disc)
+    t_quad = alloc("pif.t_quad", (F, J))
+    np.subtract(disc, int_s0, out=t_quad)  # ≡ −s0 + disc
+    t_quad /= params.a_max
+    np.subtract(d_mag, d_acc, out=tmp)  # t_acc + (d − d_acc)/s_max
+    tmp /= params.s_max
+    tmp += t_acc
+    t_tot = alloc("pif.t_tot", (F, J))
+    np.copyto(t_tot, tmp)
+    np.copyto(t_tot, t_quad, where=reaches_early)
+    t_tot += params.reax_t
 
     # 5. P(intercept) sigmoid field (M3 core, :268-269)
-    int_dT = tof[None, :, None] - t_tot[:, None, :]  # (F, T, J)
-    p_int = 1.0 / (1.0 + np.exp(-_SIGMOID_K / params.tti_sigma * int_dT))
+    p_int = alloc("pif.p_int", (F, T, J))
+    np.subtract(tof[None, :, None], t_tot[:, None, :], out=p_int)  # int_dT
+    p_int *= -_SIGMOID_K / params.tti_sigma
+    np.exp(p_int, out=p_int)
+    p_int += 1.0
+    np.divide(1.0, p_int, out=p_int)
     return d_mag, p_int
 
 
@@ -154,38 +221,81 @@ def frame_surfaces(
     pv = players[["v_x", "v_y"]].to_numpy(dtype=np.float64)
     is_off = (players["team_pos"] == "OFF").to_numpy()
     J = len(players)
+    F, T = N_CELLS, N_TOF
+    idx_off = np.flatnonzero(is_off)
+    idx_def = np.flatnonzero(~is_off)
+
+    # All large intermediates live in the per-process workspace (_WS): the
+    # kernel's ~300 MB/call of >32 MB temporaries would otherwise be
+    # mmap/munmap'd by glibc every call and re-fault their pages (measured
+    # 2-17 s/call first-touch under concurrency vs ~0.5 s compute). Returned
+    # surfaces are COPIED out, so results stay valid across calls.
 
     # 1-5. reaction projection → P(intercept) sigmoid field
-    d_mag, p_int = player_intercept_field(px, pv, grid, tof, params)
+    d_mag, p_int = player_intercept_field(px, pv, grid, tof, params, reuse=True)
 
     # 6. team aggregates 1−∏(1−p) (A23, :270-271). For the trajectory step
     # probabilities the event space is partitioned properly: P(any) split
     # between teams proportionally — this is the invariant the reference
     # asserts (commented, play_eppa_cpu.py:338-339): off + def = p_any ≤ 1.
+    # Team slices are materialized with np.take into REUSED buffers. NumPy's
+    # boolean slice on the last axis returns a K-major (transposed-layout)
+    # buffer, and the summation order of the subsequent reduce depends on
+    # that layout — so the workspace blocks are allocated K-major and viewed
+    # transposed, preserving bit-identical results vs the allocating form.
+    log_no = _ws("fs.log_no", (F, T, J))
+    np.clip(p_int, 0.0, 1.0 - 1e-12, out=log_no)
+    np.negative(log_no, out=log_no)
     with np.errstate(divide="ignore"):
-        log_no = np.log1p(-np.clip(p_int, 0.0, 1.0 - 1e-12))
-    p_off = 1.0 - np.exp(log_no[:, :, is_off].sum(-1))  # (F, T)
-    p_def = 1.0 - np.exp(log_no[:, :, ~is_off].sum(-1))
-    p_any = 1.0 - np.exp(log_no.sum(-1))  # (F, T)
-    denom = p_off + p_def + 1e-12
-    p_off_part = p_any * p_off / denom  # partitioned: off + def = p_any
-    p_def_part = p_any * p_def / denom
+        np.log1p(log_no, out=log_no)
+    off_blk = _ws("fs.off_blk", (len(idx_off), F, T)).transpose(1, 2, 0)
+    np.take(log_no, idx_off, axis=2, out=off_blk)
+    p_off = _ws("fs.p_off", (F, T))
+    off_blk.sum(-1, out=p_off)
+    np.exp(p_off, out=p_off)
+    np.subtract(1.0, p_off, out=p_off)  # (F, T)
+    def_blk = _ws("fs.def_blk", (len(idx_def), F, T)).transpose(1, 2, 0)
+    np.take(log_no, idx_def, axis=2, out=def_blk)
+    p_def = _ws("fs.p_def", (F, T))
+    def_blk.sum(-1, out=p_def)
+    np.exp(p_def, out=p_def)
+    np.subtract(1.0, p_def, out=p_def)
+    p_any = _ws("fs.p_any", (F, T))
+    log_no.sum(-1, out=p_any)
+    np.exp(p_any, out=p_any)
+    np.subtract(1.0, p_any, out=p_any)
+    denom = _ws("fs.denom", (F, T))
+    np.add(p_off, p_def, out=denom)
+    denom += 1e-12
+    p_off_part = _ws("fs.p_off_part", (F, T))  # partitioned: off + def = p_any
+    np.multiply(p_any, p_off, out=p_off_part)
+    p_off_part /= denom
+    p_def_part = _ws("fs.p_def_part", (F, T))
+    np.multiply(p_any, p_def, out=p_def_part)
+    p_def_part /= denom
 
     # 7. historical transition prior (M4, :301-334)
     L = np.sqrt(((grid - ball_start[None, :]) ** 2).sum(-1))
     Lbin = np.clip(np.rint(L).astype(np.int64), 1, 60) - 1
     mask = (L > 1.0) & (L <= 60.0)
     t_idx = min(max(frames_after_snap, 1), len(priors.p_t)) - 1
-    h = priors.T_given_L[Lbin, :] * priors.p_t[t_idx] * mask[:, None]  # (F, T)
+    h = _ws("fs.h", (F, T))
+    np.take(priors.T_given_L, Lbin, axis=0, out=h)
+    h *= priors.p_t[t_idx]
+    h *= mask[:, None]
     h_sum = h.sum()
-    trans_prior = h / h_sum if h_sum > 0 else h
+    trans_prior = _ws("fs.trans_prior", (F, T))
+    if h_sum > 0:
+        np.divide(h, h_sum, out=trans_prior)
+    else:
+        np.copyto(trans_prior, h)
 
     # 8. trajectory-integrated completion (get_ppc, :336-390), F-chunked
-    ppc_off = np.empty((N_CELLS, N_TOF), dtype=np.float64)
-    ppc_def = np.empty((N_CELLS, N_TOF), dtype=np.float64)
+    ppc_off = _ws("fs.ppc_off", (F, T))
+    ppc_def = _ws("fs.ppc_def", (F, T))
     frac, zv = _traj_constants(params)  # (T_step, T_arr) each, cached
     bx, by = ball_start[0], ball_start[1]
-    p_off_flat = p_off_part.ravel()  # single-gather addressing
+    p_off_flat = p_off_part.ravel()  # single-gather addressing (views)
     p_def_flat = p_def_part.ravel()
     step_addend = np.arange(N_TOF, dtype=np.int64)[None, :, None]  # (1,T_step,1)
     for lo in range(0, N_CELLS, chunk):
@@ -196,27 +306,48 @@ def frame_surfaces(
         # the (Fc,T,T,2) path tensor (F13 ravel, :352)
         dx = (gc[:, 0] - bx)[:, None, None]  # (Fc,1,1)
         dy = (gc[:, 1] - by)[:, None, None]
-        cx = np.clip(np.rint(bx + frac * dx - 0.5).astype(np.int64), 0, FIELD_X - 1)
-        cy = np.clip(np.rint(by + frac * dy - 0.5).astype(np.int64), 0, FIELD_Y - 1)
-        flat = (cy * FIELD_X + cx) * N_TOF + step_addend  # (Fc, T_step, T_arr)
+        work = _ws("fs.work", (Fc, N_TOF, N_TOF))
+        cx = _ws("fs.cx", (Fc, N_TOF, N_TOF), np.int64)
+        np.multiply(frac, dx, out=work)  # bx + frac·dx − 0.5, rint, clip
+        work += bx
+        work -= 0.5
+        np.rint(work, out=work)
+        np.copyto(cx, work, casting="unsafe")  # ≡ astype(int64)
+        np.clip(cx, 0, FIELD_X - 1, out=cx)
+        cy = _ws("fs.cy", (Fc, N_TOF, N_TOF), np.int64)
+        np.multiply(frac, dy, out=work)
+        work += by
+        work -= 0.5
+        np.rint(work, out=work)
+        np.copyto(cy, work, casting="unsafe")
+        np.clip(cy, 0, FIELD_Y - 1, out=cy)
+        flat = _ws("fs.flat", (Fc, N_TOF, N_TOF), np.int64)
+        np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
+        flat += cx
+        flat *= N_TOF
+        flat += step_addend  # (Fc, T_step, T_arr)
         # memoized gather: partitioned team p at (path cell, step time)
         # (:337,355)
-        catch_off = p_off_flat[flat]
+        catch_off = _ws("fs.catch_off", (Fc, N_TOF, N_TOF))
+        np.take(p_off_flat, flat, out=catch_off)
         catch_off *= zv
-        catch_def = p_def_flat[flat]
+        catch_def = _ws("fs.catch_def", (Fc, N_TOF, N_TOF))
+        np.take(p_def_flat, flat, out=catch_def)
         catch_def *= zv
         # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
-        no_event = 1.0 - catch_off
+        no_event = work  # reuse the float scratch
+        np.subtract(1.0, catch_off, out=no_event)
         no_event -= catch_def
         np.clip(no_event, 0.0, 1.0, out=no_event)
-        cum = np.cumprod(no_event, axis=1)
-        surv = np.empty_like(cum)  # shift-by-1, seed 1 (no overlapping write)
+        cum = _ws("fs.cum", (Fc, N_TOF, N_TOF))
+        np.cumprod(no_event, axis=1, out=cum)
+        surv = _ws("fs.surv", (Fc, N_TOF, N_TOF))
         surv[:, 0, :] = 1.0
         surv[:, 1:, :] = cum[:, :-1, :]
         catch_off *= surv
         catch_def *= surv
-        ppc_off[lo:hi] = catch_off.sum(axis=1)  # cumsum + diagonal (:385)
-        ppc_def[lo:hi] = catch_def.sum(axis=1)
+        catch_off.sum(axis=1, out=ppc_off[lo:hi])  # cumsum + diagonal (:385)
+        catch_def.sum(axis=1, out=ppc_def[lo:hi])
 
     # 9. value models on arrival features (get_xyac, :392-464)
     d_def = d_mag[:, ~is_off]
@@ -227,33 +358,48 @@ def frame_surfaces(
     xepa_inc = np.full(N_CELLS, -0.45)  # incompletion value
 
     # 10. trans = prior · ppc^α renormalized (:469-497)
-    trans = trans_prior * np.power(np.clip(ppc_off, 1e-12, None), params.alpha)
+    trans = _ws("fs.trans", (F, T))
+    np.clip(ppc_off, 1e-12, None, out=trans)
+    np.power(trans, params.alpha, out=trans)
+    trans *= trans_prior
     t_sum = trans.sum()
-    trans = trans / t_sum if t_sum > 0 else trans
+    if t_sum > 0:
+        trans /= t_sum
 
     # 11. EPPA surfaces (F,T) → cell/frame reductions (A26/A27, :502-641)
-    value_ft = ppc_off * xepa_comp[:, None] + (1.0 - ppc_off) * xepa_inc[:, None]
-    eppa_ft = trans * value_ft
+    value_ft = _ws("fs.value_ft", (F, T))
+    tmp_ft = _ws("fs.tmp_ft", (F, T))
+    np.multiply(ppc_off, xepa_comp[:, None], out=value_ft)
+    np.subtract(1.0, ppc_off, out=tmp_ft)
+    tmp_ft *= xepa_inc[:, None]
+    value_ft += tmp_ft
+    eppa_ft = _ws("fs.eppa_ft", (F, T))
+    np.multiply(trans, value_ft, out=eppa_ft)
 
     # 12. per-player attribution: share of team p_int at each (F,T),
-    # contracted with einsum so no (F,T,J) temporary is materialized
-    p_int_off_sum = p_int[:, :, is_off].sum(-1) + 1e-12  # (F,T)
-    weight = eppa_ft / p_int_off_sum  # (F,T)
+    # contracted with einsum over the offense slice (reused buffer) so no
+    # fresh (F,T,J_off) temporary is allocated per call.
+    np.take(p_int, idx_off, axis=2, out=off_blk)  # p_int offense slice
+    p_int_off_sum = _ws("fs.pio", (F, T))
+    off_blk.sum(-1, out=p_int_off_sum)
+    p_int_off_sum += 1e-12
+    weight = tmp_ft  # (F,T) scratch: eppa_ft / team p_int sum
+    np.divide(eppa_ft, p_int_off_sum, out=weight)
     ind_eppa = np.zeros(J, dtype=np.float64)
-    ind_eppa[is_off] = np.einsum("ft,ftj->j", weight, p_int[:, :, is_off])
+    ind_eppa[is_off] = np.einsum("ft,ftj->j", weight, off_blk)
 
     return {
-        "p_off": p_off,
-        "p_def": p_def,
-        "ppc_off": ppc_off,
-        "ppc_def": ppc_def,
-        "trans_prior": trans_prior,
-        "trans": trans,
+        "p_off": p_off.copy(),
+        "p_def": p_def.copy(),
+        "ppc_off": ppc_off.copy(),
+        "ppc_def": ppc_def.copy(),
+        "trans_prior": trans_prior.copy(),
+        "trans": trans.copy(),
         "xyac": xyac,
         "xepa_comp": xepa_comp,
         "xepa_inc": xepa_inc,
-        "value_ft": value_ft,
-        "eppa_ft": eppa_ft,
+        "value_ft": value_ft.copy(),
+        "eppa_ft": eppa_ft.copy(),
         "ind_eppa": ind_eppa,
         "nflId": players["nflId"].to_numpy(),
         "team_pos_players": players["team_pos"].to_numpy(),
