@@ -192,13 +192,16 @@ def player_intercept_field(
     np.copyto(t_tot, t_quad, where=reaches_early)
     t_tot += params.reax_t
 
-    # 5. P(intercept) sigmoid field (M3 core, :268-269)
+    # 5. P(intercept) sigmoid field (M3 core, :268-269). The exponent is
+    # written pre-scaled (k·t_tot − k·tof ≡ −k·(tof − t_tot)) so the sigmoid
+    # needs one fewer full pass over the 46 MB tensor.
+    k = _SIGMOID_K / params.tti_sigma
+    t_tot *= k
     p_int = alloc("pif.p_int", (F, T, J))
-    np.subtract(tof[None, :, None], t_tot[:, None, :], out=p_int)  # int_dT
-    p_int *= -_SIGMOID_K / params.tti_sigma
+    np.subtract(t_tot[:, None, :], (tof * k)[None, :, None], out=p_int)
     np.exp(p_int, out=p_int)
     p_int += 1.0
-    np.divide(1.0, p_int, out=p_int)
+    np.reciprocal(p_int, out=p_int)
     return d_mag, p_int
 
 
@@ -238,32 +241,32 @@ def frame_surfaces(
     # probabilities the event space is partitioned properly: P(any) split
     # between teams proportionally — this is the invariant the reference
     # asserts (commented, play_eppa_cpu.py:338-339): off + def = p_any ≤ 1.
-    # Team slices are materialized with np.take into REUSED buffers. NumPy's
-    # boolean slice on the last axis returns a K-major (transposed-layout)
-    # buffer, and the summation order of the subsequent reduce depends on
-    # that layout — so the workspace blocks are allocated K-major and viewed
-    # transposed, preserving bit-identical results vs the allocating form.
+    # The per-team log sums contract the (F,T,J) tensor against a (J,2)
+    # one-hot team matrix in ONE dgemm pass — the tensor is read once,
+    # replacing two boolean-slice copies plus three axis reduces.
     log_no = _ws("fs.log_no", (F, T, J))
     np.clip(p_int, 0.0, 1.0 - 1e-12, out=log_no)
     np.negative(log_no, out=log_no)
     with np.errstate(divide="ignore"):
         np.log1p(log_no, out=log_no)
-    off_blk = _ws("fs.off_blk", (len(idx_off), F, T)).transpose(1, 2, 0)
-    np.take(log_no, idx_off, axis=2, out=off_blk)
+    team_mask = np.zeros((J, 2), dtype=np.float64)
+    team_mask[idx_off, 0] = 1.0
+    team_mask[idx_def, 1] = 1.0
+    team_sums = _ws("fs.team_sums", (F * T, 2))
+    np.matmul(log_no.reshape(F * T, J), team_mask, out=team_sums)
     p_off = _ws("fs.p_off", (F, T))
-    off_blk.sum(-1, out=p_off)
-    np.exp(p_off, out=p_off)
-    np.subtract(1.0, p_off, out=p_off)  # (F, T)
-    def_blk = _ws("fs.def_blk", (len(idx_def), F, T)).transpose(1, 2, 0)
-    np.take(log_no, idx_def, axis=2, out=def_blk)
+    po = p_off.reshape(-1)
+    np.exp(team_sums[:, 0], out=po)
+    np.subtract(1.0, po, out=po)  # (F, T)
     p_def = _ws("fs.p_def", (F, T))
-    def_blk.sum(-1, out=p_def)
-    np.exp(p_def, out=p_def)
-    np.subtract(1.0, p_def, out=p_def)
+    pd_ = p_def.reshape(-1)
+    np.exp(team_sums[:, 1], out=pd_)
+    np.subtract(1.0, pd_, out=pd_)
     p_any = _ws("fs.p_any", (F, T))
-    log_no.sum(-1, out=p_any)
-    np.exp(p_any, out=p_any)
-    np.subtract(1.0, p_any, out=p_any)
+    pa = p_any.reshape(-1)
+    np.add(team_sums[:, 0], team_sums[:, 1], out=pa)
+    np.exp(pa, out=pa)
+    np.subtract(1.0, pa, out=pa)
     denom = _ws("fs.denom", (F, T))
     np.add(p_off, p_def, out=denom)
     denom += 1e-12
@@ -290,64 +293,73 @@ def frame_surfaces(
     else:
         np.copyto(trans_prior, h)
 
-    # 8. trajectory-integrated completion (get_ppc, :336-390), F-chunked
+    # 8. trajectory-integrated completion (get_ppc, :336-390). F-chunked AND
+    # arrival-blocked: zv masks step>arrival to exact zero (the ball has
+    # landed), so for arrivals [b0,b1) only steps 0..b1 carry mass — the
+    # triangular step axis nearly halves tensor traffic vs the full (Fc,T,T)
+    # form. Path indices are int32 (flat < F·T = 264,000 « 2³¹), halving
+    # index traffic again.
     ppc_off = _ws("fs.ppc_off", (F, T))
     ppc_def = _ws("fs.ppc_def", (F, T))
     frac, zv = _traj_constants(params)  # (T_step, T_arr) each, cached
     bx, by = ball_start[0], ball_start[1]
     p_off_flat = p_off_part.ravel()  # single-gather addressing (views)
     p_def_flat = p_def_part.ravel()
-    step_addend = np.arange(N_TOF, dtype=np.int64)[None, :, None]  # (1,T_step,1)
+    steps = np.arange(N_TOF, dtype=np.int32)[None, :, None]  # (1,T_step,1)
+    AB = 10  # arrival-block width
     for lo in range(0, N_CELLS, chunk):
         hi = min(lo + chunk, N_CELLS)
         gc = grid[lo:hi]  # (Fc, 2)
         Fc = hi - lo
-        # ball path cell index at step i for arrival T, without materializing
-        # the (Fc,T,T,2) path tensor (F13 ravel, :352)
         dx = (gc[:, 0] - bx)[:, None, None]  # (Fc,1,1)
         dy = (gc[:, 1] - by)[:, None, None]
-        work = _ws("fs.work", (Fc, N_TOF, N_TOF))
-        cx = _ws("fs.cx", (Fc, N_TOF, N_TOF), np.int64)
-        np.multiply(frac, dx, out=work)  # bx + frac·dx − 0.5, rint, clip
-        work += bx
-        work -= 0.5
-        np.rint(work, out=work)
-        np.copyto(cx, work, casting="unsafe")  # ≡ astype(int64)
-        np.clip(cx, 0, FIELD_X - 1, out=cx)
-        cy = _ws("fs.cy", (Fc, N_TOF, N_TOF), np.int64)
-        np.multiply(frac, dy, out=work)
-        work += by
-        work -= 0.5
-        np.rint(work, out=work)
-        np.copyto(cy, work, casting="unsafe")
-        np.clip(cy, 0, FIELD_Y - 1, out=cy)
-        flat = _ws("fs.flat", (Fc, N_TOF, N_TOF), np.int64)
-        np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
-        flat += cx
-        flat *= N_TOF
-        flat += step_addend  # (Fc, T_step, T_arr)
-        # memoized gather: partitioned team p at (path cell, step time)
-        # (:337,355)
-        catch_off = _ws("fs.catch_off", (Fc, N_TOF, N_TOF))
-        np.take(p_off_flat, flat, out=catch_off)
-        catch_off *= zv
-        catch_def = _ws("fs.catch_def", (Fc, N_TOF, N_TOF))
-        np.take(p_def_flat, flat, out=catch_def)
-        catch_def *= zv
-        # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
-        no_event = work  # reuse the float scratch
-        np.subtract(1.0, catch_off, out=no_event)
-        no_event -= catch_def
-        np.clip(no_event, 0.0, 1.0, out=no_event)
-        cum = _ws("fs.cum", (Fc, N_TOF, N_TOF))
-        np.cumprod(no_event, axis=1, out=cum)
-        surv = _ws("fs.surv", (Fc, N_TOF, N_TOF))
-        surv[:, 0, :] = 1.0
-        surv[:, 1:, :] = cum[:, :-1, :]
-        catch_off *= surv
-        catch_def *= surv
-        catch_off.sum(axis=1, out=ppc_off[lo:hi])  # cumsum + diagonal (:385)
-        catch_def.sum(axis=1, out=ppc_def[lo:hi])
+        for b0 in range(0, N_TOF, AB):
+            b1 = min(b0 + AB, N_TOF)
+            S, B = b1, b1 - b0  # steps needed, arrivals in block
+            fr = frac[:S, b0:b1]  # (S, B)
+            z = zv[:S, b0:b1]
+            # ball path cell index at step s for arrival T, without
+            # materializing the (Fc,S,B,2) path tensor (F13 ravel, :352)
+            work = _ws("fs.work", (Fc, S, B))
+            cx = _ws("fs.cx", (Fc, S, B), np.int32)
+            np.multiply(fr, dx, out=work)  # rint(bx + frac·dx − 0.5)
+            work += bx - 0.5
+            np.rint(work, out=work)
+            np.copyto(cx, work, casting="unsafe")  # ≡ astype(int32)
+            np.clip(cx, 0, FIELD_X - 1, out=cx)
+            cy = _ws("fs.cy", (Fc, S, B), np.int32)
+            np.multiply(fr, dy, out=work)
+            work += by - 0.5
+            np.rint(work, out=work)
+            np.copyto(cy, work, casting="unsafe")
+            np.clip(cy, 0, FIELD_Y - 1, out=cy)
+            flat = _ws("fs.flat", (Fc, S, B), np.int32)
+            np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
+            flat += cx
+            flat *= N_TOF
+            flat += steps[:, :S]  # (Fc, S, B)
+            # memoized gather: partitioned team p at (path cell, step time)
+            # (:337,355)
+            catch_off = _ws("fs.catch_off", (Fc, S, B))
+            np.take(p_off_flat, flat, out=catch_off)
+            catch_off *= z
+            catch_def = _ws("fs.catch_def", (Fc, S, B))
+            np.take(p_def_flat, flat, out=catch_def)
+            catch_def *= z
+            # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
+            no_event = work  # reuse the float scratch
+            np.subtract(1.0, catch_off, out=no_event)
+            no_event -= catch_def
+            np.clip(no_event, 0.0, 1.0, out=no_event)
+            cum = _ws("fs.cum", (Fc, S, B))
+            np.cumprod(no_event, axis=1, out=cum)
+            surv = _ws("fs.surv", (Fc, S, B))
+            surv[:, 0, :] = 1.0
+            surv[:, 1:, :] = cum[:, :-1, :]
+            catch_off *= surv
+            catch_def *= surv
+            catch_off.sum(axis=1, out=ppc_off[lo:hi, b0:b1])  # (:385)
+            catch_def.sum(axis=1, out=ppc_def[lo:hi, b0:b1])
 
     # 9. value models on arrival features (get_xyac, :392-464)
     d_def = d_mag[:, ~is_off]
@@ -376,17 +388,16 @@ def frame_surfaces(
     eppa_ft = _ws("fs.eppa_ft", (F, T))
     np.multiply(trans, value_ft, out=eppa_ft)
 
-    # 12. per-player attribution: share of team p_int at each (F,T),
-    # contracted with einsum over the offense slice (reused buffer) so no
-    # fresh (F,T,J_off) temporary is allocated per call.
-    np.take(p_int, idx_off, axis=2, out=off_blk)  # p_int offense slice
-    p_int_off_sum = _ws("fs.pio", (F, T))
-    off_blk.sum(-1, out=p_int_off_sum)
+    # 12. per-player attribution: share of team p_int at each (F,T). Both
+    # contractions over the (F,T,J) sigmoid tensor are BLAS matmuls that
+    # read it once each — no per-team slice copies are materialized.
+    np.matmul(p_int.reshape(F * T, J), team_mask, out=team_sums)
+    p_int_off_sum = team_sums[:, 0]  # (F·T,) strided view
     p_int_off_sum += 1e-12
     weight = tmp_ft  # (F,T) scratch: eppa_ft / team p_int sum
-    np.divide(eppa_ft, p_int_off_sum, out=weight)
-    ind_eppa = np.zeros(J, dtype=np.float64)
-    ind_eppa[is_off] = np.einsum("ft,ftj->j", weight, off_blk)
+    np.divide(eppa_ft.reshape(-1), p_int_off_sum, out=weight.reshape(-1))
+    contrib = np.matmul(weight.reshape(1, F * T), p_int.reshape(F * T, J))
+    ind_eppa = np.where(is_off, contrib[0], 0.0)
 
     return {
         "p_off": p_off.copy(),
