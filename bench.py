@@ -12,7 +12,8 @@ import os
 import re
 import time
 
-N_EPPA_FRAMES = 4  # eligible frames per play for the kernel throughput metric
+N_EPPA_FRAMES = 34  # full eligible window (snap+14..snap+47) — the unit the
+#                     reference's 1.13-1.31 frames/s was measured on
 N_EPPA_PLAYS = 16  # 16 independent plays → play-level task parallelism
 
 BENCH_QUERIES = [

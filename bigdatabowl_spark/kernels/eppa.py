@@ -242,18 +242,24 @@ def frame_surfaces(
     # between teams proportionally — this is the invariant the reference
     # asserts (commented, play_eppa_cpu.py:338-339): off + def = p_any ≤ 1.
     # The per-team log sums contract the (F,T,J) tensor against a (J,2)
-    # one-hot team matrix in ONE dgemm pass — the tensor is read once,
-    # replacing two boolean-slice copies plus three axis reduces.
-    log_no = _ws("fs.log_no", (F, T, J))
-    np.clip(p_int, 0.0, 1.0 - 1e-12, out=log_no)
-    np.negative(log_no, out=log_no)
-    with np.errstate(divide="ignore"):
-        np.log1p(log_no, out=log_no)
+    # one-hot team matrix with dgemm — the tensor is read once, replacing
+    # two boolean-slice copies plus three axis reduces. The log1p runs
+    # F-chunked through a small scratch (rows are independent, so chunked
+    # dgemm output is identical) instead of materializing a second full
+    # (F,T,J) buffer — that buffer was ~25% of the worker's workspace
+    # first-touch cost.
     team_mask = np.zeros((J, 2), dtype=np.float64)
     team_mask[idx_off, 0] = 1.0
     team_mask[idx_def, 1] = 1.0
     team_sums = _ws("fs.team_sums", (F * T, 2))
-    np.matmul(log_no.reshape(F * T, J), team_mask, out=team_sums)
+    with np.errstate(divide="ignore"):
+        for lo in range(0, F, chunk):
+            hi = min(lo + chunk, F)
+            lc = _ws("fs.log_chunk", (hi - lo, T, J))
+            np.clip(p_int[lo:hi], 0.0, 1.0 - 1e-12, out=lc)
+            np.negative(lc, out=lc)
+            np.log1p(lc, out=lc)
+            np.matmul(lc.reshape((hi - lo) * T, J), team_mask, out=team_sums[lo * T : hi * T])
     p_off = _ws("fs.p_off", (F, T))
     po = p_off.reshape(-1)
     np.exp(team_sums[:, 0], out=po)
