@@ -1,0 +1,134 @@
+"""Physical-plan quality gates (SURVEY §4, §6 scale posture).
+
+At 100 TB the plan shape matters as much as the result: filters must reach
+the parquet scan, scans must prune to the referenced columns, dimension
+joins must broadcast, and operators designed to be map-side must not
+shuffle. These tests pin those properties on `.explain("formatted")`
+output, so a refactor that silently degrades the plan (e.g. a lost
+pushdown or an accidental sort-merge join) fails even though results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _catalog_plan(spark, sf_dir, name) -> str:
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    return _plan(CATALOG[name].builder(spark, sf_dir))
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """a1's date predicate must appear in PushedFilters, not a post-scan
+    Filter only (PushDownPredicate, SURVEY §4)."""
+    plan = _catalog_plan(spark, sf_dir, "a1_pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """a1 reads 6 of lineitem's 16 columns — the scan schema must shrink
+    accordingly (ColumnPruning → parquet reader, SURVEY §4)."""
+    plan = _catalog_plan(spark, sf_dir, "a1_pricing_summary")
+    schemas = _read_schemas(plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = [c for c in s.split(",") if ":" in c]
+        assert len(cols) <= 6, s
+        assert "l_comment" not in s
+
+
+def test_point_lookup_pushes_equality_filters(spark, sf_dir):
+    """P1 conjunctive lookup: both equality predicates pushed to the scan."""
+    plan = _catalog_plan(spark, sf_dir, "p1_conjunctive_lookup")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(l_returnflag" in pushed, plan
+    assert "EqualTo(l_linestatus" in pushed, plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """J1 lineitem ⋈ part: the dimension side must hash-broadcast — a
+    sort-merge join here would shuffle the fact table (SURVEY §2.3 J1)."""
+    plan = _catalog_plan(spark, sf_dir, "j1_broadcast_enrich")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tracking_etl_broadcasts_all_dim_joins(spark, sf_dir):
+    """The normalize lifecycle joins games/plays/LOS back to tracking —
+    every one must broadcast (normalize.py:22,28,35-37 are all dim joins)."""
+    plan = _catalog_plan(spark, sf_dir, "etl_normalize_tracking")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lsh_bucket_assignment_is_shuffle_free(spark, sf_dir):
+    """Hyperplane bucketing is a per-row expression — the plan must contain
+    no Exchange at all (the 100 TB argument for the LSH path)."""
+    from bigdatabowl_spark.operators.similarity import lsh_bucket_assignments
+    from bigdatabowl_spark.plans.catalog import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    plan = _plan(lsh_bucket_assignments(emb, spark))
+    assert "Exchange" not in plan, plan
+
+
+def test_shingle_table_is_shuffle_free(spark, sf_dir):
+    """Shingling + per-row dedup must stay map-side: explode over
+    array_distinct, no global distinct shuffle."""
+    from bigdatabowl_spark.operators.dedup import shingle_table
+    from bigdatabowl_spark.plans.catalog import t
+
+    docs = t(spark, sf_dir, "documents")
+    plan = _plan(shingle_table(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_window_topk_single_exchange(spark, sf_dir):
+    """W4 rank-per-group needs exactly one shuffle (the window partition);
+    more means a redundant repartition crept in."""
+    plan = _catalog_plan(spark, sf_dir, "w4_topk_per_group")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+
+
+def test_two_level_agg_partial_aggregation(spark, sf_dir):
+    """A12 two-stage aggregation must show map-side partial aggregates
+    (HashAggregate appears before its Exchange) — partial/final split is
+    what bounds shuffle volume at scale."""
+    plan = _catalog_plan(spark, sf_dir, "a12_two_level_agg")
+    # ≥2 HashAggregates: the partial (map-side) and final (post-shuffle)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
+    """The relational queries must run inside WholeStageCodegen spans —
+    falling out of codegen (e.g. via an interpreted expression) is a 10×
+    regression at scale. AQE only materializes codegen in the executed
+    plan, so run the query first and inspect that."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    for name in ["a1_pricing_summary", "j13_range_join", "w1_lag_gaps"]:
+        df = CATALOG[name].builder(spark, sf_dir)
+        df.collect()  # count() would execute a derived plan, not this one
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        # codegen spans print as "*(n) Operator" in the simple plan string
+        assert re.search(r"\*\(\d+\) ", executed), f"{name}:\n{executed}"
