@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "embed_knn_brute",
     "embed_lsh_buckets",
+    "embed_ivf_knn",
     "multimodal_decode",
     "stream_tumbling_counts",
     "a20_gamma_moments_fit",

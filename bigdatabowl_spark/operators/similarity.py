@@ -158,6 +158,78 @@ def lsh_bucket_histogram(emb: DataFrame, spark, planes: int = 8, **kw) -> DataFr
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_ids_max: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer → inverted lists → nprobe search.
+
+    The vectors with id < n_centroids stand in for trained k-means
+    centroids (a deterministic, oracle-expressible choice; swap in real
+    trained centroids in production — the plan shape is identical). Every
+    corpus vector joins its argmax-cosine centroid's inverted list
+    (tie-break: smallest centroid id); a query scores only the lists of
+    its nprobe nearest centroids — n/K·nprobe candidates on average
+    instead of n.
+
+    Scale posture: the centroid table is O(K) and broadcast, assignment is
+    one map-side pass over the corpus, and candidate generation is an
+    equi-join on the centroid id. Cosines reuse the sequential-fold dot()
+    so ranking is bit-deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm"))
+    cents = e.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), F.col("nrm").alias("cnrm")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("nrm"),
+        F.col("cid"),
+        (dot(F.col(vec_col), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col("nrm").alias("nnrm"),
+        "cid",
+    )
+    probe = ranked.filter(
+        (F.col(id_col) < query_ids_max) & (F.col("crn") <= nprobe)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        "cid",
+    )
+    cand = probe.join(assign, "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnrm") * F.col("nnrm"))).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 8).alias("cosine"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
 def cosine_near_dups(
     emb: DataFrame,
     threshold: float = 0.3,

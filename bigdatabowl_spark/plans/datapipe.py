@@ -324,12 +324,59 @@ def embed_knn_brute(spark: SparkSession, sf_dir: str):
 def embed_lsh_buckets(spark: SparkSession, sf_dir: str):
     """Random-hyperplane LSH bucket histogram (integer-quantized, exact).
 
-    The scale path for ANN: bucket assignment is a posexplode ⋈ broadcast
-    weights ⋈ groupBy — linear in corpus size, deterministic under any
-    partitioning because all arithmetic is integer.
+    The scale path for ANN: bucket assignment is a shuffle-free per-row
+    fold against literal integer hyperplanes — linear in corpus size,
+    deterministic under any partitioning because all arithmetic is integer.
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_histogram(emb, spark, planes=8)
+
+
+@register(
+    "embed_ivf_knn",
+    "SIM2,O3,J12,A14,W4",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_DOT.format(a='e.v', b='c.cv')} /
+               (sqrt({_DOT.format(a='e.v', b='e.v')}) * sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cos
+        FROM e, c
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS crn
+        FROM scored
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE crn = 1),
+    probe AS (SELECT vec_id AS query_id, cid FROM ranked
+              WHERE vec_id < 20 AND crn <= 2),
+    pairs AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_DOT.format(a='q.v', b='n.v')} /
+               (sqrt({_DOT.format(a='q.v', b='q.v')}) * sqrt({_DOT.format(a='n.v', b='n.v')})) AS cosine
+        FROM probe p
+        JOIN assign a USING (cid)
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e n ON n.vec_id = a.neighbor_id
+        WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 8) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def embed_ivf_knn(spark: SparkSession, sf_dir: str):
+    """IVF-style ANN: deterministic coarse quantizer (vectors id < 16 as
+    stand-in centroids), argmax-cosine inverted lists, nprobe=2 probing,
+    exact top-5 within the probed lists. Complements embed_lsh_buckets as
+    the second scale path (SIM2): candidate count is n/K·nprobe per query
+    instead of n, with the centroid table broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5, n_centroids=16, nprobe=2, query_ids_max=20)
 
 
 # --------------------------------------------------------------------------

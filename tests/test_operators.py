@@ -98,3 +98,26 @@ def test_lsh_near_dups_subset_of_exact(spark, sf_dir):
     exact_drops = {d for d, _ in exact}
     for r in bucketed:
         assert r.drop_id in exact_drops
+
+
+def test_ivf_topk_subset_of_brute_force(spark, sf_dir):
+    """IVF results must be a subset of the brute-force pair space with
+    identical cosines (ANN trades recall, never correctness of returned
+    scores), and per-query ranks must be contiguous from 1."""
+    from bigdatabowl_spark.operators.similarity import cosine_topk, ivf_topk
+    from bigdatabowl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, query_ids_max=20, k=10**6).collect()
+    }
+    ivf = ivf_topk(emb, k=5, n_centroids=16, nprobe=2, query_ids_max=20).collect()
+    assert ivf, "IVF returned nothing at sf0.001"
+    by_query: dict = {}
+    for r in ivf:
+        key = (r.query_id, r.neighbor_id)
+        assert key in brute and brute[key] == r.cosine, key
+        by_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
