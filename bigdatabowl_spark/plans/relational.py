@@ -380,6 +380,41 @@ def u4_semi_anti(spark: SparkSession, sf_dir: str):
     )
 
 
+@register(
+    "u5_except_intersect",
+    "U4,U2,A7",
+    """
+    WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+         b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+         ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT (SELECT COUNT(*) FROM ex) AS n_except_rows,
+           (SELECT COUNT(DISTINCT k) FROM ex) AS n_except_keys,
+           (SELECT COUNT(*) FROM ia) AS n_intersect_rows
+    """,
+)
+def u5_except_intersect(spark: SparkSession, sf_dir: str):
+    """Bag difference / intersection (EXCEPT ALL / INTERSECT ALL) — the set
+    operators SURVEY §2.7 notes the reference never needs but the engine
+    exposes for completeness. Multiplicity-preserving: a lineitem orderkey
+    appearing 4 times minus one matching order row leaves 3 copies.
+
+    Scale: both operators hash-partition on the full row — same shuffle
+    class as a groupBy on the key."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    ex = li.exceptAll(od).agg(
+        F.count("*").alias("n_except_rows"),
+        F.countDistinct("k").alias("n_except_keys"),
+    )
+    ia = li.intersectAll(od).agg(F.count("*").alias("n_intersect_rows"))
+    return ex.crossJoin(ia)
+
+
 # --------------------------------------------------------------------------
 # Windows
 # --------------------------------------------------------------------------
