@@ -381,6 +381,36 @@ def u4_semi_anti(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "a7b_approx_sketches",
+    "A7,A10,M8",
+    None,  # sketches are engine-specific — no cross-engine hash oracle;
+    # accuracy is pinned by tests/test_operators.py::test_approx_sketches
+    # against the exact aggregates (≤5% relative error)
+)
+def a7b_approx_sketches(spark: SparkSession, sf_dir: str):
+    """Sketch aggregates — the 100 TB path for distinct counts and
+    quantiles (SURVEY A7/A10/M8 name approx_count_distinct and
+    percentile_approx as the Spark primitives; the exact twins
+    a7_distinct_counts / a10_quantiles are the oracle-checkable versions).
+    HLL++ and KLL-style sketches keep state O(1) per group and merge
+    associatively, so the partial/final split holds at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.col("price_q")[0].alias("price_p50"),
+            F.col("price_q")[1].alias("price_p95"),
+        )
+    )
+
+
+@register(
     "u5_except_intersect",
     "U4,U2,A7",
     """

@@ -121,3 +121,34 @@ def test_ivf_topk_subset_of_brute_force(spark, sf_dir):
         by_query.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_query.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    """approx_count_distinct / percentile_approx (the 100 TB sketch path)
+    must land within 5% of the exact aggregates."""
+    import pyspark.sql.functions as F
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG, t
+
+    approx = {
+        r.l_returnflag: r
+        for r in CATALOG["a7b_approx_sketches"].builder(spark, sf_dir).collect()
+    }
+    li = t(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_orders - e.n_orders) <= 0.05 * e.n_orders, flag
+        assert abs(a.price_p50 - e.p50) <= 0.05 * e.p50, flag
+        assert abs(a.price_p95 - e.p95) <= 0.05 * e.p95, flag
