@@ -32,6 +32,7 @@ def test_queries_and_oracles_aligned(spark):
     # kernel entries (driver records a rows-only check for those)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
+        "a7b_approx_sketches",  # engine-specific sketches, tolerance-tested
         "eppa_field_surface",
         "eppa_pass_summary",
         "eppa_player_stats",
