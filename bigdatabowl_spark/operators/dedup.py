@@ -100,6 +100,14 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
     inter/union counts are integers → the similarity double is exact.
+
+    Scale posture: this is the EXACT baseline — the shingle self-join
+    materializes every co-occurring doc pair, which is inherently
+    quadratic in per-shingle document frequency. At corpus scale use
+    lsh_candidate_pairs (MinHash banding) for candidate generation and
+    verify candidates with this metric; prefix filtering would not help
+    at the low thresholds used for near-dup (prefix length (1−t)·|d|+1
+    barely filters below t≈0.7).
     """
     # Pair rows stay narrow (two longs) through the 1M+-row intersection
     # aggregate; union sizes join onto the (much smaller) aggregated pair
