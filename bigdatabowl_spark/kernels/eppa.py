@@ -361,11 +361,10 @@ def frame_surfaces(
             np.clip(no_event, 0.0, 1.0, out=no_event)
             cum = _ws("fs.cum", (Fc, S, B))
             np.cumprod(no_event, axis=1, out=cum)
-            surv = _ws("fs.surv", (Fc, S, B))
-            surv[:, 0, :] = 1.0
-            surv[:, 1:, :] = cum[:, :-1, :]
-            catch_off *= surv
-            catch_def *= surv
+            # shift-by-1 survival applied as a slice product (step 0 keeps
+            # survival 1) — no materialized surv buffer
+            catch_off[:, 1:, :] *= cum[:, :-1, :]
+            catch_def[:, 1:, :] *= cum[:, :-1, :]
             catch_off.sum(axis=1, out=ppc_off[lo:hi, b0:b1])  # (:385)
             catch_def.sum(axis=1, out=ppc_def[lo:hi, b0:b1])
 
