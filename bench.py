@@ -91,9 +91,12 @@ def bench_eppa_kernel(spark) -> tuple[float, float]:
 
     eppa_field_surface(_synthetic_play(spark, 1, N_EPPA_PLAYS)).count()
     play = _synthetic_play(spark, N_EPPA_FRAMES, N_EPPA_PLAYS)
-    t0 = time.perf_counter()
-    n = eppa_field_surface(play).count()
-    sec = time.perf_counter() - t0
+    sec = None
+    for _ in range(2):  # min-of-2, same policy as the catalog queries
+        t0 = time.perf_counter()
+        n = eppa_field_surface(play).count()
+        dt = time.perf_counter() - t0
+        sec = dt if sec is None else min(sec, dt)
     frames = n / 6600
     return round(sec, 3), round(frames / sec, 3)
 

@@ -266,6 +266,42 @@ def dup_clusters(
     )
 
 
+def apply_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Emit the deduplicated corpus: drop exact-text twins (keep lowest id
+    per normalized-text hash) and non-canonical members of LSH near-dup
+    clusters, via left-anti joins against the two drop lists.
+
+    Exact dedup is kept alongside the LSH pass because documents with fewer
+    than `n` tokens have no shingles and are invisible to MinHash — the
+    hash-groupBy still catches their identical twins. At scale both drop
+    lists are tiny relative to the corpus, and the anti-join shuffles only
+    on the id key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    drop_exact = (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .withColumn("keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("keep"))
+        .select(id_col)
+    )
+    drop_lsh = (
+        connected_components(lsh_candidate_pairs(df, text_col, id_col, n, num_hashes, band_size))
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias(id_col))
+    )
+    drops = drop_exact.union(drop_lsh).distinct()
+    return df.select(id_col).join(drops, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

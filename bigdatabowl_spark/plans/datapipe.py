@@ -302,6 +302,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str):
     return dedup.dup_clusters(docs, num_hashes=8, band_size=2)
 
 
+@register(
+    "dedup_apply",
+    "DD7,DD1,DD6,U4,P12",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    {_minhash_sig_sql(8)},
+    banded AS (
+        {_BANDED}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp AS comp FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+    drop_lsh AS (SELECT node AS doc_id FROM labels WHERE node <> comp),
+    drop_exact AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                       ' +', ' ', 'g')))) AS keep
+            FROM documents
+        ) WHERE doc_id <> keep
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_lsh
+                           UNION SELECT doc_id FROM drop_exact)
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str):
+    """The dedup pipeline's output stage: the kept corpus after dropping
+    exact-text twins and non-canonical LSH near-dup cluster members.
+
+    Composes exact hash-groupBy dedup (catches sub-shingle-length docs)
+    with connected-component cluster resolution — the decision a 100 TB
+    training-data pipeline actually ships.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.apply_dedup(docs, num_hashes=8, band_size=2)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

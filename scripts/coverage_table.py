@@ -65,6 +65,7 @@ def main() -> None:
         "DD4": "SimHash",
         "DD5": "embedding-cosine near-dup",
         "DD6": "duplicate-cluster resolution (connected components)",
+        "DD7": "dedup apply (emit the kept corpus)",
         "SIM1": "brute-force cosine top-k",
         "SIM2": "LSH-bucketed ANN (scale path)",
         "MM1": "multimodal binary decode/resize/sample/features",

@@ -185,3 +185,20 @@ def test_dup_clusters_end_to_end(spark, sf_dir):
         assert all(m.cluster_size == len(members) for m in members)
         canon = [m for m in members if m.is_canonical]
         assert len(canon) == 1 and canon[0].doc_id == cid
+
+
+def test_apply_dedup_partition(spark, sf_dir):
+    """Kept ∪ dropped = corpus; every canonical cluster member is kept;
+    every non-canonical member is dropped."""
+    from bigdatabowl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept = {r.doc_id for r in dedup.apply_dedup(docs).collect()}
+    assert kept <= all_ids and kept
+    clusters = dedup.dup_clusters(docs).collect()
+    for r in clusters:
+        if r.is_canonical:
+            assert r.doc_id in kept, r
+        else:
+            assert r.doc_id not in kept, r
