@@ -202,3 +202,46 @@ def test_apply_dedup_partition(spark, sf_dir):
             assert r.doc_id in kept, r
         else:
             assert r.doc_id not in kept, r
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: hash-min label propagation agrees with a sequential
+    union-find on random graphs (hypothesis-generated edge lists)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "doc1 long, doc2 long"
+        )
+        got = {r.node: r.comp for r in dedup.connected_components(df).collect()}
+        want = _union_find_components(edges)
+        # union-find roots are already the min id per component (min wins on
+        # every union), so the labelings must be identical
+        assert got == want
+
+    check()
