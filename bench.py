@@ -20,6 +20,7 @@ N_EPPA_PLAYS = 32  # one play per core → full single-node task parallelism
 
 BENCH_QUERIES = [
     "a1_pricing_summary",
+    "etl_normalize_tracking",  # vs BASELINE.md ingest 40.1 s / kinematics 61 s
     "a12_two_level_agg",
     "j1_broadcast_enrich",
     "j13_range_join",
@@ -40,6 +41,7 @@ BENCH_QUERIES = [
     "embed_ivf_knn",
     "multimodal_decode",
     "stream_tumbling_counts",
+    "stream_stateful_totals",
     "a20_gamma_moments_fit",
     "a21_adaptive_window_fit",
     "m1_tree_ensemble_score",

@@ -40,6 +40,45 @@ def runtime_conf(cpus: int | None = None) -> dict[str, str]:
     }
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `bigdatabowl_spark` importable on every Python worker.
+
+    Kernel queries ship module-level functions (applyInPandas /
+    applyInPandasWithState) that cloudpickle serializes BY REFERENCE —
+    workers must be able to `import bigdatabowl_spark`, which only happens
+    to work when the driver's cwd is the repo root. The driver's own
+    SparkSession (bare conf, arbitrary cwd) breaks that assumption, so zip
+    the package and addPyFile it: tasks fetch the zip and prepend it to
+    worker sys.path, which is also exactly the mechanism that works on a
+    real multi-executor cluster."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"bigdatabowl_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. identical file re-added on a shared context
+    _SHIPPED_CONTEXTS.add(key)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an existing session (idempotent)."""
     for k, v in runtime_conf().items():
@@ -47,6 +86,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep whatever it has
+    _ship_package(spark)
     return spark
 
 

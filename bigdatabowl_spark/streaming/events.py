@@ -180,25 +180,28 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- stateful
 
 STATEFUL_SCHEMA = "user_id long, n_events long, total_value double"
-_STATE_SCHEMA = "n long, total double"
+_STATE_SCHEMA = "n long, cents long"
 
 
 def _running_totals(key, pdfs, state):
     """Custom stateful operator: running per-user (count, value-total).
 
-    State is a (n, total) tuple carried across micro-batches — the
+    State is a (n, cents) tuple carried across micro-batches — the
     applyInPandasWithState form of a continuously-maintained aggregate
     (the streaming analogue of the reference's per-play accumulating
-    loops, play_eppa_cpu.py:654-657)."""
+    loops, play_eppa_cpu.py:654-657). The 2-decimal `value` accumulates
+    as integer cents so the total is exact regardless of row order or
+    micro-batch boundaries (the same decimal-exactness rule the batch
+    catalog uses, plans/catalog.py)."""
     import pandas as pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 
@@ -227,4 +230,50 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_STATEFUL_RUNS = iter(range(1_000_000))
+
+
+@register(
+    "stream_stateful_totals",
+    "ST4,A1",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the applyInPandasWithState running-totals stream to completion
+    (availableNow trigger → memory sink) and return the final per-user
+    totals — oracle-checked against the equivalent batch aggregate.
+
+    Update mode can emit one row per key per micro-batch; totals are
+    monotone in n_events, so the final state is the max-n_events row per
+    key. Integer-cent accumulation inside the operator makes total_value
+    bit-equal to the oracle's decimal sum whatever the micro-batch
+    partitioning (see _running_totals).
+    """
+    from pyspark.sql import Window
+
+    name = f"stateful_totals_{next(_STATEFUL_RUNS)}"
+    q = (
+        stateful_user_totals(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
     )

@@ -75,6 +75,7 @@ def main() -> None:
         "ST1": "tumbling windows (batch + stream twin)",
         "ST2": "sliding windows",
         "ST3": "session windows (gap-based)",
+        "ST4": "custom stateful operator (applyInPandasWithState)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -41,3 +41,35 @@ def test_queries_and_oracles_aligned(spark):
         "analytics_player_rankings",
         "analytics_throw_calibration",
     }, f"unexpected oracle-less queries: {rows_only}"
+
+
+def test_kernel_queries_from_foreign_cwd():
+    """Python workers must import bigdatabowl_spark via the shipped package
+    zip (session._ship_package), not via the driver's cwd — the driver's
+    correctness harness runs a bare SparkSession from its own directory.
+    Regression: applyInPandas kernels raised ModuleNotFoundError on workers
+    when the driver cwd was not the repo root."""
+    import subprocess
+    import sys
+
+    code = """
+import importlib.util
+spec = importlib.util.spec_from_file_location('__spark_entry__', '/root/repo/__spark_entry__.py')
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[2]')
+         .config('spark.ui.enabled','false').getOrCreate())
+n = mod.queries()['m7_grouped_matrix'](spark, '/root/testdata/sf0.001').count()
+assert n > 0, n
+print('FOREIGN_CWD_OK', n)
+"""
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k not in ("PYTHONPATH",)
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stdout + out.stderr
