@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "a12_two_level_agg",
     "j1_broadcast_enrich",
     "j13_range_join",
+    "j15_asof_join",
     "w1_lag_gaps",
     "w3_rolling_mean",
     "w4_topk_per_group",

@@ -946,3 +946,55 @@ def a25_cumulative(spark: SparkSession, sf_dir: str):
             F.round(F.exp(F.sum(p_term).over(w)), 8).alias("survival"),
         )
     )
+
+
+@register(
+    "j15_asof_join",
+    "J15,J13,W1,P3",
+    """
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS c_ts_us, value AS c_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.ts_us, p.event_id, p.purchase_value,
+           c.c_ts_us AS click_ts_us_asof, c.c_value AS click_value_asof
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts_us >= c.c_ts_us
+    """,
+)
+def j15_asof_join(spark: SparkSession, sf_dir: str):
+    """As-of join: each purchase enriched with the user's most recent
+    prior-or-simultaneous click (timestamp + value; nulls if none).
+
+    Spark side is the union+ordered-window formulation (one shuffle on the
+    key, no range-join blowup — operators/asof.py); the oracle is DuckDB's
+    native ASOF LEFT JOIN, pinning the standard semantics bit-for-bit.
+    Reference analogue: nearest-preceding-event enrichment (SURVEY §2.3
+    J13, movement_stats.ipynb · cells 25-26).
+    """
+    from bigdatabowl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("c_ts_us"),
+        F.col("value").alias("c_value"),
+    )
+    out = asof_join(
+        purchases, clicks,
+        key="user_id", left_ts="ts_us", right_ts="c_ts_us",
+        payload_cols=["c_ts_us", "c_value"],
+    )
+    return out.select(
+        "user_id", "ts_us", "event_id", "purchase_value",
+        F.col("c_ts_us_asof").alias("click_ts_us_asof"),
+        F.col("c_value_asof").alias("click_value_asof"),
+    )

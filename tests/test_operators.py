@@ -245,3 +245,28 @@ def test_connected_components_matches_union_find(spark):
         assert got == want
 
     check()
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right row with ts <= left ts per key; equal-ts right
+    row matches; no right row → nulls; right rows never duplicate lefts."""
+    from bigdatabowl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3"), (3, 5, "p4")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 40, 4.0), (1, 100, 10.0), (1, 120, 12.0), (2, 10, 2.0)],
+        "k long, rts long, v double",
+    )
+    out = {
+        (r.k, r.ts): (r.rts_asof, r.v_asof)
+        for r in asof_join(left, right, "k", "ts", "rts", ["rts", "v"]).collect()
+    }
+    assert out == {
+        (1, 100): (100, 10.0),  # equal-ts match wins over the earlier 40
+        (1, 50): (40, 4.0),
+        (2, 10): (10, 2.0),     # equal-ts match
+        (3, 5): (None, None),   # no right rows for key 3
+    }

@@ -132,3 +132,13 @@ def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
         executed = df._jdf.queryExecution().executedPlan().toString()
         # codegen spans print as "*(n) Operator" in the simple plan string
         assert re.search(r"\*\(\d+\) ", executed), f"{name}:\n{executed}"
+
+
+def test_asof_join_single_exchange_no_join(spark, sf_dir):
+    """The as-of join's point is avoiding a range-join blowup: its plan
+    must contain NO join operator and exactly one exchange (the window's
+    hash partition on the key). Both sides read the same events scan."""
+    plan = _catalog_plan(spark, sf_dir, "j15_asof_join")
+    assert not re.search(r"Join", plan), plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
