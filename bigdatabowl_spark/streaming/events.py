@@ -261,15 +261,26 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     name = f"stateful_totals_{next(_STATEFUL_RUNS)}"
-    q = (
-        stateful_user_totals(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State partition count is frozen at first query start (SCALE.md §6) —
+    # size it deliberately here: ~1 state partition per 4 cores keeps
+    # state-store file traffic proportional to the cluster, not to the
+    # batch-side shuffle width (64 partitions over 1.5k keys measured 2-3×
+    # slower than 8 at sf0.1, pure state-store commit overhead).
+    sdf = stateful_user_totals(spark, sf_dir)  # calls configure() — resets conf
+    n_state = max(8, spark.sparkContext.defaultParallelism // 4)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
