@@ -218,8 +218,12 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).localCheckpoint()
-    labels = sym.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
+    # fused round 0: label(n) = min(n, min neighbor) in ONE aggregation —
+    # replaces the identity init (distinct) plus a full propagation round
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(F.col("a").alias("node"), F.least("a", "_nb").alias("comp"))
     )
     for _ in range(max_iter):
         nbr_min = (
