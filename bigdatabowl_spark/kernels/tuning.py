@@ -44,16 +44,24 @@ def pass_dataset(norm: DataFrame) -> DataFrame:
     completion sigmoid consumes: pass distance and nearest-defender
     distance at arrival.
     """
+    from pyspark.sql import Window
+
+    # earliest qualifying frame per play — dropDuplicates without an order
+    # would pick an arbitrary row when a play has both pass_arrived and an
+    # outcome event (nondeterministic across runs/partitionings)
+    w_first = Window.partitionBy("gameId", "playId").orderBy("frameId")
     ball = norm.filter(F.col("nflId") == 0)
     start = (
         ball.filter(F.col("event") == "pass_forward")
+        .withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
         .select("gameId", "playId", F.col("x").alias("sx"), F.col("y").alias("sy"))
-        .dropDuplicates(["gameId", "playId"])
     )
     end = (
         ball.filter(F.col("event").isin("pass_arrived", "pass_outcome_caught", "pass_outcome_incomplete"))
+        .withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
         .select("gameId", "playId", "frameId", F.col("x").alias("ex"), F.col("y").alias("ey"))
-        .dropDuplicates(["gameId", "playId"])
     )
     passes = (
         start.join(end, ["gameId", "playId"])
@@ -65,14 +73,15 @@ def pass_dataset(norm: DataFrame) -> DataFrame:
         "gameId", "playId", "frameId", "x", "y"
     )
     with_def = passes.join(defenders, ["gameId", "playId", "frameId"], "left")
-    d_def = F.sqrt((F.col("x") - F.col("ex")) ** 2 + (F.col("y") - F.col("ey")) ** 2)
+    # x*x, not pow(x, 2): POWER may differ from multiplication in the last
+    # ulp between engines; products keep the oracle twin bit-exact
+    dx, dy = F.col("x") - F.col("ex"), F.col("y") - F.col("ey")
+    d_def = F.sqrt(dx * dx + dy * dy)
+    px, py = F.col("ex") - F.col("sx"), F.col("ey") - F.col("sy")
     feats = (
         with_def.groupBy("gameId", "playId", "sx", "sy", "ex", "ey")
         .agg(F.min(d_def).alias("nearest_def_dist"))
-        .withColumn(
-            "pass_dist",
-            F.sqrt((F.col("ex") - F.col("sx")) ** 2 + (F.col("ey") - F.col("sy")) ** 2),
-        )
+        .withColumn("pass_dist", F.sqrt(px * px + py * py))
     )
     # outcome label: play contains a caught event (A15-style flag)
     outcome = norm.groupBy("gameId", "playId").agg(

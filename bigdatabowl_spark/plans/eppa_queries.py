@@ -135,13 +135,85 @@ def q_eppa_player_stats(spark: SparkSession, sf_dir: str):
     return eppa_player_stats(tracking_from_events(spark, sf_dir))
 
 
-@register("m5_tuning_dataset", "M5,J7,J8,P2", None)
+@register(
+    "m5_tuning_dataset",
+    "M5,J7,J8,P2",
+    """
+    WITH plays AS (SELECT unnest(range(1, 3)) AS playId),
+    frames AS (SELECT unnest(range(1, 21)) AS frameId),
+    ball AS (
+        SELECT p.playId, f.frameId,
+               CASE WHEN f.frameId = 1 THEN 'ball_snap'
+                    WHEN f.frameId = 16 THEN 'pass_forward'
+                    WHEN f.frameId = 19 THEN 'pass_arrived'
+                    WHEN f.frameId = 20 THEN
+                         CASE WHEN p.playId % 2 = 1 THEN 'pass_outcome_caught'
+                              ELSE 'pass_outcome_incomplete' END
+               END AS event,
+               28.0 + CAST(p.playId AS DOUBLE) + 0.4 * f.frameId AS x,
+               26.5 AS y
+        FROM plays p CROSS JOIN frames f
+    ),
+    slots AS (
+        SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS slot
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    defenders AS (
+        SELECT p.playId, f.frameId,
+               12.0 + 4.0 * CAST(floor(s.slot / 2) AS DOUBLE)
+                    + 0.3 * f.frameId
+                    + 0.5 * (CAST(s.user_id % 7 AS DOUBLE) * 0.37)
+                    + 3.0 + CAST(p.playId AS DOUBLE) AS x,
+               3.0 + 4.8 * CAST(floor(s.slot / 2) AS DOUBLE) + 1.2 AS y
+        FROM slots s CROSS JOIN plays p CROSS JOIN frames f
+        WHERE s.slot < 20 AND s.slot % 2 = 1
+    ),
+    start AS (SELECT playId, x AS sx, y AS sy FROM ball WHERE event = 'pass_forward'),
+    endr AS (
+        SELECT playId, frameId, x AS ex, y AS ey
+        FROM (SELECT playId, frameId, x, y,
+                     row_number() OVER (PARTITION BY playId ORDER BY frameId) AS rn
+              FROM ball
+              WHERE event IN ('pass_arrived','pass_outcome_caught','pass_outcome_incomplete'))
+        WHERE rn = 1
+    ),
+    passes AS (
+        SELECT s.playId, s.sx, s.sy, e.frameId, e.ex, e.ey
+        FROM start s JOIN endr e ON s.playId = e.playId
+        WHERE e.ex BETWEEN 0 AND 120 AND e.ey BETWEEN 0 AND 160.0/3
+    ),
+    feats AS (
+        SELECT pa.playId, pa.sx, pa.sy, pa.ex, pa.ey,
+               MIN(sqrt((d.x - pa.ex) * (d.x - pa.ex)
+                        + (d.y - pa.ey) * (d.y - pa.ey))) AS nearest_def_dist
+        FROM passes pa LEFT JOIN defenders d
+          ON d.playId = pa.playId AND d.frameId = pa.frameId
+        GROUP BY pa.playId, pa.sx, pa.sy, pa.ex, pa.ey
+    ),
+    outcome AS (
+        SELECT playId,
+               MAX(CASE WHEN event = 'pass_outcome_caught' THEN 1 ELSE 0 END) AS completed
+        FROM ball GROUP BY playId
+    )
+    SELECT CAST(1 AS BIGINT) AS gameId, CAST(f.playId AS BIGINT) AS playId,
+           sqrt((f.ex - f.sx) * (f.ex - f.sx)
+                + (f.ey - f.sy) * (f.ey - f.sy)) AS pass_dist,
+           f.nearest_def_dist,
+           o.completed
+    FROM feats f JOIN outcome o ON f.playId = o.playId
+    """,
+)
 def q_m5_tuning_dataset(spark: SparkSession, sf_dir: str):
     """Parameter-tuning dataset (PlaysDataset ETL,
     completion_probability_torch.py:22-216): ball-start/ball-end self-join
     per pass (J7), off-field passes dropped (J8), completion label — one
     row per true pass. The fit itself (kernels/tuning.py) is driver-side
-    model training, not query execution (SURVEY §7 Phase 5)."""
+    model training, not query execution (SURVEY §7 Phase 5).
+
+    Oracle-checked (not rows-only): the synthetic tracking derivation and
+    every feature are pure arithmetic, so the twin recomputes the whole
+    chain in SQL — products instead of POWER and matching evaluation
+    order keep the doubles bit-identical across engines."""
     from bigdatabowl_spark.kernels.tuning import pass_dataset
 
     return pass_dataset(tracking_from_events(spark, sf_dir))
