@@ -164,7 +164,9 @@ def player_intercept_field(
     np.multiply(pv[None, :, 1], dy, out=tmp)
     int_s0 += tmp
     int_s0 /= d_mag
-    np.clip(int_s0, -params.s_max, params.s_max, out=int_s0)
+    # min+max beats np.clip ~25% (generic-bounds overhead); identical bits
+    np.minimum(int_s0, params.s_max, out=int_s0)
+    np.maximum(int_s0, -params.s_max, out=int_s0)
 
     # 4. piecewise time-to-reach (F16 np.select kinematics, :279-297)
     t_acc = alloc("pif.t_acc", (F, J))
@@ -258,7 +260,8 @@ def frame_surfaces(
         for lo in range(0, F, chunk):
             hi = min(lo + chunk, F)
             lc = _ws("fs.log_chunk", (hi - lo, T, J))
-            np.clip(p_int[lo:hi], 0.0, 1.0 - 1e-12, out=lc)
+            np.minimum(p_int[lo:hi], 1.0 - 1e-12, out=lc)
+            np.maximum(lc, 0.0, out=lc)
             np.negative(lc, out=lc)
             np.log1p(lc, out=lc)
             np.matmul(lc.reshape((hi - lo) * T, J), team_mask, out=team_sums[lo * T : hi * T])
@@ -291,7 +294,7 @@ def frame_surfaces(
     mask = (L > 1.0) & (L <= 60.0)
     t_idx = min(max(frames_after_snap, 1), len(priors.p_t)) - 1
     h = _ws("fs.h", (F, T))
-    np.take(priors.T_given_L, Lbin, axis=0, out=h)
+    np.take(priors.T_given_L, Lbin, axis=0, out=h, mode="clip")
     h *= priors.p_t[t_idx]
     h *= mask[:, None]
     h_sum = h.sum()
@@ -334,13 +337,15 @@ def frame_surfaces(
             work += bx - 0.5
             np.rint(work, out=work)
             np.copyto(cx, work, casting="unsafe")  # ≡ astype(int32)
-            np.clip(cx, 0, FIELD_X - 1, out=cx)
+            np.minimum(cx, FIELD_X - 1, out=cx)
+            np.maximum(cx, 0, out=cx)
             cy = _ws("fs.cy", (Fc, S, B), np.int32)
             np.multiply(fr, dy, out=work)
             work += by - 0.5
             np.rint(work, out=work)
             np.copyto(cy, work, casting="unsafe")
-            np.clip(cy, 0, FIELD_Y - 1, out=cy)
+            np.minimum(cy, FIELD_Y - 1, out=cy)
+            np.maximum(cy, 0, out=cy)
             flat = _ws("fs.flat", (Fc, S, B), np.int32)
             np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
             flat += cx
@@ -349,16 +354,20 @@ def frame_surfaces(
             # memoized gather: partitioned team p at (path cell, step time)
             # (:337,355)
             catch_off = _ws("fs.catch_off", (Fc, S, B))
-            np.take(p_off_flat, flat, out=catch_off)
+            # mode='clip' skips the bounds-check transfer buffer numpy
+            # inserts for out= with mode='raise' (~3x on this gather);
+            # flat is in-range by construction (cx/cy clipped above)
+            np.take(p_off_flat, flat, out=catch_off, mode="clip")
             catch_off *= z
             catch_def = _ws("fs.catch_def", (Fc, S, B))
-            np.take(p_def_flat, flat, out=catch_def)
+            np.take(p_def_flat, flat, out=catch_def, mode="clip")
             catch_def *= z
             # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
             no_event = work  # reuse the float scratch
             np.subtract(1.0, catch_off, out=no_event)
             no_event -= catch_def
-            np.clip(no_event, 0.0, 1.0, out=no_event)
+            np.minimum(no_event, 1.0, out=no_event)
+            np.maximum(no_event, 0.0, out=no_event)
             cum = _ws("fs.cum", (Fc, S, B))
             np.cumprod(no_event, axis=1, out=cum)
             # shift-by-1 survival applied as a slice product (step 0 keeps
