@@ -518,7 +518,7 @@ def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPrior
     priors = priors or EppaPriors.default()
     empty = pd.DataFrame(columns=[f.split()[0] for f in schema.split(", ")])
 
-    def kernel(pdf: pd.DataFrame):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for fid, frame_pdf in pdf.groupby("frameId", sort=True):
             prep = _prep_frame(frame_pdf)
