@@ -998,3 +998,53 @@ def j15_asof_join(spark: SparkSession, sf_dir: str):
         F.col("c_ts_us_asof").alias("click_ts_us_asof"),
         F.col("c_value_asof").alias("click_value_asof"),
     )
+
+
+@register(
+    "j16_full_outer",
+    "J16,A1,P13",
+    """
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           (c.user_id IS NULL) AS buys_without_clicking,
+           (p.user_id IS NULL) AS clicks_without_buying
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def j16_full_outer(spark: SparkSession, sf_dir: str):
+    """Full outer join — completes the engine's join-type matrix (inner,
+    left, semi, anti, cross, range, as-of, rollup are covered elsewhere).
+    Per-user click vs purchase aggregates, keeping users present on only
+    one side (COALESCE null-fill, P13).
+
+    Scale: both sides pre-aggregate before the join, so the full-outer
+    shuffles key-cardinality rows, not raw events."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    joined = c.join(p, F.col("c.user_id") == F.col("p.user_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.col("c.user_id").isNull().alias("buys_without_clicking"),
+        F.col("p.user_id").isNull().alias("clicks_without_buying"),
+    )

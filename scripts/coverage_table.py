@@ -67,6 +67,7 @@ def main() -> None:
         "DD6": "duplicate-cluster resolution (connected components)",
         "DD7": "dedup apply (emit the kept corpus)",
         "J15": "as-of join (union + ordered window; DuckDB ASOF oracle)",
+        "J16": "full outer join (completes the join-type matrix)",
         "SIM1": "brute-force cosine top-k",
         "SIM2": "LSH-bucketed ANN (scale path)",
         "MM1": "multimodal binary decode/resize/sample/features",
