@@ -270,3 +270,41 @@ def test_asof_join_semantics(spark):
         (2, 10): (10, 2.0),     # equal-ts match
         (3, 5): (None, None),   # no right rows for key 3
     }
+
+
+def test_asof_join_matches_brute_force(spark):
+    """Property: union+window as-of equals the brute-force 'max right ts
+    <= left ts per key' lookup on random inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatabowl_spark.operators.asof import asof_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                       min_size=1, max_size=12),
+        rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                        min_size=0, max_size=12, unique=True),
+    )
+    def check(lefts, rights):
+        # unique (key, ts) on the right — ties between right rows at the
+        # same instant are tiebreak-undefined in any asof formulation
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, ts long, lid long"
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, float(k * 1000 + t)) for k, t in rights], "k long, rts long, v double"
+        )
+        got = {
+            r.lid: (r.rts_asof, r.v_asof)
+            for r in asof_join(ldf, rdf, "k", "ts", "rts", ["rts", "v"]).collect()
+        }
+        for i, (k, t) in enumerate(lefts):
+            cand = [(rk, rt) for rk, rt in rights if rk == k and rt <= t]
+            if cand:
+                bt = max(rt for _, rt in cand)
+                assert got[i] == (bt, float(k * 1000 + bt)), (i, k, t)
+            else:
+                assert got[i] == (None, None), (i, k, t)
+
+    check()
