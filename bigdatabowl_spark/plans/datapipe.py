@@ -621,3 +621,36 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str):
     count Σ_b n_b²/2 — linear-ish at 100 TB."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.lsh_cosine_near_dups(emb, spark, threshold=0.3, planes=8)
+
+
+@register(
+    "split_assign",
+    "TS1,P9,A1",
+    """
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def split_assign(spark: SparkSession, sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by hashed doc id —
+    the standard reproducible-split primitive for a training-data
+    pipeline. Hash-bucket assignment is stable under repartitioning,
+    appends, and engine changes (md5 fold, same algorithm both engines);
+    a seed-style salt (':split') decorrelates it from other hash uses of
+    the same key. Zero shuffles: pure per-row projection.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = dedup.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -74,6 +74,7 @@ def main() -> None:
         "TL1": "language id (n-gram heuristic)",
         "TQ1": "text quality scoring",
         "TT1": "token counting + fingerprinting",
+        "TS1": "deterministic train/val/test split (hash buckets)",
         "ST1": "tumbling windows (batch + stream twin)",
         "ST2": "sliding windows",
         "ST3": "session windows (gap-based)",
