@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_clusters",
     "text_tokens_fingerprint",
+    "split_assign",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_docs",

@@ -36,7 +36,6 @@ def test_queries_and_oracles_aligned(spark):
         "eppa_field_surface",
         "eppa_pass_summary",
         "eppa_player_stats",
-        "m5_tuning_dataset",
         "m6_optimize_defense",
         "analytics_player_rankings",
         "analytics_throw_calibration",
