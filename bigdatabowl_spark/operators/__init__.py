@@ -1,1 +1,1 @@
-from bigdatabowl_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
+from bigdatabowl_spark.operators import asof, dedup, similarity, skew, text, multimodal  # noqa: F401
