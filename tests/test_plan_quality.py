@@ -142,3 +142,18 @@ def test_asof_join_single_exchange_no_join(spark, sf_dir):
     assert not re.search(r"Join", plan), plan
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1, plan
+
+
+def test_split_assign_is_map_only(spark, sf_dir):
+    """Hash-bucket split assignment is a pure projection — any Exchange
+    in its plan means someone added an accidental shuffle."""
+    plan = _catalog_plan(spark, sf_dir, "split_assign")
+    assert "Exchange" not in plan, plan
+
+
+def test_full_outer_reuses_aggregate_partitioning(spark, sf_dir):
+    """j16: each side shuffles once for its aggregate and the full-outer
+    join reuses that hash partitioning — exactly 2 exchanges, not 4."""
+    plan = _catalog_plan(spark, sf_dir, "j16_full_outer")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 2, plan
