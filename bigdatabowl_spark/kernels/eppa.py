@@ -256,9 +256,19 @@ def frame_surfaces(
     team_mask[idx_off, 0] = 1.0
     team_mask[idx_def, 1] = 1.0
     team_sums = _ws("fs.team_sums", (F * T, 2))
+    raw_sums = _ws("fs.raw_sums", (F * T, 2))
     with np.errstate(divide="ignore"):
         for lo in range(0, F, chunk):
             hi = min(lo + chunk, F)
+            # the attribution stage (step 12) needs raw per-team p_int sums;
+            # computing them here reuses the cache-resident chunk instead of
+            # re-reading the full 36 MB tensor later (row-chunked dgemm is
+            # bit-identical: each output row sees only its own input row)
+            np.matmul(
+                p_int[lo:hi].reshape((hi - lo) * T, J),
+                team_mask,
+                out=raw_sums[lo * T : hi * T],
+            )
             lc = _ws("fs.log_chunk", (hi - lo, T, J))
             np.minimum(p_int[lo:hi], 1.0 - 1e-12, out=lc)
             np.maximum(lc, 0.0, out=lc)
@@ -407,8 +417,7 @@ def frame_surfaces(
     # 12. per-player attribution: share of team p_int at each (F,T). Both
     # contractions over the (F,T,J) sigmoid tensor are BLAS matmuls that
     # read it once each — no per-team slice copies are materialized.
-    np.matmul(p_int.reshape(F * T, J), team_mask, out=team_sums)
-    p_int_off_sum = team_sums[:, 0]  # (F·T,) strided view
+    p_int_off_sum = raw_sums[:, 0]  # (F·T,) strided view, filled chunk-wise above
     p_int_off_sum += 1e-12
     weight = tmp_ft  # (F,T) scratch: eppa_ft / team p_int sum
     np.divide(eppa_ft.reshape(-1), p_int_off_sum, out=weight.reshape(-1))
