@@ -378,7 +378,7 @@ def s3_multi_scan_union(spark: SparkSession, sf_dir: str):
     )
     SELECT COUNT(*) AS n_rows,
            COUNT(disc_or_null) AS n_discounted,
-           SUM(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
+           CAST(SUM(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
            CAST(SUM(CAST(COALESCE(disc_or_null, -1.0) AS DECIMAL(18,2))) AS DOUBLE) AS filled_sum,
            COUNT(high_tax) AS n_high_tax
     FROM with_nulls

@@ -462,7 +462,7 @@ def u5_except_intersect(spark: SparkSession, sf_dir: str):
     )
     SELECT user_id,
            COUNT(gap_us) AS n_gaps,
-           SUM(gap_us) AS total_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
            MAX(gap_us) AS max_gap_us
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY user_id

@@ -148,7 +148,7 @@ def f12_time_parts(spark: SparkSession, sf_dir: str):
                               WHEN 'O' THEN 'open' ELSE 'partial' END AS status_name,
            COUNT(*) AS n,
            {dsum('o_totalprice')} AS tier_revenue,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
     FROM orders
     GROUP BY 1, 2
     """,

@@ -153,7 +153,7 @@ def _s13_kernel(it):
                CASE WHEN COUNT(*) < 3 THEN 'error' ELSE 'ok' END AS status
         FROM events GROUP BY user_id
     )
-    SELECT status, COUNT(*) AS n_groups, SUM(n) AS n_rows
+    SELECT status, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_rows
     FROM per_user GROUP BY status
     """,
 )

@@ -20,8 +20,6 @@ _BUILD_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # testdata events.parquet stores TIMESTAMP(NANOS); read as int64 nanos
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
@@ -34,7 +32,6 @@ def runtime_conf(cpus: int | None = None) -> dict[str, str]:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return {
         "spark.sql.session.timeZone": "UTC",
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.shuffle.partitions": str(2 * cpus),
     }

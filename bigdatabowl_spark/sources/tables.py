@@ -6,11 +6,13 @@ week globs (completion_probability_torch.py:29-34). Here every scan is a
 parquet read through Catalyst, so column pruning and predicate pushdown reach
 the reader automatically — ``.select``/``.filter`` downstream is enough.
 
-``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as int64
-nanos (``spark.sql.legacy.parquet.nanosAsLong``). We standardize on an
-additional ``ts_ns`` BIGINT column and keep all time arithmetic in epoch
+``events.ts`` is stored as parquet ``timestamp[us]`` (verified with pyarrow at
+sf0.001/0.01/0.1); Spark reads it as TIMESTAMP_NTZ. We standardize on derived
+``ts_us``/``ts_ns`` BIGINT columns and keep all time arithmetic in epoch
 integers — deterministic, timezone-free, and identical in the DuckDB oracle
-(``epoch_ns(ts)``).
+(``epoch_us(ts)``). ``load_table`` dtype-dispatches so the same code also
+accepts an int64-nanos column (e.g. a source that pre-materialized epoch
+nanos) without any session conf dependency.
 """
 
 from __future__ import annotations
@@ -37,18 +39,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-timezone-independent epoch-micros for a TIMESTAMP_NTZ column —
+# equals DuckDB's epoch_us(ts) exactly (naive == UTC by construction).
+_NTZ_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+)
+
+
+def epoch_us_col(df: DataFrame, col: str = "ts"):
+    """Epoch-micros Column for ``col``, dispatching on its arrival dtype.
+
+    timestamp/timestamp_ntz → timestampdiff from the NTZ epoch (timezone
+    free); int64 is treated as pre-epoched nanos and floor-divided.
+    """
+    ts_type = dict(df.dtypes).get(col, "")
+    if ts_type.startswith("timestamp"):
+        return F.expr(_NTZ_EPOCH_US.format(col=col))
+    return F.expr(f"CAST({col} AS BIGINT) div 1000")
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; events gains ``ts_ns`` (BIGINT epoch nanos)."""
+    """Read one testdata table; events gains ``ts_us``/``ts_ns`` BIGINT epochs."""
     if name == "events":
-        configure(spark)  # driver-owned sessions need nanosAsLong at runtime
+        configure(spark)  # ship package zip for driver-owned sessions
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # ts column arrives as LongType nanos under nanosAsLong. DuckDB's
-        # TIMESTAMP is microsecond-precision (nanos truncated on read), so
-        # oracle-matched queries must use ts_us, not ts_ns.
-        df = df.withColumn("ts_ns", F.col("ts").cast("long"))
-        df = df.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        # Dispatch on the arrival dtype: testdata is timestamp[us] (read as
+        # TIMESTAMP_NTZ); an int64 column is treated as pre-epoched nanos.
+        # DuckDB TIMESTAMP is microsecond-precision, so oracle-matched
+        # queries must use ts_us, not ts_ns.
+        df = df.withColumn("ts_us", epoch_us_col(df, "ts"))
+        df = df.withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
     return df
 
 

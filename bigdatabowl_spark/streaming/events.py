@@ -65,8 +65,10 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
     with_ts = stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("CAST(ts AS LONG) div 1000"))
+        "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
     )
     return (
         with_ts.withWatermark("event_time", "30 minutes")
