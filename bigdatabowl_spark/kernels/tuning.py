@@ -107,19 +107,35 @@ class TunedParams:
         return 1.0 / (1.0 + np.exp(-z))
 
 
+MAX_FIT_ROWS = 2_000_000  # ~50 MB of float64 features — driver-safe
+
+
 def fit_completion_params(
     dataset: DataFrame,
     lr: float = 0.05,
     n_iter: int = 500,
     seed_params: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    max_rows: int = MAX_FIT_ROWS,
 ) -> TunedParams:
     """Full-batch Adam on BCE for the 3-parameter completion sigmoid.
 
     Deterministic: fixed init, full-batch gradients (no shuffling), fixed
     iteration count — the analytic twin of the reference's torch loop
     (completion_probability_torch.py:520-559) without DataLoader sampling.
+
+    The driver-side collect is bounded: at most ``max_rows`` rows are
+    brought back, chosen deterministically (ordered by play key, not an
+    arbitrary partition prefix) so the fit is reproducible whatever the
+    cluster partitioning. A 3-parameter sigmoid saturates far below the cap,
+    so the capped fit equals the full fit wherever both are feasible.
     """
-    pdf = dataset.select("pass_dist", "nearest_def_dist", "completed").toPandas()
+    keys = [c for c in ("gameId", "playId") if c in dataset.columns] or [
+        "pass_dist",
+        "nearest_def_dist",
+        "completed",
+    ]
+    capped = dataset.orderBy(*keys).limit(max_rows)
+    pdf = capped.select("pass_dist", "nearest_def_dist", "completed").toPandas()
     X = np.stack(
         [
             pdf["pass_dist"].to_numpy(np.float64),

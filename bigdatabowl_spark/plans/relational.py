@@ -652,11 +652,14 @@ def o2_global_topn(spark: SparkSession, sf_dir: str):
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum("o_totalprice").alias("revenue"))
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-k and only k rows per partition reach the driver —
+    # no global single-partition sort, no matter the customer count. The
+    # row_number window then ranks only the surviving k rows.
+    top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("c_custkey", "c_name", "revenue", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "c_custkey", "c_name", "revenue", "rnk"
     )
 
 

@@ -109,6 +109,14 @@ def test_window_topk_single_exchange(spark, sf_dir):
     assert n_exchange == 1, plan
 
 
+def test_global_topn_is_take_ordered(spark, sf_dir):
+    """O2 global top-10 must compile to TakeOrderedAndProject (per-partition
+    local top-k), not a single-partition global sort — the unpartitioned
+    row_number window funnels every group through one task at scale."""
+    plan = _catalog_plan(spark, sf_dir, "o2_global_topn")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_two_level_agg_partial_aggregation(spark, sf_dir):
     """A12 two-stage aggregation must show map-side partial aggregates
     (HashAggregate appears before its Exchange) — partial/final split is

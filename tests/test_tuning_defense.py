@@ -82,6 +82,27 @@ def test_fit_completion_params(spark):
     assert fit.w_dist == fit2.w_dist and fit.loss == fit2.loss
 
 
+def test_fit_collect_is_bounded(spark):
+    """M5's driver-side collect must be capped: with max_rows=k the fit
+    consumes exactly the first k rows in deterministic key order — verified
+    by fitting an explicitly pre-truncated twin of the same data."""
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "pass_dist": rng.uniform(2.0, 40.0, n),
+            "nearest_def_dist": rng.uniform(0.5, 12.0, n),
+            "completed": (rng.uniform(size=n) > 0.5).astype(int),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    capped = fit_completion_params(df, n_iter=100, max_rows=50)
+    head = pdf.sort_values(["pass_dist", "nearest_def_dist", "completed"]).head(50)
+    truncated = fit_completion_params(spark.createDataFrame(head), n_iter=100)
+    assert capped.w_dist == truncated.w_dist
+    assert capped.loss == truncated.loss
+
+
 def _def_frame() -> pd.DataFrame:
     return pd.DataFrame(
         {
