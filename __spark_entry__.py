@@ -40,7 +40,8 @@ _RUN_FIRST = (
     "a15_event_sets", "a18_histogram_2d", "a25_cumulative", "j15_asof_join",
     "j16_full_outer", "f_kinematics", "p9_conditional_tiers", "a17_autocorr",
     # round-1 rows the driver never reached
-    "etl_normalize_tracking", "eppa_field_surface", "eppa_pass_summary",
+    "etl_normalize_tracking", "s4_prior_artifact_lifecycle",
+    "eppa_field_surface", "eppa_pass_summary",
     "eppa_player_stats", "m5_tuning_dataset", "m6_optimize_defense",
     "m1_tree_ensemble_score", "m7_grouped_matrix", "split_assign",
     "s1_csv_roundtrip", "s3_multi_scan_union", "s10_partitioned_resume",

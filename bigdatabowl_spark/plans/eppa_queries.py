@@ -219,6 +219,39 @@ def q_m5_tuning_dataset(spark: SparkSession, sf_dir: str):
     return pass_dataset(tracking_from_events(spark, sf_dir))
 
 
+@register(
+    "s4_prior_artifact_lifecycle",
+    "S4,S5,S11,S12,A20,A21,M4",
+    None,  # kernel consumer → rows-only; bit-equality certified in-query
+)
+def q_s4_prior_artifact_lifecycle(spark: SparkSession, sf_dir: str):
+    """Full prior-artifact lifecycle (ref play_eppa_cpu.py:72-77): fit the
+    p(t)/P(T|L) priors, persist them as parquet artifacts (S11, overwrite →
+    idempotent resume S12), reload into ndarrays (S5), broadcast into the
+    EPPA kernel closure (S4), and certify the reloaded-prior run is
+    bit-identical to the in-memory-prior run. Output: one row per pass
+    frame with `bitexact` (must be true everywhere) and the reloaded run's
+    headline metric."""
+    from bigdatabowl_spark.sources.artifacts import roundtrip_priors
+
+    norm = tracking_from_events(spark, sf_dir)
+    reloaded = roundtrip_priors(spark)
+    base = eppa_pass_summary(norm).select(
+        "gameId", "playId", "frameId", F.col("eppa1_tot").alias("eppa1_tot_base")
+    )
+    redo = eppa_pass_summary(norm, priors=reloaded).select(
+        "gameId", "playId", "frameId", "eppa1_tot", "max_eppa1"
+    )
+    return redo.join(base, ["gameId", "playId", "frameId"]).select(
+        "gameId",
+        "playId",
+        "frameId",
+        "eppa1_tot",
+        "max_eppa1",
+        (F.col("eppa1_tot") == F.col("eppa1_tot_base")).alias("bitexact"),
+    )
+
+
 @register("m6_optimize_defense", "M6", None)
 def q_m6_optimize_defense(spark: SparkSession, sf_dir: str):
     """Greedy defensive-position optimizer (optimize_def.py:52-139):

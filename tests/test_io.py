@@ -73,3 +73,40 @@ def test_error_channel_split(spark):
     assert ok.count() == 2 and "status" not in ok.columns
     assert errors.count() == 1
     assert "pass_forward" in errors.first().status
+
+
+def test_prior_artifact_roundtrip(spark, tmp):
+    """S4/S5/S11/S12: priors saved to parquet reload bit-identically, and a
+    second save converges to the same artifact (idempotent resume)."""
+    import numpy as np
+
+    from bigdatabowl_spark.sources.artifacts import load_priors, save_priors
+
+    d = f"{tmp}/priors"
+    save_priors(spark, d)
+    p1 = load_priors(spark, d)
+    assert p1.p_t.shape == (54,) and p1.T_given_L.shape == (60, 40)
+    from bigdatabowl_spark.kernels.eppa import EppaPriors
+
+    ref = EppaPriors.default()
+    assert np.array_equal(p1.p_t, ref.p_t)
+    assert np.array_equal(p1.T_given_L, ref.T_given_L)
+    save_priors(spark, d)  # resume: overwrite converges
+    p2 = load_priors(spark, d)
+    assert np.array_equal(p1.p_t, p2.p_t)
+    assert np.array_equal(p1.T_given_L, p2.T_given_L)
+
+
+def test_prior_lifecycle_query_bitexact(spark):
+    """The lifecycle catalog query certifies the reloaded-prior kernel run is
+    bit-identical to the in-memory-prior run on every pass frame."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = (
+        CATALOG["s4_prior_artifact_lifecycle"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) > 0
+    assert all(r["bitexact"] for r in rows)
