@@ -254,22 +254,61 @@ def j10_prior_weighted_rank(spark: SparkSession, sf_dir: str):
 # Model scoring (M1/M2) — tree-ensemble inference as relational CASE logic
 # --------------------------------------------------------------------------
 
-# Deterministic depth-2 tree spec: (feature, threshold, (ll, lr, rl, rr))
-_TREES = [
-    ("o_totalprice", 150000.0, "o_year", 1998, (-1.2, 0.4, 0.7, 1.5)),
-    ("o_totalprice", 80000.0, "o_year", 2000, (-0.8, -0.1, 0.3, 0.9)),
-    ("o_year", 1999, "o_totalprice", 220000.0, (-0.5, 0.2, 0.6, 1.1)),
-]
+# 8-class softprob ensemble at the reference's inference width: a 26-feature
+# vector, 2 depth-2 trees per class (16 trees), softmax over class margins,
+# and the expectation over the class value vector — the exact shape of the
+# reference's EP scoring (26-col frame → xgboost softprob(8) → ·epvals,
+# play_eppa_cpu.py:424,456-459, epvals :136-149). The generated CASE cascade
+# is plain SQL shared VERBATIM between the Spark plan (F.expr → Catalyst →
+# WholeStageCodegen) and the DuckDB oracle, so margins are bit-identical by
+# construction; only exp() can differ in the last ulp, absorbed by round(6).
+
+_EPVALS = (7.0, -7.0, 3.0, -3.0, 2.0, -2.0, 0.0, 1.0)  # 8-class value vector
+_N_CLASSES = len(_EPVALS)
+
+# integer cents → exact modulo features on both engines
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_MOD_PRIMES = (211, 197, 181, 173, 167, 163, 157, 151, 149, 139, 137, 131, 127, 113, 109, 107, 103, 101)
+
+# (expr, threshold) × 26 — the feature vector. All exprs are valid in both
+# Spark SQL and DuckDB.
+_FEATURES: list[tuple[str, float]] = [
+    ("o_totalprice", 150000.0),
+    ("CAST(year(o_orderdate) AS DOUBLE)", 1995.5),
+    ("CAST(month(o_orderdate) AS DOUBLE)", 6.5),
+    ("CAST(quarter(o_orderdate) AS DOUBLE)", 2.5),
+    ("CAST(day(o_orderdate) AS DOUBLE)", 15.5),
+    ("CAST(o_custkey % 5 AS DOUBLE)", 2.5),
+    ("CAST(ascii(o_orderstatus) AS DOUBLE)", 75.0),
+    ("CAST(length(o_orderpriority) AS DOUBLE)", 7.5),
+] + [(f"CAST({_CENTS} % {p} AS DOUBLE)", p / 2.0) for p in _MOD_PRIMES]
+assert len(_FEATURES) == 26
 
 
-def _tree_case_sql(f1: str, t1, f2: str, t2, leaves) -> str:
-    # leaves cast to DOUBLE: DuckDB types bare decimal literals as DECIMAL,
-    # Spark as double — the cast makes both engines sum identical doubles.
-    ll, lr, rl, rr = (f"CAST({x} AS DOUBLE)" for x in leaves)
+def _leaf(c: int, j: int, k: int) -> str:
+    # deterministic leaf weights in [-0.5, 0.5] — margins stay in [-1, 1] so
+    # exp() is well-conditioned for the softmax
+    return f"CAST({((c * 31 + j * 17 + k * 7) % 11 - 5) / 10.0} AS DOUBLE)"
+
+
+def _tree_sql(c: int, j: int) -> str:
+    fa, ta = _FEATURES[(2 * c + j) % 26]
+    fb, tb = _FEATURES[(2 * c + j + 7) % 26]
+    l0, l1, l2, l3 = (_leaf(c, j, k) for k in range(4))
     return (
-        f"CASE WHEN {f1} < {t1} THEN (CASE WHEN {f2} < {t2} THEN {ll} ELSE {lr} END) "
-        f"ELSE (CASE WHEN {f2} < {t2} THEN {rl} ELSE {rr} END) END"
+        f"CASE WHEN {fa} < {ta} THEN (CASE WHEN {fb} < {tb} THEN {l0} ELSE {l1} END) "
+        f"ELSE (CASE WHEN {fb} < {tb} THEN {l2} ELSE {l3} END) END"
     )
+
+
+_MARGINS = [f"({_tree_sql(c, 0)} + {_tree_sql(c, 1)})" for c in range(_N_CLASSES)]
+_M_COLS = ", ".join(f"{m} AS m{c}" for c, m in enumerate(_MARGINS))
+_Z = " + ".join(f"exp(m{c})" for c in range(_N_CLASSES))
+_BEST = "CASE " + " ".join(
+    f"WHEN m{c} = g THEN {c}" for c in range(_N_CLASSES)
+) + " END"
+_XEP_NUM = " + ".join(f"exp(m{c}) * CAST({v} AS DOUBLE)" for c, v in enumerate(_EPVALS))
+_M_LIST = ", ".join(f"m{c}" for c in range(_N_CLASSES))
 
 
 @register(
@@ -277,49 +316,46 @@ def _tree_case_sql(f1: str, t1, f2: str, t2, leaves) -> str:
     "M1,M2,S4,S6,P10,F4",
     f"""
     WITH feats AS (
-        SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year FROM orders
+        SELECT o_orderkey, {_M_COLS} FROM orders
     ),
     scored AS (
-        SELECT o_orderkey,
-               {_tree_case_sql(*_TREES[0])} + {_tree_case_sql(*_TREES[1])}
-                 + {_tree_case_sql(*_TREES[2])} AS margin
+        SELECT o_orderkey, {_M_LIST},
+               greatest({_M_LIST}) AS g, ({_Z}) AS z
         FROM feats
     )
-    SELECT o_orderkey, margin,
-           round(1.0 / (1.0 + exp(-margin)), 6) AS p_class,
-           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS predicted
+    SELECT o_orderkey,
+           {_BEST} AS best_class,
+           round(exp(g) / z, 6) AS p_best,
+           round(({_XEP_NUM}) / z, 6) AS xep
     FROM scored
     """,
 )
 def m1_tree_ensemble_score(spark: SparkSession, sf_dir: str):
-    """Tree-ensemble batch inference as generated relational CASE logic.
+    """8-class tree-ensemble batch inference + value expectation.
 
-    Reference: treelite-compiled XGBoost value models scored on 264k-row
-    frames (play_eppa_cpu.py:456-459, :136-149). In production, real xgboost
-    artifacts would be scored via `predict_batch_udf` (Arrow-batched); this
-    query shows the same semantics pushed fully into WholeStageCodegen — for
-    small ensembles the JVM CASE cascade beats a Python round-trip.
+    Reference: treelite-compiled XGBoost softprob models scored on 264k-row
+    26-feature frames, then dotted with the class value vector
+    (play_eppa_cpu.py:424,456-459; epvals :136-149). In production a real
+    xgboost artifact would score via `predict_batch_udf` (Arrow-batched);
+    here the whole ensemble — 16 depth-2 trees, softmax, expectation — is
+    generated relational logic running inside WholeStageCodegen, the fast
+    path for small ensembles (no Python round-trip, vectorized JVM).
     """
     o = t(spark, sf_dir, "orders")
     feats = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.year("o_orderdate").alias("o_year"),
+        "o_orderkey", *[F.expr(m).alias(f"m{c}") for c, m in enumerate(_MARGINS)]
     )
-
-    def tree_col(f1, t1, f2, t2, leaves):
-        ll, lr, rl, rr = leaves
-        inner_l = F.when(F.col(f2) < t2, ll).otherwise(lr)
-        inner_r = F.when(F.col(f2) < t2, rl).otherwise(rr)
-        return F.when(F.col(f1) < t1, inner_l).otherwise(inner_r)
-
-    margin = tree_col(*_TREES[0]) + tree_col(*_TREES[1]) + tree_col(*_TREES[2])
-    scored = feats.select("o_orderkey", margin.alias("margin"))
+    scored = feats.select(
+        "o_orderkey",
+        *[f"m{c}" for c in range(_N_CLASSES)],
+        F.expr(f"greatest({_M_LIST})").alias("g"),
+        F.expr(_Z).alias("z"),
+    )
     return scored.select(
         "o_orderkey",
-        "margin",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias("p_class"),
-        F.when(F.col("margin") > 0, 1).otherwise(0).alias("predicted"),
+        F.expr(_BEST).alias("best_class"),
+        F.expr("round(exp(g) / z, 6)").alias("p_best"),
+        F.expr(f"round(({_XEP_NUM}) / z, 6)").alias("xep"),
     )
 
 
