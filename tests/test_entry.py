@@ -36,6 +36,7 @@ def test_queries_and_oracles_aligned(spark):
         "eppa_field_surface",
         "eppa_pass_summary",
         "eppa_player_stats",
+        "s4_prior_artifact_lifecycle",  # kernel consumer; bitexact in-query
         "m6_optimize_defense",
         "analytics_player_rankings",
         "analytics_throw_calibration",
@@ -56,11 +57,17 @@ import importlib.util
 spec = importlib.util.spec_from_file_location('__spark_entry__', '/root/repo/__spark_entry__.py')
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
 from pyspark.sql import SparkSession
+# bare session: default conf, non-UTC timezone, foreign cwd — exactly the
+# environment the correctness driver provides. Events-table queries and a
+# kernel query must all work with zero repo build-conf.
 spark = (SparkSession.builder.master('local[2]')
+         .config('spark.sql.session.timeZone', 'America/New_York')
          .config('spark.ui.enabled','false').getOrCreate())
-n = mod.queries()['m7_grouped_matrix'](spark, '/root/testdata/sf0.001').count()
-assert n > 0, n
-print('FOREIGN_CWD_OK', n)
+qs = mod.queries()
+for name in ('w1_lag_gaps', 'j7_event_span', 'a25_cumulative', 'm7_grouped_matrix'):
+    n = qs[name](spark, '/root/testdata/sf0.001').count()
+    assert n > 0, (name, n)
+print('FOREIGN_CWD_OK')
 """
     env = {
         k: v
