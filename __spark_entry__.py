@@ -42,7 +42,8 @@ _RUN_FIRST = (
     # round-1 rows the driver never reached
     "etl_normalize_tracking", "s4_prior_artifact_lifecycle",
     "eppa_field_surface", "eppa_pass_summary",
-    "eppa_player_stats", "m5_tuning_dataset", "m6_optimize_defense",
+    "eppa_player_stats", "m2_value_model_width", "m5_tuning_dataset",
+    "m6_optimize_defense",
     "m1_tree_ensemble_score", "m7_grouped_matrix", "split_assign",
     "s1_csv_roundtrip", "s3_multi_scan_union", "s10_partitioned_resume",
     "s13_error_channel", "stream_tumbling_counts", "stream_sliding_counts",

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "stream_session_windows",
     "multimodal_frame_sample",
     "m7_grouped_matrix",
+    "m2_value_model_width",  # kernel value models at 264k×26 (BASELINE.md row)
     "m6_optimize_defense",  # vs BASELINE.md defensive-optimization row
     "j11_selfjoin_compare",
     "s13_error_channel",

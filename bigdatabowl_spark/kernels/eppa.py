@@ -216,6 +216,7 @@ def frame_surfaces(
     params: EppaParams,
     priors: EppaPriors,
     chunk: int = 330,
+    value_ensemble=None,
 ) -> dict[str, np.ndarray]:
     """Compute all per-frame surfaces. Returns dict of (F,)/(F,T)/(J,) arrays.
 
@@ -390,9 +391,27 @@ def frame_surfaces(
     # 9. value models on arrival features (get_xyac, :392-464)
     d_def = d_mag[:, ~is_off]
     nearest_def = d_def.min(axis=1) if d_def.shape[1] else np.full(N_CELLS, 60.0)
-    xyac = default_xyac_scorer(nearest_def, grid[:, 0])  # (F,)
-    end_x = np.clip(grid[:, 0] + xyac, 0.0, 110.0)
-    xepa_comp = default_ep_curve(end_x)  # (F,)
+    if value_ensemble is not None:
+        # Full-width inference — the reference's exact batch shape: every
+        # hypothetical pass of the frame (F·T = 264,000 rows) × 26 features
+        # through the 8-class softprob ensemble, then ·epvals
+        # (play_eppa_cpu.py:424-459). Buffers live in the reused workspace.
+        from bigdatabowl_spark.kernels.ensemble import pass_feature_matrix
+
+        X = _ws("fs.vm_X", (F * T, 26))
+        pm = _ws("fs.vm_p", (F * T, value_ensemble.n_classes))
+        pass_feature_matrix(
+            grid, tof, ball_start, nearest_def, ppc_off, ppc_def, trans_prior, out=X
+        )
+        xepa_comp_ft = value_ensemble.expectation(X, out=pm).reshape(F, T)
+        xyac_ft = np.clip(xepa_comp_ft - default_ep_curve(grid[:, 0])[:, None], 0.0, None)
+        xyac = xyac_ft.mean(axis=1)  # (F,) summary for the emit schema
+        xepa_comp = xepa_comp_ft.mean(axis=1)
+    else:
+        xyac = default_xyac_scorer(nearest_def, grid[:, 0])  # (F,)
+        end_x = np.clip(grid[:, 0] + xyac, 0.0, 110.0)
+        xepa_comp = default_ep_curve(end_x)  # (F,)
+        xepa_comp_ft = None
     xepa_inc = np.full(N_CELLS, -0.45)  # incompletion value
 
     # 10. trans = prior · ppc^α renormalized (:469-497)
@@ -407,7 +426,10 @@ def frame_surfaces(
     # 11. EPPA surfaces (F,T) → cell/frame reductions (A26/A27, :502-641)
     value_ft = _ws("fs.value_ft", (F, T))
     tmp_ft = _ws("fs.tmp_ft", (F, T))
-    np.multiply(ppc_off, xepa_comp[:, None], out=value_ft)
+    # ensemble path values each (cell, tof) pass at full width; the default
+    # path broadcasts the per-cell value across T
+    comp_val = xepa_comp_ft if xepa_comp_ft is not None else xepa_comp[:, None]
+    np.multiply(ppc_off, comp_val, out=value_ft)
     np.subtract(1.0, ppc_off, out=tmp_ft)
     tmp_ft *= xepa_inc[:, None]
     value_ft += tmp_ft
@@ -518,7 +540,13 @@ def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 
     return eligible.repartition(sc.defaultParallelism * 3, "gameId", "playId")
 
 
-def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPriors | None):
+def _make_kernel(
+    schema: str,
+    emit,
+    params: EppaParams | None,
+    priors: EppaPriors | None,
+    value_ensemble=None,
+):
     """Per-PLAY kernel: loops the play's eligible frames inside one task —
     the reference's own loop structure (play_eppa_cpu.py:651). Grouping at
     play grain amortizes worker warmup and keeps shuffle groups ≈ plays;
@@ -534,7 +562,10 @@ def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPrior
             if prep is None:
                 continue
             players, ball_start, fas = prep
-            s = frame_surfaces(players, ball_start, fas, params, priors)
+            s = frame_surfaces(
+                players, ball_start, fas, params, priors,
+                value_ensemble=value_ensemble,
+            )
             key = (
                 int(frame_pdf["gameId"].iloc[0]),
                 int(frame_pdf["playId"].iloc[0]),
@@ -549,7 +580,10 @@ def _make_kernel(schema: str, emit, params: EppaParams | None, priors: EppaPrior
 
 
 def eppa_field_surface(
-    norm: DataFrame, params: EppaParams | None = None, priors: EppaPriors | None = None
+    norm: DataFrame,
+    params: EppaParams | None = None,
+    priors: EppaPriors | None = None,
+    value_ensemble=None,
 ) -> DataFrame:
     """field_df: one row per field cell per eligible frame (viz surface,
     play_eppa_cpu.py:616-639)."""
@@ -580,12 +614,15 @@ def eppa_field_surface(
 
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(
-        _make_kernel(FIELD_SCHEMA, emit, params, priors), FIELD_SCHEMA
+        _make_kernel(FIELD_SCHEMA, emit, params, priors, value_ensemble), FIELD_SCHEMA
     )
 
 
 def eppa_pass_summary(
-    norm: DataFrame, params: EppaParams | None = None, priors: EppaPriors | None = None
+    norm: DataFrame,
+    params: EppaParams | None = None,
+    priors: EppaPriors | None = None,
+    value_ensemble=None,
 ) -> DataFrame:
     """passes_df: per-frame argmax summary — the best hypothetical pass
     (unravel_index(argmax), play_eppa_cpu.py:564-614,621-637)."""
@@ -616,12 +653,15 @@ def eppa_pass_summary(
 
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(
-        _make_kernel(PASS_SCHEMA, emit, params, priors), PASS_SCHEMA
+        _make_kernel(PASS_SCHEMA, emit, params, priors, value_ensemble), PASS_SCHEMA
     )
 
 
 def eppa_player_stats(
-    norm: DataFrame, params: EppaParams | None = None, priors: EppaPriors | None = None
+    norm: DataFrame,
+    params: EppaParams | None = None,
+    priors: EppaPriors | None = None,
+    value_ensemble=None,
 ) -> DataFrame:
     """player_stats_df: per-player EPPA attribution (play_eppa_cpu.py:553-559)."""
 
@@ -640,5 +680,5 @@ def eppa_player_stats(
 
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(
-        _make_kernel(PLAYER_SCHEMA, emit, params, priors), PLAYER_SCHEMA
+        _make_kernel(PLAYER_SCHEMA, emit, params, priors, value_ensemble), PLAYER_SCHEMA
     )

@@ -252,6 +252,25 @@ def q_s4_prior_artifact_lifecycle(spark: SparkSession, sf_dir: str):
     )
 
 
+@register(
+    "m2_value_model_width",
+    "M1,M2,M3,S6",
+    None,  # kernel path → rows-only; envelope property asserted in tests
+)
+def q_m2_value_model_width(spark: SparkSession, sf_dir: str):
+    """EPPA with the value models at the reference's full inference width:
+    every hypothetical pass of each frame — (F·T, 26) = 264,000 rows × 26
+    features — scored through the vectorized 8-class softprob tree ensemble
+    and dotted with the class value vector inside the kernel
+    (play_eppa_cpu.py:424-459). Same applyInPandas plan as
+    eppa_pass_summary; only the value-model stage widens."""
+    from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+
+    return eppa_pass_summary(
+        tracking_from_events(spark, sf_dir), value_ensemble=TreeEnsemble.default()
+    )
+
+
 @register("m6_optimize_defense", "M6", None)
 def q_m6_optimize_defense(spark: SparkSession, sf_dir: str):
     """Greedy defensive-position optimizer (optimize_def.py:52-139):

@@ -200,3 +200,58 @@ def test_eppa_player_stats_spark(spark, norm_fixture):
     assert len(pdf) == 20
     off_share = pdf[pdf.team_pos == "OFF"]["ind_eppa1"].sum()
     assert off_share > 0
+
+
+# ------------------------------------------------- full-width value models
+
+
+def test_tree_ensemble_matches_naive_reference():
+    """The vectorized depth-2 traversal must agree with a per-row Python
+    walk of the same spec — margins, softprob, and expectation."""
+    from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+
+    ens = TreeEnsemble.default()
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(500, 26))
+    m = ens.margins(X)
+    for i in (0, 7, 123, 499):
+        naive = np.zeros(ens.n_classes)
+        for t in range(len(ens.feat_a)):
+            a = X[i, ens.feat_a[t]] < ens.thr_a[t]
+            b = X[i, ens.feat_b[t]] < ens.thr_b[t]
+            l0, l1, l2, l3 = ens.leaves[t]
+            naive[ens.tree_class[t]] += (l0 if b else l1) if a else (l2 if b else l3)
+        assert np.allclose(m[i], naive)
+    p = ens.softprob(X)
+    assert np.allclose(p.sum(axis=1), 1.0)
+    e = ens.expectation(X)
+    assert np.all(e <= ens.epvals.max()) and np.all(e >= ens.epvals.min())
+
+
+def test_frame_surfaces_full_width_value_model():
+    """With an ensemble, the kernel scores every hypothetical pass —
+    (F·T, 26) = 264,000 × 26, the reference's exact batch shape
+    (play_eppa_cpu.py:424-459) — and stays within the epvals envelope."""
+    from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+
+    ens = TreeEnsemble.default()
+    s = frame_surfaces(
+        _players_frame(), np.array([35.0, 26.5]), 20, EppaParams(),
+        EppaPriors.default(), value_ensemble=ens,
+    )
+    assert s["xepa_comp"].shape == (N_CELLS,)
+    assert np.all(s["xepa_comp"] <= ens.epvals.max() + 1e-9)
+    assert np.all(s["xepa_comp"] >= ens.epvals.min() - 1e-9)
+    assert np.all(s["xyac"] >= 0.0)
+    # deterministic across calls (reused workspace must not leak state)
+    s2 = frame_surfaces(
+        _players_frame(), np.array([35.0, 26.5]), 20, EppaParams(),
+        EppaPriors.default(), value_ensemble=ens,
+    )
+    assert np.array_equal(s["eppa_ft"], s2["eppa_ft"])
+    # and differs from the closed-form stand-in path
+    s0 = frame_surfaces(
+        _players_frame(), np.array([35.0, 26.5]), 20, EppaParams(),
+        EppaPriors.default(),
+    )
+    assert not np.array_equal(s["eppa_ft"], s0["eppa_ft"])
