@@ -9,7 +9,7 @@ arithmetic as the Spark implementation.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 
 from bigdatabowl_spark.operators import dedup, similarity, text, multimodal
 from bigdatabowl_spark.plans.catalog import register, t
@@ -653,4 +653,64 @@ def split_assign(spark: SparkSession, sf_dir: str):
     return docs.select(
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+PACK_BUDGET = 2048  # tokens per training pack (context window)
+PACK_SHARDS = 32  # shard count — scales with corpus so each shard ≈ one file
+
+
+@register(
+    "pack_sequences",
+    "TP1,A25,W7,F13",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS running
+        FROM toks
+    )
+    SELECT shard, (running - n_tokens) // {PACK_BUDGET} AS pack_no,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM cum
+    GROUP BY shard, pack_no
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str):
+    """Sequence packing: concatenate documents into fixed-token-budget
+    training packs — the standard pretraining batch-prep step.
+
+    Contiguous-concat semantics: within a shard, documents are laid out in
+    doc_id order and a document belongs to the pack where its first token
+    lands (token offset // budget); documents straddling a boundary split
+    across packs at training time. Expressed as a per-shard running-sum
+    window + integer division — exact in both engines.
+
+    Scale: the window partitions by shard, so parallelism = shard count;
+    PACK_SHARDS is a corpus-proportional constant (one shard ≈ one output
+    file, e.g. 10⁵ shards at 100 TB), never a global window. Token counts
+    ride the same BPE-ish regex as text_tokens_fingerprint.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        text.bpe_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = toks.withColumn("running", F.sum("n_tokens").over(w))
+    packed = cum.withColumn(
+        "pack_no", F.expr(f"(running - n_tokens) div {PACK_BUDGET}")
+    )
+    return packed.groupBy("shard", "pack_no").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
     )

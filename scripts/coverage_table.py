@@ -75,6 +75,7 @@ def main() -> None:
         "TQ1": "text quality scoring",
         "TT1": "token counting + fingerprinting",
         "TS1": "deterministic train/val/test split (hash buckets)",
+        "TP1": "sequence packing into token-budget training packs",
         "ST1": "tumbling windows (batch + stream twin)",
         "ST2": "sliding windows",
         "ST3": "session windows (gap-based)",
