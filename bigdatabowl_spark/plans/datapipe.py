@@ -714,3 +714,69 @@ def pack_sequences(spark: SparkSession, sf_dir: str):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+_SPLIT_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    "TD1,J12,P2,A7",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, text, {_SPLIT_BUCKET} AS bucket FROM documents
+    ),
+    train AS (SELECT doc_id, text FROM assigned WHERE bucket < 80),
+    test AS (SELECT doc_id, text FROM assigned WHERE bucket >= 90),
+    sh_train AS ({_SHINGLES.replace("FROM documents", "FROM train")}),
+    sh_test AS (SELECT DISTINCT shingle
+                FROM ({_SHINGLES.replace("FROM documents", "FROM test")})),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh_train GROUP BY doc_id),
+    ov AS (
+        SELECT doc_id, COUNT(*) AS n_overlap
+        FROM sh_train JOIN sh_test USING (shingle)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+           round(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_shingles, 6)
+               AS contamination
+    FROM tot t LEFT JOIN ov o USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str):
+    """Benchmark decontamination: per-train-document 3-gram overlap with the
+    held-out test split — the contamination scan every pretraining corpus
+    needs before the split ships.
+
+    Uses the same deterministic hash split as split_assign, so the test set
+    is stable; its distinct n-grams are a benchmark-sized relation and are
+    explicitly broadcast, making the scan a map-side semi-join over the
+    train shingle table (no shuffle of the big side at 100 TB). Overlap
+    ratio per doc feeds a drop/keep policy downstream (dedup_apply shape).
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = dedup.md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    ) % 100
+    with_bucket = docs.withColumn("bucket", bucket)
+    train = with_bucket.filter(F.col("bucket") < 80).select("doc_id", "text")
+    test = with_bucket.filter(F.col("bucket") >= 90).select("doc_id", "text")
+    sh_train = dedup.shingle_table(train)
+    sh_test = dedup.shingle_table(test).select("shingle").distinct()
+    tot = sh_train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ov = (
+        sh_train.join(F.broadcast(sh_test), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return tot.join(ov, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )

@@ -76,6 +76,7 @@ def main() -> None:
         "TT1": "token counting + fingerprinting",
         "TS1": "deterministic train/val/test split (hash buckets)",
         "TP1": "sequence packing into token-budget training packs",
+        "TD1": "benchmark decontamination (train/test n-gram overlap)",
         "ST1": "tumbling windows (batch + stream twin)",
         "ST2": "sliding windows",
         "ST3": "session windows (gap-based)",
