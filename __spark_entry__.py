@@ -45,7 +45,7 @@ _RUN_FIRST = (
     "eppa_player_stats", "m2_value_model_width", "m5_tuning_dataset",
     "m6_optimize_defense",
     "m1_tree_ensemble_score", "m7_grouped_matrix", "split_assign",
-    "pack_sequences", "decontaminate_ngram",
+    "pack_sequences", "decontaminate_ngram", "kmeans_lloyd",
     "s1_csv_roundtrip", "s3_multi_scan_union", "s10_partitioned_resume",
     "s13_error_channel", "stream_tumbling_counts", "stream_sliding_counts",
     "stream_session_windows", "stream_stateful_totals",

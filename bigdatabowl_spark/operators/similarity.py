@@ -366,3 +366,70 @@ def lsh_cosine_near_dups(
         F.min("keep_id").alias("canonical_id"),
         F.max("cosine").alias("best_cosine"),
     )
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means in quantized-integer space — the coarse-quantizer
+    training step for the IVF index (ivf_topk's centroid stand-ins become
+    trained centroids here; the reference's analogue is offline model
+    fitting feeding the kernel, SURVEY §3.3).
+
+    Determinism contract: components quantize to integers (×1000, round);
+    centroid updates re-round the per-dimension mean back onto the integer
+    lattice, so every distance is exact integer arithmetic and the argmin
+    (tiebreak: smallest centroid id) is engine-independent — no float
+    accumulation order anywhere. Init = the k smallest vector ids.
+
+    Scale posture per iteration: centroids are O(k·dims) and broadcast;
+    assignment is one shuffle keyed (vec_id, cid) for the distance sum and
+    one window on vec_id; the update is a groupBy(cid, d) partial-agg.
+    Iteration count is a small constant (driver-side loop builds one plan).
+    """
+    from pyspark.sql import Window
+
+    pts = (
+        emb.select(F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)))
+        .filter(F.col("pos") < dims)
+        .select(
+            "vec_id",
+            F.col("pos").alias("d"),
+            F.round(F.col("col").cast("double") * 1000, 0).cast("long").alias("q"),
+        )
+    )
+    pts = pts.localCheckpoint(eager=False)  # reused every iteration — cut lineage
+    cents = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "d", F.col("q").alias("c")
+    )
+    assign = None
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for _ in range(n_iter):
+        diff = F.col("q") - F.col("c")
+        dist = (
+            pts.join(F.broadcast(cents), "d")
+            .select("vec_id", "cid", (diff * diff).alias("sq"))
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("sq").alias("d2"))
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cents = (
+            pts.join(assign, "vec_id")
+            .groupBy("cid", "d")
+            .agg(
+                F.round(F.sum("q").cast("double") / F.count("q"), 0)
+                .cast("long")
+                .alias("c")
+            )
+        )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return cents.join(sizes, "cid").select("cid", "d", "c", "n_members")

@@ -780,3 +780,58 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str):
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_shingles"), 6
         ).alias("contamination"),
     )
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dims: int = 64) -> str:
+    """CTE-chain twin of similarity.kmeans_quantized — one (distance →
+    argmin → lattice-rounded centroid) block per Lloyd iteration."""
+    ctes = [
+        f"""pts AS (
+        SELECT vec_id, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+        FROM embeddings, generate_series(1, {dims}) s(i)
+    )""",
+        f"c0 AS (SELECT vec_id AS cid, d, q AS c FROM pts WHERE vec_id < {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""d{it} AS (
+        SELECT p.vec_id, c.cid, SUM((p.q - c.c) * (p.q - c.c)) AS d2
+        FROM pts p JOIN {prev} c USING (d) GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d{it})
+        WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+        SELECT a.cid, p.d,
+               CAST(round(CAST(SUM(p.q) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS c
+        FROM pts p JOIN a{it} a USING (vec_id) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c.cid, c.d, c.c, s.n_members
+    FROM c{n_iter} c
+    JOIN (SELECT cid, COUNT(*) AS n_members FROM a{n_iter} GROUP BY cid) s USING (cid)
+    """
+    )
+
+
+@register("kmeans_lloyd", "SIM3,J12,A14,M7", _kmeans_oracle())
+def kmeans_lloyd(spark: SparkSession, sf_dir: str):
+    """Train the IVF coarse quantizer: 2 Lloyd iterations of k=8 k-means in
+    quantized-integer space (see similarity.kmeans_quantized for the
+    determinism contract and per-iteration scale shape)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_quantized(emb, k=8, n_iter=2)

@@ -70,6 +70,7 @@ def main() -> None:
         "J16": "full outer join (completes the join-type matrix)",
         "SIM1": "brute-force cosine top-k",
         "SIM2": "LSH-bucketed ANN (scale path)",
+        "SIM3": "IVF coarse-quantizer training (Lloyd k-means, integer lattice)",
         "MM1": "multimodal binary decode/resize/sample/features",
         "TL1": "language id (n-gram heuristic)",
         "TQ1": "text quality scoring",

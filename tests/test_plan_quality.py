@@ -109,6 +109,21 @@ def test_window_topk_single_exchange(spark, sf_dir):
     assert n_exchange == 1, plan
 
 
+def test_decontaminate_broadcasts_test_ngrams(spark, sf_dir):
+    """TD1: the held-out split's n-grams are benchmark-sized — they must
+    broadcast so the train-side shingle scan never shuffles for the join."""
+    plan = _catalog_plan(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """TP1: packing is one shuffle (the per-shard window partition); the
+    final groupBy reuses the same hash partitioning or collapses under AQE."""
+    plan = _catalog_plan(spark, sf_dir, "pack_sequences")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, plan
+
+
 def test_global_topn_is_take_ordered(spark, sf_dir):
     """O2 global top-10 must compile to TakeOrderedAndProject (per-partition
     local top-k), not a single-partition global sort — the unpartitioned
