@@ -57,6 +57,9 @@ _RUN_FIRST = (
     "a27_axis_reduce", "o4_deterministic_order", "f13_flat_index",
     "f14_meshgrid", "f15_xor_flags", "f17_dot_projection",
     "analytics_player_rankings", "analytics_throw_calibration",
+    # round-2 additions (no driver verdict yet)
+    "text_repetition", "mixture_sample", "token_topk", "f_json_props",
+    "stream_dedup",
 )
 
 

@@ -1,0 +1,191 @@
+"""Corpus-analytics queries for the training-data pipeline.
+
+Extends the datapipe family (dedup/similarity/text) with the remaining
+operations a 100 TB pretraining-corpus build needs: intra-document
+repetition scoring (quality filtering), deterministic domain-mixture
+sampling (data mixing), corpus vocabulary heavy-hitters, and structured
+metadata extraction from JSON side-channels.
+
+Reference analogue: the reference's quality filters are play-level masks
+(play_eppa_cpu.py:135-149 eligibility gating); these are the document-level
+twins a text corpus needs. All four queries are oracle-checked (DuckDB twin
+at sf0.01) and shuffle only on high-cardinality, skew-free keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatabowl_spark.operators import dedup
+from bigdatabowl_spark.operators.text import tokens
+from bigdatabowl_spark.plans.catalog import register, t
+
+
+@register(
+    "text_repetition",
+    "TQ2,A7,A12,F6",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS top_count
+        FROM per_tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(top_count AS DOUBLE) / n_tokens AS top_share,
+           CAST((CAST(top_count AS DOUBLE) / n_tokens > 0.08
+                 OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.2) AS BIGINT)
+               AS is_repetitive
+    FROM per_doc
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition statistics — the standard boilerplate /
+    degenerate-text quality signal (distinct-token ratio + most-frequent-token
+    share, cf. Gopher/C4 repetition filters).
+
+    Scale: explode fans tokens out ~150× but both groupBys key on
+    high-cardinality skew-free keys ((doc_id, tok) then doc_id) with map-side
+    partial aggregation, so shuffle volume is bounded by distinct pairs, not
+    token instances. Ratios are IEEE double divisions of identical integers in
+    both engines — bit-exact without rounding.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_share = F.col("top_count").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        distinct_ratio.alias("distinct_ratio"),
+        top_share.alias("top_share"),
+        ((top_share > 0.08) | (distinct_ratio < 0.2)).cast("long").alias("is_repetitive"),
+    )
+
+
+@register(
+    "mixture_sample",
+    "TS2,A1,J4,P9",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(cnt) AS m FROM counts),
+    rates AS (
+        SELECT source, CAST(floor((10000 * m) / cnt) AS BIGINT) AS rate_bp
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8))
+               AS BIGINT) % 10000 < r.rate_bp
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling: every source (domain) is
+    hash-sampled to ≈ the smallest source's row count — the uniform-mixture
+    primitive of a pretraining data-mixing pipeline, reproducible across
+    engines and re-runs (same salted-md5 bucketing as ``split_assign``).
+
+    Scale: per-source counts are a tiny aggregate; the 1-row min and the
+    per-source rate table broadcast back onto the fact scan (J4 pattern), so
+    the sampling filter itself is map-only — no shuffle of the corpus. Rate
+    resolution is 1 basis point; exact-count stratified sampling would need a
+    per-source rank window (sorts each domain) — at 100 TB the hash-threshold
+    form is the right trade.
+    """
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    rates = (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            F.floor((F.lit(10000) * F.col("m")) / F.col("cnt")).cast("long").alias("rate_bp"),
+        )
+    )
+    bucket = dedup.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 10000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_bp"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "token_topk",
+    "TT2,A7,O2,O3",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: global top-20 tokens by frequency
+    with a deterministic tie-break (count desc, token asc — binary collation
+    in both engines).
+
+    Scale: groupBy(token) has map-side partial aggregation (shuffle bounded
+    by vocabulary size, not token instances) and the global top-k is
+    orderBy().limit() — Spark plans TakeOrderedAndProject, a per-partition
+    top-20 + driver merge, never a global sort.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+
+
+@register(
+    "f_json_props",
+    "MD1,A1,F6,P14",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured metadata extraction from a JSON side-channel column
+    (``events.props``) — the schema-on-read pattern every log/metadata
+    ingest needs. ``get_json_object`` is a JVM-side expression (no Python),
+    and the extracted integer aggregates exactly.
+
+    Scale: path extraction is per-row and codegen'd; the aggregate shuffles
+    only (event_type, partials). For hot paths at 100 TB the move is
+    ``from_json`` with an explicit schema once, then column pruning — noted
+    here because repeated get_json_object calls re-parse the string per path.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        (F.sum(k).cast("double") / F.count("*")).alias("k_avg"),
+    )

@@ -179,6 +179,54 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup",
+    "ST5,DD1,P12,U2",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: readStream → watermark →
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) — the
+    streaming form of the corpus dedup_exact operator (state expires once
+    the watermark passes, so state size is bounded by the dedup window,
+    not the stream's lifetime).
+
+    Emits the first occurrence of each key; run to completion with an
+    availableNow trigger the result is the distinct key set, which is the
+    oracle. A terminal ``.distinct()`` guards the cross-micro-batch edge
+    (a duplicate arriving after its key's state expired is re-emitted —
+    exactly the documented at-least-once contract of watermarked dedup).
+    """
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    name = f"stream_dedup_{next(_STATEFUL_RUNS)}"
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
+    )
+    deduped = (
+        with_ts.withWatermark("event_time", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).distinct()
+
+
 # ---------------------------------------------------------------- stateful
 
 STATEFUL_SCHEMA = "user_id long, n_events long, total_value double"

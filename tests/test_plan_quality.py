@@ -180,3 +180,27 @@ def test_full_outer_reuses_aggregate_partitioning(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "j16_full_outer")
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 2, plan
+
+
+def test_token_topk_is_take_ordered(spark, sf_dir):
+    """Global heavy-hitters must end in TakeOrderedAndProject (partial
+    per-partition top-k + driver merge), never a single-partition global
+    sort of the vocabulary."""
+    plan = _catalog_plan(spark, sf_dir, "token_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """The per-source rate table must broadcast back onto the corpus scan
+    (J4 pattern) — a shuffled join here would reshuffle the whole corpus
+    to apply a 20-row sampling table."""
+    plan = _catalog_plan(spark, sf_dir, "mixture_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_text_repetition_partial_aggregation(spark, sf_dir):
+    """Both repetition groupBys must plan partial HashAggregates so the
+    exploded token stream combines map-side before shuffling."""
+    plan = _catalog_plan(spark, sf_dir, "text_repetition")
+    assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
