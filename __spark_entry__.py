@@ -59,7 +59,8 @@ _RUN_FIRST = (
     "analytics_player_rankings", "analytics_throw_calibration",
     # round-2 additions (no driver verdict yet)
     "text_repetition", "mixture_sample", "token_topk", "f_json_props",
-    "stream_dedup",
+    "stream_dedup", "m10_quality_logit", "s14_upsert_merge",
+    "o6_zorder_layout", "stream_interval_join",
 )
 
 

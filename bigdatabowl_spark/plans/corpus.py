@@ -17,7 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatabowl_spark.operators import dedup
+from bigdatabowl_spark.functions.scalar import sigmoid
+from bigdatabowl_spark.operators import dedup, text
 from bigdatabowl_spark.operators.text import tokens
 from bigdatabowl_spark.plans.catalog import register, t
 
@@ -188,4 +189,78 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("k_sum"),
         F.max(k).alias("k_max"),
         (F.sum(k).cast("double") / F.count("*")).alias("k_avg"),
+    )
+
+
+# Fixed public logistic-regression weights for the quality scorer — the
+# operator contract (feature build → linear model → sigmoid → threshold) is
+# what matters, not the toy coefficients.
+_LOGIT_B = -2.0
+_LOGIT_W = (0.01, 0.3, -4.0, 6.0)  # n_words, avg_word_len, punct_ratio, stopword_ratio
+
+_EN_SET = "('the','a','of','and','to','is')"
+
+
+@register(
+    "m10_quality_logit",
+    "TQ3,M1,F4,F6",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS awl,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(text) AS punct,
+               CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN {_EN_SET}))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS stop
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({_LOGIT_B} + {_LOGIT_W[0]} * n_words
+                                    + {_LOGIT_W[1]} * awl
+                                    + ({_LOGIT_W[2]}) * punct
+                                    + {_LOGIT_W[3]} * stop))), 6) AS quality_score,
+           CAST(round(1.0 / (1.0 + exp(-({_LOGIT_B} + {_LOGIT_W[0]} * n_words
+                                         + {_LOGIT_W[1]} * awl
+                                         + ({_LOGIT_W[2]}) * punct
+                                         + {_LOGIT_W[3]} * stop))), 6) > 0.5 AS BIGINT)
+               AS keep_doc
+    FROM feat
+    """,
+)
+def m10_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight logistic scorer over the
+    ``text_quality`` features (the classifier-filter stage of a pretraining
+    pipeline, run as pure SQL — no Python in the loop).
+
+    The linear term accumulates left-to-right in both engines (identical IEEE
+    op order), and only the final sigmoid is rounded (libm vs JVM exp may
+    differ in the last ulp — same rule as the catalog's trig queries).
+
+    Scale: per-row projection, zero shuffle; the model broadcast is a closure
+    of four literals (the S4 ndarray-artifact pattern at its smallest).
+    """
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    toks = tokens(txt)
+    n_words = F.size(toks).cast("double")
+    n_chars = F.length(txt)
+    awl = F.round((n_chars - (F.size(toks) - 1)).cast("double") / F.size(toks), 6)
+    punct = (n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))).cast(
+        "double"
+    ) / n_chars
+    stop = text.lang_hits(txt, "en").cast("double") / F.size(toks)
+    z = (
+        F.lit(_LOGIT_B)
+        + F.lit(_LOGIT_W[0]) * n_words
+        + F.lit(_LOGIT_W[1]) * awl
+        + F.lit(_LOGIT_W[2]) * punct
+        + F.lit(_LOGIT_W[3]) * stop
+    )
+    score = F.round(sigmoid(z), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score > 0.5).cast("long").alias("keep_doc"),
     )

@@ -168,3 +168,106 @@ def s13_error_channel(spark: SparkSession, sf_dir: str):
         F.count("*").alias("n_groups"), F.sum("n").alias("n_rows")
     )
     return census
+
+
+@register(
+    "s14_upsert_merge",
+    "S12,J2,U1,P12",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, 'UPDATED' AS o_orderstatus, CAST(1 AS BIGINT) AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 2000000000, 'NEW', CAST(1 AS BIGINT)
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT b.o_orderkey, b.o_orderstatus, CAST(0 AS BIGINT) AS version
+    FROM orders b ANTI JOIN updates u ON b.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, version FROM updates
+    """,
+)
+def s14_upsert_merge(spark: SparkSession, sf_dir: str):
+    """CDC-style upsert (MERGE) without a table format: updates override
+    matching base rows, unmatched updates insert — expressed as
+    anti-join(base, updates) ∪ updates, the merge-on-read compaction every
+    incremental ingest needs. The delta here is derived deterministically
+    from the base (keys ≡ 0 mod 10 update; keys ≡ 0 mod 97 insert at a
+    shifted key) so the oracle reproduces it exactly.
+
+    Scale: one shuffle per side on the merge key (or broadcast when the
+    delta is small — Catalyst/AQE decides from stats); with both sides
+    bucketed on the key the anti join is exchange-free, which is the 100 TB
+    layout for a nightly-merge table.
+    """
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.lit(0).cast("long").alias("version")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("UPDATED").alias("o_orderstatus"),
+            F.lit(1).cast("long").alias("version"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 2_000_000_000).alias("o_orderkey"),
+                F.lit("NEW").alias("o_orderstatus"),
+                F.lit(1).cast("long").alias("version"),
+            )
+        )
+    )
+    merged = base.join(updates, "o_orderkey", "left_anti").unionByName(updates)
+    return merged
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    interleave = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem
+    ),
+    z AS (SELECT a, b, ({interleave}) AS zval FROM keyed)
+    SELECT zval >> 8 AS zbucket,
+           COUNT(*) AS n,
+           MIN(a) AS a_min, MAX(a) AS a_max,
+           MIN(b) AS b_min, MAX(b) AS b_max
+    FROM z GROUP BY zbucket
+    """
+
+
+@register("o6_zorder_layout", "O6,F13,S10,A1", _zorder_oracle())
+def o6_zorder_layout(spark: SparkSession, sf_dir: str):
+    """Z-order (Morton) clustering key: interleave the bits of two join/filter
+    dimensions so sorting by the key co-locates rows that are close in BOTH —
+    the multi-dimensional file-clustering trick (Delta OPTIMIZE ZORDER,
+    Hudi/Iceberg sort orders) that makes min/max file pruning work for two
+    predicates at once. The aggregate proves the property the optimizer
+    relies on: every 256-key z-bucket bounds a narrow range of each dimension.
+
+    Scale: the key is pure integer bit arithmetic (codegen'd, map-only);
+    at ingest you'd `repartitionByRange(zkey).sortWithinPartitions(zkey)`
+    before the parquet sink so each file covers a tight (a, b) rectangle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    a = (F.col("l_partkey") % 256).cast("long")
+    b = (F.col("l_suppkey") % 256).cast("long")
+    zval = None
+    for i in range(8):
+        term = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i) + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        zval = term if zval is None else zval + term
+    keyed = li.select(a.alias("a"), b.alias("b"), zval.alias("zval"))
+    return keyed.groupBy(F.shiftright(F.col("zval"), 8).alias("zbucket")).agg(
+        F.count("*").alias("n"),
+        F.min("a").alias("a_min"),
+        F.max("a").alias("a_max"),
+        F.min("b").alias("b_min"),
+        F.max("b").alias("b_max"),
+    )

@@ -227,6 +227,73 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).distinct()
 
 
+@register(
+    "stream_interval_join",
+    "ST6,J13,J8",
+    """
+    SELECT e.event_id AS err_event, p.event_id AS p_event
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(e.ts) - 600000000
+     AND epoch_us(p.ts) < epoch_us(e.ts)
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within the 10 minutes before
+    each error, both sides live streams — the streaming form of the batch
+    range join (j13). Watermarks on both event-times let Spark bound the
+    join state: a buffered purchase can be dropped once the error-side
+    watermark passes its upper join bound.
+
+    Run to completion (availableNow → append memory sink) the emitted pairs
+    equal the batch range join, which is the oracle.
+    """
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    name = f"stream_ivjoin_{next(_STATEFUL_RUNS)}"
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+
+    def _side(event_type: str, prefix: str) -> DataFrame:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+        return (
+            stream.withColumn(
+                f"{prefix}_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                f"{prefix}_time",
+            )
+            .withWatermark(f"{prefix}_time", "30 minutes")
+        )
+
+    err, pur = _side("error", "err"), _side("purchase", "p")
+    joined = err.join(
+        pur,
+        (F.col("p_user") == F.col("err_user"))
+        & (F.col("p_time") >= F.col("err_time") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("p_time") < F.col("err_time")),
+        "inner",
+    ).select("err_event", "p_event")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------- stateful
 
 STATEFUL_SCHEMA = "user_id long, n_events long, total_value double"

@@ -204,3 +204,25 @@ def test_text_repetition_partial_aggregation(spark, sf_dir):
     exploded token stream combines map-side before shuffling."""
     plan = _catalog_plan(spark, sf_dir, "text_repetition")
     assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
+
+
+def test_quality_logit_is_map_only(spark, sf_dir):
+    """The logistic quality scorer is a pure projection — model application
+    must not introduce any shuffle."""
+    plan = _catalog_plan(spark, sf_dir, "m10_quality_logit")
+    assert "Exchange" not in plan, plan
+
+
+def test_zorder_key_single_exchange(spark, sf_dir):
+    """Morton-key construction is map-side bit arithmetic; only the bucket
+    aggregate may shuffle — exactly one Exchange in the whole plan."""
+    plan = _catalog_plan(spark, sf_dir, "o6_zorder_layout")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+
+
+def test_upsert_merge_no_cartesian(spark, sf_dir):
+    """The merge must stay an equi-key anti join — a dropped equi condition
+    degrades to BroadcastNestedLoop/Cartesian, which never survives scale."""
+    plan = _catalog_plan(spark, sf_dir, "s14_upsert_merge")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
