@@ -58,6 +58,16 @@ BENCH_QUERIES = [
     "m6_optimize_defense",  # vs BASELINE.md defensive-optimization row
     "j11_selfjoin_compare",
     "s13_error_channel",
+    # round-2 corpus/layout/streaming additions
+    "text_repetition",
+    "token_topk",
+    "mixture_sample",
+    "m10_quality_logit",
+    "f_json_props",
+    "o6_zorder_layout",
+    "s14_upsert_merge",
+    "stream_dedup",
+    "stream_interval_join",
 ]
 
 

@@ -12,6 +12,8 @@ semantics are frame-ordered windows. We expose both:
 
 from __future__ import annotations
 
+import contextlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -19,6 +21,24 @@ from bigdatabowl_spark.functions.scalar import dec
 from bigdatabowl_spark.plans.catalog import register, t
 
 WINDOW_US = 600_000_000  # 10 minutes
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession):
+    """Size stateful-query shuffle partitions from cluster parallelism.
+
+    State partition count is frozen at first query start (SCALE.md §6);
+    ~1 state partition per 4 cores keeps state-store file traffic
+    proportional to the cluster rather than the batch shuffle width —
+    64 partitions over ~1.5k keys measured 2-5× slower than 8 at sf0.1,
+    pure per-partition state-store commit overhead."""
+    n_state = max(8, spark.sparkContext.defaultParallelism // 4)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -216,14 +236,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).distinct()
 
 
@@ -283,14 +304,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_time") < F.col("err_time")),
         "inner",
     ).select("err_event", "p_event")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -384,10 +406,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-side shuffle width (64 partitions over 1.5k keys measured 2-3×
     # slower than 8 at sf0.1, pure state-store commit overhead).
     sdf = stateful_user_totals(spark, sf_dir)  # calls configure() — resets conf
-    n_state = max(8, spark.sparkContext.defaultParallelism // 4)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
-    try:
+    with _state_partitions(spark):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -396,8 +415,6 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
