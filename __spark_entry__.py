@@ -60,7 +60,7 @@ _RUN_FIRST = (
     # round-2 additions (no driver verdict yet)
     "text_repetition", "mixture_sample", "token_topk", "f_json_props",
     "stream_dedup", "m10_quality_logit", "s14_upsert_merge",
-    "o6_zorder_layout", "stream_interval_join",
+    "o6_zorder_layout", "stream_interval_join", "bpe_pair_counts",
 )
 
 

@@ -264,3 +264,47 @@ def m10_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score > 0.5).cast("long").alias("keep_doc"),
     )
+
+
+@register(
+    "bpe_pair_counts",
+    "TT3,A7,O2,F10",
+    """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        FROM toks WHERE len(ts) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies — the inner step of BPE/WordPiece
+    tokenizer training (count all adjacent pairs, merge the most frequent,
+    repeat). One distributed pass produces the global pair table; the merge
+    choice is the top row under a deterministic tie-break.
+
+    Scale: pairs are built array-side per document (``transform`` over the
+    token array — no self-join, no posexplode matching), then one partial-
+    aggregated groupBy on the pair string and a TakeOrderedAndProject top-k.
+    The full BPE loop re-runs this query on re-segmented text; each round is
+    one scan + one bounded shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(ts) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ts, i + 1), F.element_at(ts, i + 2)),
+    )
+    exploded = (
+        docs.filter(F.size(ts) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+    )
+    counts = exploded.groupBy("pair").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(30)
