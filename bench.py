@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "s14_upsert_merge",
     "stream_dedup",
     "stream_interval_join",
+    "bpe_pair_counts",
+    "tfidf_topterms",
 ]
 
 

@@ -308,3 +308,90 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = exploded.groupBy("pair").agg(F.count("*").alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(30)
+
+
+@register(
+    "tfidf_topterms",
+    "TT4,A7,A9,W4,J1",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS n_docs FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(tf.c * CAST(round(ln((CAST(n_total AS DOUBLE) + 1.0)
+                                         / (CAST(df.n_docs AS DOUBLE) + 1.0))
+                                      * 1000000) AS BIGINT)
+                    AS DOUBLE) / doclen.n_tok AS tfidf
+        FROM tf
+        JOIN doclen USING (doc_id)
+        JOIN df USING (tok)
+        CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf
+    FROM (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf · ln((N+1)/(df+1)) with a deterministic tie-break — the classic
+    corpus-salience operator (topic tagging, keyword search indexing).
+
+    Determinism: idf is quantized to integer micro-units (round(ln·1e6) —
+    the one engine-sensitive op, catalog.py last-ulp rule), after which the
+    score is integer·integer / integer in IEEE doubles — bit-identical in
+    both engines with no final rounding, so the rank key cannot straddle a
+    rounding boundary. Ties break on the token.
+
+    Scale: tf and document length share the (doc_id, tok)→doc_id
+    aggregation cascade (partial agg, skew-free); the document-frequency
+    table is vocabulary-sized and broadcasts onto tf; the global doc count
+    is a 1-row broadcast (J4). The only full shuffle is the per-document
+    top-k window, partitioned on doc_id — bounded rows per key.
+    """
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("n_total"))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_total").cast("double") + 1.0) / (F.col("n_docs").cast("double") + 1.0)
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            ((F.col("c") * idf_micro).cast("double") / F.col("n_tok")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
