@@ -20,6 +20,13 @@ QUERIES = [
     "dedup_clusters",           # iterative component labels
     "j15_asof_join",            # ordered-window carry-forward
     "o5_deterministic_shuffle", # seeded shuffle must be seed-stable
+    "tfidf_topterms",           # micro-quantized idf rank key
+    "mixture_sample",           # hash-threshold sampling
+    "text_repetition",          # ratio divisions
+    "token_topk",               # global top-k tie-break
+    "bpe_pair_counts",          # pair top-k tie-break
+    "s14_upsert_merge",         # anti-join + union
+    "m10_quality_logit",        # sigmoid rounding
 ]
 
 

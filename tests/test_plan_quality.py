@@ -226,3 +226,37 @@ def test_upsert_merge_no_cartesian(spark, sf_dir):
     degrades to BroadcastNestedLoop/Cartesian, which never survives scale."""
     plan = _catalog_plan(spark, sf_dir, "s14_upsert_merge")
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_runtime_bloom_filter_engages_for_fact_fact_join(spark, sf_dir):
+    """At 100 TB a selective fact-fact shuffle join should inject a runtime
+    bloom filter (row-level semi-join pushdown built from the small side) so
+    the big side drops non-joining rows before the exchange. The thresholds
+    that gate injection are sized for clusters (application side ≥ 10 GB
+    scan), so scale them to the testdata here — what's pinned is that the
+    session keeps the feature on and the optimizer fires it."""
+    import pyspark.sql.functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
