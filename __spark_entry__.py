@@ -61,7 +61,7 @@ _RUN_FIRST = (
     "text_repetition", "mixture_sample", "token_topk", "f_json_props",
     "stream_dedup", "m10_quality_logit", "s14_upsert_merge",
     "o6_zorder_layout", "stream_interval_join", "bpe_pair_counts",
-    "tfidf_topterms",
+    "tfidf_topterms", "chunk_documents", "containment_pairs",
 )
 
 

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "stream_interval_join",
     "bpe_pair_counts",
     "tfidf_topterms",
+    "chunk_documents",
+    "containment_pairs",
 ]
 
 

@@ -328,3 +328,44 @@ def simhash(
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram containment ≥ threshold (either direction).
+
+    Containment(A in B) = |S(A)∩S(B)| / |S(A)| — the asymmetric twin of
+    Jaccard that catches a document fully embedded in a larger one (quote
+    farms, wrapper boilerplate), which symmetric Jaccard misses when the
+    container is much bigger than the containee.
+
+    Scale posture: same EXACT-baseline shape as ngram_jaccard_pairs (the
+    shingle self-join is quadratic in per-shingle doc frequency); at corpus
+    scale generate candidates with MinHash banding first and verify with
+    this metric. Both directions come from one unordered pair aggregate —
+    no doubled pair shuffle.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2"))
+    out = (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("cont_1in2", F.col("n_inter").cast("double") / F.col("n1"))
+        .withColumn("cont_2in1", F.col("n_inter").cast("double") / F.col("n2"))
+        .filter(F.greatest(F.col("cont_1in2"), F.col("cont_2in1")) >= threshold)
+    )
+    return out.select("doc1", "doc2", "n_inter", "cont_1in2", "cont_2in1")

@@ -89,7 +89,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (SELECT MIN(cnt) AS m FROM counts),
     rates AS (
-        SELECT source, CAST(floor((10000 * m) / cnt) AS BIGINT) AS rate_bp
+        SELECT source, CAST(floor((5000 * m) / cnt) AS BIGINT) AS rate_bp
         FROM counts, m
     )
     SELECT d.doc_id, d.source
@@ -100,7 +100,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture downsampling: every source (domain) is
-    hash-sampled to ≈ the smallest source's row count — the uniform-mixture
+    hash-sampled to ≈ half the smallest source's row count — the uniform-mixture
     primitive of a pretraining data-mixing pipeline, reproducible across
     engines and re-runs (same salted-md5 bucketing as ``split_assign``).
 
@@ -118,7 +118,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(m))
         .select(
             "source",
-            F.floor((F.lit(10000) * F.col("m")) / F.col("cnt")).cast("long").alias("rate_bp"),
+            F.floor((F.lit(5000) * F.col("m")) / F.col("cnt")).cast("long").alias("rate_bp"),
         )
     )
     bucket = dedup.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 10000
@@ -395,3 +395,94 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+CHUNK_LEN = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+@register(
+    "chunk_documents",
+    "TP2,F13,F10,P6",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts, unnest(range(0, len(ts), {CHUNK_STRIDE})) AS s FROM base
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(least({CHUNK_LEN}, len(ts) - s) AS BIGINT) AS n_tok,
+           substr(md5(array_to_string(ts[s + 1 : s + {CHUNK_LEN}], ' ')), 1, 8)
+               AS chunk_key
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    {CHUNK_LEN}-token chunks at a {CHUNK_STRIDE}-token stride (16-token
+    overlap) — the segmentation primitive for RAG indexing and
+    fixed-context pretraining, inverse of ``pack_sequences``. Each chunk
+    carries a content key (md5 prefix of its text) so downstream chunk-level
+    dedup joins on it.
+
+    Scale: chunk starts are generated array-side (`sequence` over the token
+    array — no self-join against a positions table) and the whole operator
+    is one projection + explode, zero shuffles; output partitioning follows
+    the input scan.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    starts = F.sequence(F.lit(0), F.size(ts) - 1, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("long").alias("chunk_no"),
+            F.least(F.lit(CHUNK_LEN), F.size(ts) - s).cast("long").alias("n_tok"),
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(ts, s + 1, CHUNK_LEN))), 1, 8
+            ).alias("chunk_key"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_no", "c.n_tok", "c.chunk_key"
+    )
+
+
+@register(
+    "containment_pairs",
+    "DD8,DD2,J12,A1",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(string_split(text, ' ')) >= 3
+                 THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i+1] || ' ' ||
+                           string_split(text, ' ')[i+2])
+                 ELSE [] END) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, n_inter,
+           CAST(n_inter AS DOUBLE) / s1.n_sh AS cont_1in2,
+           CAST(n_inter AS DOUBLE) / s2.n_sh AS cont_2in1
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE greatest(CAST(n_inter AS DOUBLE) / s1.n_sh,
+                   CAST(n_inter AS DOUBLE) / s2.n_sh) >= 0.5
+    """,
+)
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment near-dup pairs (doc-inside-doc
+    detection) — see operators/dedup.containment_pairs for semantics and
+    the exact-baseline/LSH-candidates scale posture."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.containment_pairs(docs, threshold=0.5)
