@@ -486,3 +486,37 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-baseline/LSH-candidates scale posture."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.containment_pairs(docs, threshold=0.5)
+
+
+@register(
+    "skew_salted_agg",
+    "SK1,A1,A9",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (hot-key) group
+    key: phase 1 groups on (event_type, salt16) so each hot key spreads over
+    16 reducers, phase 2 merges the 16 partials per key. Results are exact
+    because the summed value goes through DECIMAL (associative — partials
+    commute), which is precisely why salting is safe for algebraic
+    aggregates. The oracle is the plain one-phase GROUP BY.
+
+    Scale: this is the explicit form of AQE's skew handling for contexts
+    AQE can't reach (streaming aggregations, deterministic tests) —
+    operators/skew.py; salt is a stable hash of event_id, not rand(), so
+    the plan is reproducible run-to-run.
+    """
+    from bigdatabowl_spark.functions.scalar import dec
+    from bigdatabowl_spark.operators.skew import salted_count_sum
+
+    ev = t(spark, sf_dir, "events").withColumn("value_dec", dec("value"))
+    out = salted_count_sum(ev, key="event_type", value="value_dec", id_col="event_id")
+    return out.select(
+        "event_type", "n", F.col("total").cast("double").alias("total")
+    )

@@ -110,3 +110,24 @@ def test_prior_lifecycle_query_bitexact(spark):
     )
     assert len(rows) > 0
     assert all(r["bitexact"] for r in rows)
+
+
+def test_corrupt_file_resilience(spark, sf_dir, tmp_path):
+    """File-level fault tolerance: with ignoreCorruptFiles set, one garbage
+    file among 10^5 parquet parts must not kill a 6-hour scan — the job
+    reads every valid row and skips the bad file. (Row-level faults are the
+    s13 error channel; this is the file-level twin.)"""
+    import pyspark.sql.functions as F
+
+    good = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    good.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "data"))
+    (tmp_path / "data" / "part-corrupt.parquet").write_bytes(b"not a parquet file")
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.schema("id long, v long").parquet(str(tmp_path / "data"))
+        assert got.count() == 100
+        assert got.agg(F.sum("v")).collect()[0][0] == 9900
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)

@@ -103,3 +103,58 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(sink))
     assert got.count() == events.count()  # nothing lost, nothing duplicated
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Late-data contract: an aggregate row whose window closed (watermark
+    passed end-of-window) must not change when a too-late event arrives in
+    a later micro-batch — bounded state depends on actually dropping late
+    rows. Uses append mode, where only finalized windows are emitted."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows, columns=["event_time", "k"]).astype(
+            {"event_time": "datetime64[us]"}
+        ).to_parquet(src / f"{name}.parquet")
+
+    # batch 1: two events in window [00:00, 00:10) + one at 01:00 that
+    # advances the watermark (10 min) far past that window's end
+    write_batch(
+        "b1",
+        [("2026-01-01 00:01:00", 1), ("2026-01-01 00:02:00", 1),
+         ("2026-01-01 01:00:00", 1)],
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("event_time timestamp_ntz, k int").parquet(
+            str(src)
+        )
+        q = (
+            stream.withColumn("event_time", F.col("event_time").cast("timestamp"))
+            .withWatermark("event_time", "10 minutes")
+            .groupBy(F.window("event_time", "10 minutes"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").cast("string").alias("w"), "n")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE event for the closed [00:00, 00:10) window
+    write_batch("b2", [("2026-01-01 00:03:00", 1)])
+    run_once()
+
+    got = {
+        r.w: r.n
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert got.get("2026-01-01 00:00:00") == 2, got  # late row NOT counted
