@@ -358,18 +358,23 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines with no final rounding, so the rank key cannot straddle a
     rounding boundary. Ties break on the token.
 
-    Scale: tf and document length share the (doc_id, tok)→doc_id
-    aggregation cascade (partial agg, skew-free); the document-frequency
-    table is vocabulary-sized and broadcasts onto tf; the global doc count
-    is a 1-row broadcast (J4). The only full shuffle is the per-document
-    top-k window, partitioned on doc_id — bounded rows per key.
+    Scale: document length is a window over the tf table, so it shares the
+    doc_id hash partitioning with the per-document top-k window — one
+    exchange serves both (pinned in test_plan_quality). The document-
+    frequency table is vocabulary-sized and broadcasts onto tf; the global
+    doc count is a 1-row broadcast (J4).
     """
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    # doc length as a window over tf, not a separate agg+join: reuses tf's
+    # hash partitioning once repartitioned on doc_id, and the top-k window
+    # below shares that same partitioning — one exchange serves both.
+    tf = tf.withColumn(
+        "n_tok", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
     df = tf.groupBy("tok").agg(F.count("*").alias("n_docs"))
     n = docs.agg(F.count("*").alias("n_total"))
     idf_micro = F.round(
@@ -380,8 +385,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(F.broadcast(df), "tok")
+        tf.join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -260,3 +260,12 @@ def test_runtime_bloom_filter_engages_for_fact_fact_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_tfidf_shares_doc_partitioning(spark, sf_dir):
+    """Doc-length window and top-k window must share one doc_id exchange
+    (doclen as a separate agg+join costs 2 more exchanges — the regression
+    this guards against)."""
+    plan = _catalog_plan(spark, sf_dir, "tfidf_topterms")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 5, plan
