@@ -2,14 +2,17 @@
 
 Extends the datapipe family (dedup/similarity/text) with the remaining
 operations a 100 TB pretraining-corpus build needs: intra-document
-repetition scoring (quality filtering), deterministic domain-mixture
-sampling (data mixing), corpus vocabulary heavy-hitters, and structured
-metadata extraction from JSON side-channels.
+repetition scoring and a logistic quality scorer (filtering), deterministic
+domain-mixture sampling (data mixing), vocabulary heavy-hitters and BPE
+pair counts (tokenizer building), TF-IDF keywording, sliding-window
+chunking, asymmetric containment dedup, salted skew-safe aggregation, and
+structured metadata extraction from JSON side-channels.
 
 Reference analogue: the reference's quality filters are play-level masks
 (play_eppa_cpu.py:135-149 eligibility gating); these are the document-level
-twins a text corpus needs. All four queries are oracle-checked (DuckDB twin
-at sf0.01) and shuffle only on high-cardinality, skew-free keys.
+twins a text corpus needs. Every query here is oracle-checked (DuckDB twin
+at sf0.001/0.01/0.1) and shuffles only on high-cardinality, skew-free keys
+or broadcasts tiny derived tables.
 """
 
 from __future__ import annotations
