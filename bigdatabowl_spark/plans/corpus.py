@@ -301,16 +301,20 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     ts = tokens(F.col("text"))
+    # Pairs stay a (t1, t2) struct through the aggregate; the display string
+    # is built only for the ~|vocab|² surviving groups, not per instance.
+    # (At sf0.1 the explode+agg dominates either way; struct keys avoid the
+    # per-instance concat allocation, which matters as token width grows.)
     pairs = F.transform(
         F.sequence(F.lit(0), F.size(ts) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(ts, i + 1), F.element_at(ts, i + 2)),
+        lambda i: F.struct(
+            F.element_at(ts, i + 1).alias("t1"), F.element_at(ts, i + 2).alias("t2")
+        ),
     )
-    exploded = (
-        docs.filter(F.size(ts) >= 2)
-        .select(F.explode(pairs).alias("pair"))
-    )
-    counts = exploded.groupBy("pair").agg(F.count("*").alias("n"))
-    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(30)
+    exploded = docs.filter(F.size(ts) >= 2).select(F.explode(pairs).alias("p"))
+    counts = exploded.groupBy("p.t1", "p.t2").agg(F.count("*").alias("n"))
+    withpair = counts.select(F.concat_ws(" ", "t1", "t2").alias("pair"), "n")
+    return withpair.orderBy(F.desc("n"), F.asc("pair")).limit(30)
 
 
 @register(
