@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "chunk_documents",
     "containment_pairs",
+    "skew_salted_agg",
+    "s15_rollup_reuse",
 ]
 
 

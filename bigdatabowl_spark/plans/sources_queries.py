@@ -271,3 +271,51 @@ def o6_zorder_layout(spark: SparkSession, sf_dir: str):
         F.min("b").alias("b_min"),
         F.max("b").alias("b_max"),
     )
+
+
+@register(
+    "s15_rollup_reuse",
+    "S15,S10,A1,ST1",
+    """
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s15_rollup_reuse(spark: SparkSession, sf_dir: str):
+    """Continuous-aggregate / materialized-rollup reuse: persist a 10-minute
+    rollup of the event stream once, then answer the 1-hour query FROM THE
+    ROLLUP — never rescanning raw events. The oracle aggregates raw events
+    directly, so a hash match proves the rollup is losslessly composable
+    (decimal partial sums are associative and 10 min divides 1 h exactly —
+    the algebraic-aggregate rule that makes hypertable-style rollup
+    hierarchies correct).
+
+    Scale: this is the pattern that turns a 100 TB raw scan into a GB-scale
+    rollup scan for every coarser-grained dashboard query; refresh cost is
+    one partial aggregation of the new raw partitions (idempotent per
+    window, same resume story as s10).
+    """
+    ev = t(spark, sf_dir, "events")
+    rollup_path = _scratch(sf_dir, "rollup_10min")
+    # partial sums stay DECIMAL in the stored rollup (exact, associative —
+    # the property that makes re-aggregation lossless)
+    rollup = ev.groupBy(
+        F.floor(F.col("ts_us") / F.lit(600_000_000)).cast("long").alias("window_id"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_val"),
+    )
+    rollup.write.mode("overwrite").parquet(rollup_path)
+    stored = spark.read.parquet(rollup_path)
+    return stored.groupBy(
+        F.floor(F.col("window_id") / F.lit(6)).cast("long").alias("hour_id"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("dec_val").cast("double").alias("hour_value"),
+    )
