@@ -82,6 +82,21 @@ def main() -> None:
         "ST2": "sliding windows",
         "ST3": "session windows (gap-based)",
         "ST4": "custom stateful operator (applyInPandasWithState)",
+        "ST5": "streaming exact dedup (dropDuplicatesWithinWatermark)",
+        "ST6": "stream-stream interval join (dual watermarks)",
+        "DD8": "asymmetric containment pairs (doc-in-doc)",
+        "TQ2": "intra-document repetition stats",
+        "TQ3": "logistic quality scorer (classifier filtering)",
+        "TT2": "vocabulary heavy-hitters (top-k tokens)",
+        "TT3": "BPE adjacent-pair counts (tokenizer training step)",
+        "TT4": "TF-IDF keyword extraction",
+        "TS2": "domain-mixture downsampling (data mixing)",
+        "TP2": "sliding-window document chunking",
+        "MD1": "JSON metadata extraction (schema-on-read)",
+        "SK1": "salted skew-safe aggregation (two-phase)",
+        "O6": "Z-order (Morton) layout key for multi-dim file pruning",
+        "S14": "CDC upsert merge (anti-join + union)",
+        "S15": "materialized rollup reuse (continuous aggregate)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))
