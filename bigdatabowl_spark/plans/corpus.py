@@ -204,10 +204,7 @@ _LOGIT_W = (0.01, 0.3, -4.0, 6.0)  # n_words, avg_word_len, punct_ratio, stopwor
 _EN_SET = "('the','a','of','and','to','is')"
 
 
-@register(
-    "m10_quality_logit",
-    "TQ3,M1,F4,F6",
-    f"""
+_M10_ORACLE = f"""
     WITH feat AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
@@ -230,8 +227,10 @@ _EN_SET = "('the','a','of','and','to','is')"
                                          + {_LOGIT_W[3]} * stop))), 6) > 0.5 AS BIGINT)
                AS keep_doc
     FROM feat
-    """,
-)
+"""
+
+
+@register("m10_quality_logit", "TQ3,M1,F4,F6", _M10_ORACLE)
 def m10_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: a fixed-weight logistic scorer over the
     ``text_quality`` features (the classifier-filter stage of a pretraining
@@ -530,4 +529,44 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_count_sum(ev, key="event_type", value="value_dec", id_col="event_id")
     return out.select(
         "event_type", "n", F.col("total").cast("double").alias("total")
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    "TQ4,A10,J4,P4",
+    f"""
+    WITH scores AS ({_M10_ORACLE}),
+    thr AS (
+        SELECT round(quantile_cont(quality_score, 0.25), 6) AS q25 FROM scores
+    )
+    SELECT s.doc_id, s.quality_score
+    FROM scores s, thr
+    WHERE s.quality_score > thr.q25
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold quality filtering: drop the bottom quartile of
+    the corpus by model score — the relative (distribution-anchored) filter
+    used when an absolute threshold would over- or under-prune a shifted
+    domain. Composes the logistic scorer (TQ3) with an exact interpolated
+    quantile (A10) and a 1-row threshold broadcast (J4).
+
+    Determinism: both engines compute the same linear-interpolated quantile
+    over identical rounded-6 scores; the threshold is rounded-6 before the
+    strict comparison, so the kept set is identical.
+
+    Scale: one corpus scan to score, a percentile aggregate (partial
+    per-partition state), and a map-only broadcast-threshold filter — at
+    100 TB swap the exact percentile for percentile_approx and keep the
+    same shape.
+    """
+    scores = m10_quality_logit(spark, sf_dir).select("doc_id", "quality_score")
+    thr = scores.agg(
+        F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("q25")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") > F.col("q25"))
+        .select("doc_id", "quality_score")
     )

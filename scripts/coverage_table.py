@@ -87,6 +87,7 @@ def main() -> None:
         "DD8": "asymmetric containment pairs (doc-in-doc)",
         "TQ2": "intra-document repetition stats",
         "TQ3": "logistic quality scorer (classifier filtering)",
+        "TQ4": "percentile-threshold quality filtering",
         "TT2": "vocabulary heavy-hitters (top-k tokens)",
         "TT3": "BPE adjacent-pair counts (tokenizer training step)",
         "TT4": "TF-IDF keyword extraction",
