@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "skew_salted_agg",
     "s15_rollup_reuse",
+    "quality_percentile_filter",
 ]
 
 
