@@ -62,7 +62,7 @@ _RUN_FIRST = (
     "stream_dedup", "m10_quality_logit", "s14_upsert_merge",
     "o6_zorder_layout", "stream_interval_join", "bpe_pair_counts",
     "tfidf_topterms", "chunk_documents", "containment_pairs",
-    "skew_salted_agg", "s15_rollup_reuse", "quality_percentile_filter",
+    "skew_salted_agg", "s15_rollup_reuse", "quality_percentile_filter", "w8_zscore_anomaly",
 )
 
 

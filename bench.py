@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "skew_salted_agg",
     "s15_rollup_reuse",
     "quality_percentile_filter",
+    "w8_zscore_anomaly",
 ]
 
 

@@ -570,3 +570,72 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") > F.col("q25"))
         .select("doc_id", "quality_score")
     )
+
+
+@register(
+    "w8_zscore_anomaly",
+    "W8,W3,A16,F4,F6",
+    """
+    WITH stats AS (
+        SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+               COUNT(value) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n >= 5 AND (ss * n - s * s) > 0
+                THEN round((value * n - s) / sqrt((ss * n - s * s) * n / (n - 1)), 6)
+                END AS zscore,
+           CAST(n >= 5 AND (ss * n - s * s) > 0
+                AND abs(round((value * n - s) / sqrt((ss * n - s * s) * n / (n - 1)), 6)) > 3.0
+                AS BIGINT) AS is_anomaly
+    FROM stats
+    """,
+)
+def w8_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against the
+    mean/stddev of its user's previous 20 events (trailing frame EXCLUDES
+    the current row — the self-exclusion that makes it a proper outlier
+    test). The data-quality primitive for metric streams and for flagging
+    corrupt numeric fields at ingest.
+
+    Determinism: rolling Σv and Σv² go through DECIMAL (2- and 4-decimal —
+    exact, order-free), so mean/variance are ratios of identical doubles in
+    both engines; only the final z (one sqrt + division) is rounded. The
+    z-numerator is scaled by n ((v·n − Σv) / sqrt(...·n/(n−1))) to keep every
+    intermediate a product of exact values. Windows shorter than 5 events or
+    with zero variance yield NULL (no anomaly verdict).
+
+    Scale: one exchange on user_id, O(frame) window state — the same
+    posture as the rolling-kinematics family (W3/SCALE.md §2).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-20, -1)
+    vdec = F.col("value").cast("decimal(18,2)")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.count("value").over(w).alias("n"),
+        F.sum(vdec).over(w).cast("double").alias("s"),
+        F.sum(vdec * vdec).over(w).cast("double").alias("ss"),
+    )
+    var_num = F.col("ss") * F.col("n") - F.col("s") * F.col("s")
+    ok = (F.col("n") >= 5) & (var_num > 0)
+    z = F.round(
+        (F.col("value") * F.col("n") - F.col("s"))
+        / F.sqrt(var_num * F.col("n") / (F.col("n") - 1)),
+        6,
+    )
+    return stats.select(
+        "event_id",
+        "user_id",
+        F.when(ok, z).alias("zscore"),
+        (ok & (F.abs(z) > 3.0)).cast("long").alias("is_anomaly"),
+    )

@@ -88,6 +88,7 @@ def main() -> None:
         "TQ2": "intra-document repetition stats",
         "TQ3": "logistic quality scorer (classifier filtering)",
         "TQ4": "percentile-threshold quality filtering",
+        "W8": "rolling z-score anomaly detection (trailing robust stats)",
         "TT2": "vocabulary heavy-hitters (top-k tokens)",
         "TT3": "BPE adjacent-pair counts (tokenizer training step)",
         "TT4": "TF-IDF keyword extraction",
