@@ -46,7 +46,7 @@ from bigdatabowl_spark.kernels.params import EppaParams, field_grid, tof_values
 OPT_SCHEMA = (
     "gameId long, playId long, frameId int, nflId long, x_opt double, "
     "y_opt double, v_x_opt double, v_y_opt double, eppa_before double, "
-    "eppa_after double"
+    "eppa_after double, invariant_violations long"
 )
 
 
@@ -226,6 +226,18 @@ def optimize_defense(
             placed.insert(2, "frameId", int(fid))
             placed["eppa_before"] = before
             placed["eppa_after"] = after
+            # self-certification for the rows-only driver check: every
+            # placement must be kinematically feasible (speed ≤ s_max — the
+            # candidate filter's own constraint, optimize_def.py:110-118)
+            # and both objective values finite. Greedy argmin is not
+            # guaranteed monotone (the discrete candidate grid may exclude
+            # the current position), so eppa_after ≤ eppa_before is NOT an
+            # invariant — feasibility and finiteness are.
+            speed = np.sqrt(placed["v_x_opt"] ** 2 + placed["v_y_opt"] ** 2)
+            placed["invariant_violations"] = int(
+                (speed > params.s_max + 1e-9).sum()
+                + (0 if np.isfinite(before) and np.isfinite(after) else 1)
+            )
             out.append(placed)
         if not out:
             return pd.DataFrame(columns=cols)

@@ -446,7 +446,31 @@ def frame_surfaces(
     contrib = np.matmul(weight.reshape(1, F * T), p_int.reshape(F * T, J))
     ind_eppa = np.where(is_off, contrib[0], 0.0)
 
+    # 13. self-certification: re-assert the invariants the reference left as
+    # commented-out asserts (play_eppa_cpu.py:338-339) plus the probability-
+    # mass identities the doc promises, so downstream rows-only consumers
+    # (driver t2 without an oracle) carry a machine-checkable verdict in
+    # every row. O(F·T) comparisons — noise next to the kernel itself.
+    eps = 1e-9
+    violations = 0
+    for prob in (p_off, p_def, p_any):  # team probabilities are probabilities
+        violations += int(((prob < -eps) | (prob > 1.0 + eps)).sum())
+    # partitioned split preserves total mass: off + def = p_any
+    violations += int((np.abs(p_off_part + p_def_part - p_any) > 1e-6).sum())
+    # trajectory-integrated catch probs: disjoint events, so sum ≤ 1
+    violations += int(((ppc_off < -eps) | (ppc_def < -eps)).sum())
+    violations += int((ppc_off + ppc_def > 1.0 + 1e-6).sum())
+    # transition surfaces are (possibly empty) probability masses over cells
+    for mass in (trans_prior, trans):
+        violations += int((mass < -eps).sum())
+        msum = float(mass.sum())
+        violations += int(not (msum == 0.0 or abs(msum - 1.0) <= 1e-6))
+    violations += int((~np.isfinite(eppa_ft)).sum())
+    # attribution stays on offense (play_eppa_cpu.py:553-559)
+    violations += int(np.abs(ind_eppa[~is_off]).sum() > 0.0)
+
     return {
+        "invariant_violations": violations,
         "p_off": p_off.copy(),
         "p_def": p_def.copy(),
         "ppc_off": ppc_off.copy(),
@@ -469,18 +493,20 @@ def frame_surfaces(
 FIELD_SCHEMA = (
     "gameId long, playId long, frameId int, ball_end_x double, ball_end_y double, "
     "eppa1 double, eppa1m double, p_int_off double, p_int_def double, "
-    "ppc_off double, ppc_def double, trans double, xyac double, xepa_comp double"
+    "ppc_off double, ppc_def double, trans double, xyac double, xepa_comp double, "
+    "invariant_violations long"
 )
 
 PASS_SCHEMA = (
     "gameId long, playId long, frameId int, frames_after_snap int, "
     "eppa1_tot double, max_eppa1_x double, max_eppa1_y double, max_eppa1_T double, "
-    "max_eppa1_ppc_off double, max_eppa1_trans double, max_eppa1 double"
+    "max_eppa1_ppc_off double, max_eppa1_trans double, max_eppa1 double, "
+    "invariant_violations long"
 )
 
 PLAYER_SCHEMA = (
     "gameId long, playId long, frameId int, nflId long, team_pos string, "
-    "ind_eppa1 double"
+    "ind_eppa1 double, invariant_violations long"
 )
 
 
@@ -609,6 +635,7 @@ def eppa_field_surface(
                 "trans": s["trans"].sum(axis=1),
                 "xyac": s["xyac"],
                 "xepa_comp": s["xepa_comp"],
+                "invariant_violations": int(s["invariant_violations"]),
             }
         )
 
@@ -647,6 +674,7 @@ def eppa_pass_summary(
                     "max_eppa1_ppc_off": float(s["ppc_off"][f_i, T_i]),
                     "max_eppa1_trans": float(s["trans"][f_i, T_i]),
                     "max_eppa1": float(s["eppa_ft"][f_i, T_i]),
+                    "invariant_violations": int(s["invariant_violations"]),
                 }
             ]
         )
@@ -675,6 +703,7 @@ def eppa_player_stats(
                 "nflId": s["nflId"],
                 "team_pos": s["team_pos_players"],
                 "ind_eppa1": s["ind_eppa"],
+                "invariant_violations": int(s["invariant_violations"]),
             }
         )
 

@@ -193,25 +193,89 @@ def lsh_candidate_pairs(
     )
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One Large-Star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", §3): for every node u with neighbourhood Γ(u),
+    connect each strictly-larger neighbour to m = min(Γ(u) ∪ {u}).
+    Input/output: symmetric-free undirected edge list (a, b), no self-loops.
+    """
+    m = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select("a", F.least("a", "_nb").alias("m"))
+    )
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One Small-Star round (ibid.): orient every edge toward its smaller
+    endpoint, then for each node u connect u and all its smaller neighbours
+    to m = min(Γ≤(u) ∪ {u}). Output is larger→smaller oriented (a > b)."""
+    orient = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    m = (
+        orient.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select("a", F.least("a", "_nb").alias("m"))
+    )
+    joined = orient.join(m, "a")
+    nbr_edges = joined.select(F.col("b").alias("node"), F.col("m"))
+    self_edges = m.select(F.col("a").alias("node"), F.col("m"))
+    return (
+        nbr_edges.union(self_edges)
+        .filter(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # xor-fold, not sum: order-independent and cannot overflow ANSI long
+        F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components(
-    edges: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 50,
+    star_after: int = 3,
 ) -> DataFrame:
-    """Connected components over an undirected edge list via hash-min label
-    propagation: every node starts labelled with its own id, and each round
-    takes the min label over itself and its neighbours until a fixpoint.
+    """Connected components over an undirected edge list.
+
+    Phase 1 — hash-min label propagation: every node starts labelled with
+    its own id; each round takes the min label over itself and its
+    neighbours. Rounds needed = graph diameter, and near-dup graphs are
+    dense local cliques (LSH bands link most pairs directly), so this
+    converges in 2-4 rounds on real corpora.
+
+    Phase 2 — if phase 1 has not converged after `star_after` rounds the
+    graph has a long-diameter tail (adversarial dup-chains), so switch to
+    alternating Large-Star/Small-Star contraction (Kiveris et al. 2014),
+    which converges in O(log n) rounds with the same per-round shuffle
+    shape. The star phase is seeded with the original edges PLUS the
+    current labels-as-edges — each label edge joins a node to a member of
+    its own component, so components are preserved and phase-1 progress is
+    kept as shortcuts.
 
     Returns (node, comp) for every node that appears in at least one edge
     (singletons have no duplicates to resolve and are excluded by both this
-    and the oracle's recursive CTE).
+    and the oracle's recursive CTE); comp = component-minimum id.
 
-    Scale posture (100 TB): each round is one shuffle on the node key plus a
-    map-side `least`; rounds needed = graph diameter. Near-dup graphs are
-    dense local cliques (LSH bands link most pairs directly), so diameter is
-    tiny — 2-4 rounds in practice. For adversarial long-chain graphs switch
-    the round body to large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log n) rounds with the
-    same per-round shuffle shape. The driver-side loop is control flow only
-    (Pregel-style superstep barrier); all data stays distributed, and
+    Scale posture (100 TB): every round in both phases is one shuffle on
+    the node key plus a map-side min; the driver-side loop is control flow
+    only (Pregel-style superstep barrier); all data stays distributed, and
     localCheckpoint truncates the growing lineage each round so the plan
     does not re-execute prior rounds.
     """
@@ -225,7 +289,7 @@ def connected_components(
         .agg(F.min("b").alias("_nb"))
         .select(F.col("a").alias("node"), F.least("a", "_nb").alias("comp"))
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
@@ -239,8 +303,34 @@ def connected_components(
         changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
         labels = upd.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
+            return labels
+        if rnd + 1 >= star_after:
             break
-    return labels
+    # Phase 2: star contraction on original edges + label shortcuts.
+    star = (
+        sym.filter(F.col("a") != F.col("b"))
+        .union(labels.filter(F.col("node") != F.col("comp"))
+               .select(F.col("node").alias("a"), F.col("comp").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = None
+    for _ in range(max_iter):
+        sym2 = star.union(
+            star.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        star = _small_star(_large_star(sym2)).localCheckpoint()
+        new_fp = _edge_fingerprint(star)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # at the fixpoint every edge is (member → component root)
+    roots = star.select(F.col("b").alias("node")).subtract(
+        star.select(F.col("a").alias("node"))
+    )
+    return star.select(F.col("a").alias("node"), F.col("b").alias("comp")).union(
+        roots.select("node", F.col("node").alias("comp"))
+    )
 
 
 def dup_clusters(

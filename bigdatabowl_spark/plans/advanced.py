@@ -40,12 +40,15 @@ from bigdatabowl_spark.plans.catalog import register, t, dsum
     """,
 )
 def a20_gamma_moments_fit(spark: SparkSession, sf_dir: str):
-    """Gamma distribution fit per group (method of moments).
+    """Gamma distribution fit per group (method of moments) — the
+    oracle-exact twin of the MLE path.
 
     Reference: gamma MLE per group for p(t), P(T|L) priors
-    (historical-L-T.ipynb · cells 5,12,25). The closed-form moment fit is the
-    relational flavor; the numpy MLE flavor lives in kernels/priors.py with
-    its own tests. Moments are decimal-exact → formulas bit-stable.
+    (historical-L-T.ipynb · cells 5,12,25). Moments are decimal-exact →
+    formulas bit-stable, so this flavor carries the cross-engine hash
+    oracle; the reference-faithful estimator (scipy ≡ digamma-Newton MLE)
+    is the a20b_gamma_mle_fit catalog entry, which self-certifies against
+    this fit by the MLE optimality property.
     """
     ev = t(spark, sf_dir, "events")
     v = dec("value")
@@ -65,6 +68,78 @@ def a20_gamma_moments_fit(spark: SparkSession, sf_dir: str):
         F.round(mean * mean / var, 8).alias("gamma_shape"),
         F.round(var / mean, 8).alias("gamma_scale"),
     )
+
+
+@register(
+    "a20b_gamma_mle_fit",
+    "A20,A21,M8",
+    None,  # Newton-on-digamma is not SQL-expressible — rows-only; the query
+    # SELF-CERTIFIES instead: by definition the MLE attains at least the
+    # moment fit's log-likelihood on the same sample, and that comparison is
+    # emitted as invariant_violations (must be 0 in every row).
+)
+def a20b_gamma_mle_fit(spark: SparkSession, sf_dir: str):
+    """Per-group gamma MLE — the reference's actual estimator
+    (scipy.stats.gamma.fit(floc=0) ≡ Newton on the digamma likelihood
+    equation; historical-L-T.ipynb · cells 5,12). Runs kernels/priors.py's
+    deterministic pure-NumPy MLE inside applyInPandas (one group per Arrow
+    batch) and emits BOTH estimators plus their log-likelihoods, so the
+    rows-only driver check exercises the estimator's defining property:
+    loglik_mle ≥ loglik_mom.
+
+    Scale: one shuffle on the group key; the fit is O(n log-iterations) per
+    group. In the real priors pipeline the group axis is the 60 distance
+    bins × adaptive windows (thousands of groups at 100 TB) — parallelism
+    comes from groups, and each group's sample fits one Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from math import lgamma
+
+    from bigdatabowl_spark.kernels.priors import gamma_mle
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    schema = (
+        "event_type string, n long, shape_mle double, scale_mle double, "
+        "shape_mom double, scale_mom double, loglik_mle double, "
+        "loglik_mom double, invariant_violations long"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        x = x[x > 0]
+        k_mle, th_mle = gamma_mle(x)
+        mean = x.mean()
+        var = x.var(ddof=1)
+        k_mom, th_mom = mean * mean / var, var / mean
+        ln_sum = float(np.log(x).sum())
+
+        def loglik(k: float, th: float) -> float:
+            return (
+                (k - 1.0) * ln_sum
+                - float(x.sum()) / th
+                - len(x) * (k * np.log(th) + lgamma(k))
+            )
+
+        ll_mle, ll_mom = loglik(k_mle, th_mle), loglik(k_mom, th_mom)
+        viol = int(not (ll_mle >= ll_mom - 1e-6 * abs(ll_mom)))
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": str(pdf["event_type"].iloc[0]),
+                    "n": len(x),
+                    "shape_mle": float(k_mle),
+                    "scale_mle": float(th_mle),
+                    "shape_mom": float(k_mom),
+                    "scale_mom": float(th_mom),
+                    "loglik_mle": float(ll_mle),
+                    "loglik_mom": float(ll_mom),
+                    "invariant_violations": viol,
+                }
+            ]
+        )
+
+    return ev.groupBy("event_type").applyInPandas(fit, schema)
 
 
 @register(

@@ -369,6 +369,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange serves both (pinned in test_plan_quality). The document-
     frequency table is vocabulary-sized and broadcasts onto tf; the global
     doc count is a 1-row broadcast (J4).
+
+    Deliberate recompute-over-cache: the tf lineage is consumed twice (the
+    document-frequency branch and the scored branch), so tokenize→explode→
+    agg runs twice per job. Caching tf would trade that recompute for
+    materializing a corpus-sized (doc_id, tok, c) intermediate — at 100 TB
+    that spills and evicts far more than the cheap narrow tokenize costs,
+    so the engine recomputes (a consumer pinning many downstream jobs can
+    still `.persist()` the returned plan's parent explicitly).
     """
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window
@@ -553,8 +561,13 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile (A10) and a 1-row threshold broadcast (J4).
 
     Determinism: both engines compute the same linear-interpolated quantile
-    over identical rounded-6 scores; the threshold is rounded-6 before the
-    strict comparison, so the kept set is identical.
+    over identical rounded-6 scores, and the threshold is rounded-6 before
+    the strict comparison. This is the catalog's documented last-ulp risk
+    class (catalog.py header): if the unrounded quantile ever lands within
+    one ulp of a 1e-6 rounding boundary, the rounded thresholds could
+    differ between engines and flip the boundary documents under the strict
+    `>`. Not observed at any tested SF; the residual risk is accepted like
+    every other rounded-float comparison in the catalog.
 
     Scale: one corpus scan to score, a percentile aggregate (partial
     per-partition state), and a map-only broadcast-threshold filter — at

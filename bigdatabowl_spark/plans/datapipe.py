@@ -675,7 +675,7 @@ PACK_SHARDS = 32  # shard count — scales with corpus so each shard ≈ one fil
                                    ROWS UNBOUNDED PRECEDING) AS running
         FROM toks
     )
-    SELECT shard, (running - n_tokens) // {PACK_BUDGET} AS pack_no,
+    SELECT shard, CAST((running - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_no,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM cum

@@ -240,7 +240,8 @@ def q_s4_prior_artifact_lifecycle(spark: SparkSession, sf_dir: str):
         "gameId", "playId", "frameId", F.col("eppa1_tot").alias("eppa1_tot_base")
     )
     redo = eppa_pass_summary(norm, priors=reloaded).select(
-        "gameId", "playId", "frameId", "eppa1_tot", "max_eppa1"
+        "gameId", "playId", "frameId", "eppa1_tot", "max_eppa1",
+        "invariant_violations",
     )
     return redo.join(base, ["gameId", "playId", "frameId"]).select(
         "gameId",
@@ -249,6 +250,7 @@ def q_s4_prior_artifact_lifecycle(spark: SparkSession, sf_dir: str):
         "eppa1_tot",
         "max_eppa1",
         (F.col("eppa1_tot") == F.col("eppa1_tot_base")).alias("bitexact"),
+        "invariant_violations",
     )
 
 

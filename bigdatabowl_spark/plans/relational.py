@@ -384,8 +384,11 @@ def u4_semi_anti(spark: SparkSession, sf_dir: str):
     "a7b_approx_sketches",
     "A7,A10,M8",
     None,  # sketches are engine-specific — no cross-engine hash oracle;
-    # accuracy is pinned by tests/test_operators.py::test_approx_sketches
-    # against the exact aggregates (≤5% relative error)
+    # instead the query SELF-CERTIFIES: it computes the exact aggregates in
+    # the same plan and emits per-group relative errors plus an
+    # invariant_violations count that must be 0 (≤5% tolerance, same bound
+    # as tests/test_operators.py::test_approx_sketches), so the driver's
+    # rows-only check still exercises real sketch accuracy.
 )
 def a7b_approx_sketches(spark: SparkSession, sf_dir: str):
     """Sketch aggregates — the 100 TB path for distinct counts and
@@ -393,20 +396,29 @@ def a7b_approx_sketches(spark: SparkSession, sf_dir: str):
     percentile_approx as the Spark primitives; the exact twins
     a7_distinct_counts / a10_quantiles are the oracle-checkable versions).
     HLL++ and KLL-style sketches keep state O(1) per group and merge
-    associatively, so the partial/final split holds at any scale."""
+    associatively, so the partial/final split holds at any scale. The exact
+    twin columns here are the verification harness, not the scale path."""
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
-        )
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            F.col("price_q")[0].alias("price_p50"),
-            F.col("price_q")[1].alias("price_p95"),
-        )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("price_q_exact"),
+    )
+    orders_err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
+    p50_err = F.abs(F.col("price_q")[0] - F.col("price_q_exact")[0]) / F.col("price_q_exact")[0]
+    p95_err = F.abs(F.col("price_q")[1] - F.col("price_q_exact")[1]) / F.col("price_q_exact")[1]
+    return agg.select(
+        "l_returnflag",
+        "approx_orders",
+        F.col("price_q")[0].alias("price_p50"),
+        F.col("price_q")[1].alias("price_p95"),
+        F.round(orders_err, 6).alias("orders_rel_err"),
+        (
+            (orders_err > 0.05).cast("long")
+            + (p50_err > 0.05).cast("long")
+            + (p95_err > 0.05).cast("long")
+        ).alias("invariant_violations"),
     )
 
 

@@ -269,6 +269,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Run to completion (availableNow → append memory sink) the emitted pairs
     equal the batch range join, which is the oracle.
+
+    Watermark width: production would use a tight watermark (slightly wider
+    than the 10-minute join interval) so state is bounded; HERE it is set
+    wider than the test data's whole time span, because the verification
+    contract is exact equality with the batch oracle and a tight watermark
+    may drop cross-micro-batch matches if the source ever splits into
+    multiple files/micro-batches (stream_dedup guards its analogous edge
+    with a terminal .distinct()). At 100 TB, tighten it to the business
+    lateness bound — the join logic is unchanged.
     """
     from bigdatabowl_spark.session import configure
     from bigdatabowl_spark.sources.tables import epoch_us_col
@@ -293,7 +302,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("user_id").alias(f"{prefix}_user"),
                 f"{prefix}_time",
             )
-            .withWatermark(f"{prefix}_time", "30 minutes")
+            # wider than the dataset's full span — see docstring
+            .withWatermark(f"{prefix}_time", "3650 days")
         )
 
     err, pur = _side("error", "err"), _side("purchase", "p")

@@ -22,6 +22,28 @@ def test_every_query_has_oracle_or_doc():
         assert q.doc or q.builder.__doc__, f"{name} missing docstring"
 
 
+def test_no_oracle_emits_hugeint(sf_dir):
+    """Driver-hash-safety gate: DuckDB HUGEINT/UBIGINT columns convert to a
+    different pandas kind (float/object) than Spark's BIGINT (int64), so a
+    type-tagged hash mismatches even when every value is identical — the
+    round-2 pack_sequences failure class. DESCRIBE-only, so it's cheap and
+    catches any oracle whose window/plain SUM arithmetic escapes un-CAST.
+    """
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from tests.oracle_harness import duck_connection
+
+    con = duck_connection(sf_dir)
+    offenders = []
+    for name, q in CATALOG.items():
+        if q.oracle is None:
+            continue
+        for col, dtyp, *_ in con.execute("DESCRIBE " + q.oracle).fetchall():
+            if "HUGEINT" in dtyp.upper() or "UBIGINT" in dtyp.upper():
+                offenders.append((name, col, dtyp))
+    assert not offenders, f"oracle columns need CAST(... AS BIGINT): {offenders}"
+
+
 def test_catalog_matches_duckdb_oracle(spark, sf_dir):
     results = run_all(spark, sf_dir)
     failures = {k: v for k, v in results.items() if v}

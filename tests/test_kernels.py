@@ -117,6 +117,13 @@ def test_trans_normalized(surfaces):
     assert (surfaces["trans"] >= 0).all()
 
 
+def test_invariant_certification(surfaces):
+    """The kernel's step-13 self-certification (the reference's disabled
+    asserts, play_eppa_cpu.py:338-339) must report zero violations on a
+    well-formed frame — this is the value the rows-only driver check sees."""
+    assert surfaces["invariant_violations"] == 0
+
+
 def test_defender_suppresses_completion(surfaces):
     """Geometry sanity: a cell on top of a defender (60,26) has higher
     def-intercept probability than an empty deep corner."""
@@ -185,6 +192,7 @@ def test_eppa_field_surface_spark(spark, norm_fixture):
     assert (pdf["eppa1"] >= -5).all() and np.isfinite(pdf["eppa1"]).all()
     frames = [r.frameId for r in out.select("frameId").distinct().collect()]
     assert sorted(frames) == [16, 17, 18, 19, 20]
+    assert (pdf["invariant_violations"] == 0).all()
 
 
 def test_eppa_pass_summary_spark(spark, norm_fixture):
@@ -192,6 +200,7 @@ def test_eppa_pass_summary_spark(spark, norm_fixture):
     assert len(pdf) == 5  # one row per eligible frame
     assert (pdf["max_eppa1"] > 0).all()
     assert pdf["playId"].unique().tolist() == [100]  # play 200 guarded out
+    assert (pdf["invariant_violations"] == 0).all()
 
 
 def test_eppa_player_stats_spark(spark, norm_fixture):
@@ -200,6 +209,7 @@ def test_eppa_player_stats_spark(spark, norm_fixture):
     assert len(pdf) == 20
     off_share = pdf[pdf.team_pos == "OFF"]["ind_eppa1"].sum()
     assert off_share > 0
+    assert (pdf["invariant_violations"] == 0).all()
 
 
 # ------------------------------------------------- full-width value models

@@ -167,6 +167,38 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain(spark):
+    """Adversarial long-diameter graph: a 60-node path. Hash-min alone
+    needs ~diameter rounds; the star phase (Kiveris et al. 2014) must take
+    over after star_after rounds and still resolve every node to comp=0 —
+    well inside max_iter (O(log n) star rounds)."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long"
+    )
+    comp = {
+        r.node: r.comp
+        for r in dedup.connected_components(edges, star_after=3, max_iter=15).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_phase_multi_component(spark):
+    """Star phase keeps components separate: two long chains + a clique."""
+    chain1 = [(i, i + 1) for i in range(0, 19)]          # comp 0: 0..19
+    chain2 = [(i, i + 1) for i in range(100, 119)]       # comp 100: 100..119
+    clique = [(a, b) for a in range(200, 204) for b in range(a + 1, 204)]
+    edges = spark.createDataFrame(chain1 + chain2 + clique, "doc1 long, doc2 long")
+    comp = {
+        r.node: r.comp
+        for r in dedup.connected_components(edges, star_after=2, max_iter=15).collect()
+    }
+    want = {i: 0 for i in range(20)}
+    want.update({i: 100 for i in range(100, 120)})
+    want.update({i: 200 for i in range(200, 204)})
+    assert comp == want
+
+
 def test_dup_clusters_end_to_end(spark, sf_dir):
     """Cluster resolution: every doc in exactly one cluster, cluster_id is
     the min member (canonical), sizes consistent, and members of a cluster
