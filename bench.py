@@ -78,6 +78,18 @@ BENCH_QUERIES = [
     "w8_zscore_anomaly",
 ]
 
+# Kernel-path queries that already have a min-of-2 headline representative
+# (eppa_kernel_play / m2_value_model_width): timed with a single run in the
+# full-catalog sweep so the bench stays fast while every catalog query still
+# gets a round-over-round regression number.
+SINGLE_RUN = {
+    "eppa_field_surface",
+    "eppa_pass_summary",
+    "eppa_player_stats",
+    "s4_prior_artifact_lifecycle",
+    "m5_tuning_dataset",
+}
+
 
 def _synthetic_play(spark, n_frames: int, n_plays: int = 8):
     """22-player plays with snap/throw events for the EPPA kernel bench —
@@ -147,13 +159,18 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
+    # Full-catalog sweep: headline queries first (stable ordering for
+    # round-over-round diffs), then every remaining catalog entry so a
+    # regression in any query is visible in BENCH_r{N} (VERDICT r2 task 6).
+    all_names = BENCH_QUERIES + [n for n in CATALOG if n not in set(BENCH_QUERIES)]
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in all_names:
         q = CATALOG.get(name)
         if q is None:
             continue
+        n_runs = 1 if name in SINGLE_RUN else 2
         best = None
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             df.count()

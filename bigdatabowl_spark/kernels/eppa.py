@@ -451,21 +451,40 @@ def frame_surfaces(
     # mass identities the doc promises, so downstream rows-only consumers
     # (driver t2 without an oracle) carry a machine-checkable verdict in
     # every row. O(F·T) comparisons — noise next to the kernel itself.
+    # All comparisons write into reused workspace buffers — fresh 2 MB
+    # allocations per frame would re-fault pages every call under this VM's
+    # lazy first-touch instantiation and measurably drag kernel throughput.
     eps = 1e-9
     violations = 0
+    bws = _ws("fs.inv_bool", (F, T), dtype=np.bool_)
+    fws = tmp_ft  # (F,T) float scratch; weight is dead after the contrib matmul
     for prob in (p_off, p_def, p_any):  # team probabilities are probabilities
-        violations += int(((prob < -eps) | (prob > 1.0 + eps)).sum())
+        np.less(prob, -eps, out=bws)
+        violations += int(np.count_nonzero(bws))
+        np.greater(prob, 1.0 + eps, out=bws)
+        violations += int(np.count_nonzero(bws))
     # partitioned split preserves total mass: off + def = p_any
-    violations += int((np.abs(p_off_part + p_def_part - p_any) > 1e-6).sum())
+    np.add(p_off_part, p_def_part, out=fws)
+    fws -= p_any
+    np.abs(fws, out=fws)
+    np.greater(fws, 1e-6, out=bws)
+    violations += int(np.count_nonzero(bws))
     # trajectory-integrated catch probs: disjoint events, so sum ≤ 1
-    violations += int(((ppc_off < -eps) | (ppc_def < -eps)).sum())
-    violations += int((ppc_off + ppc_def > 1.0 + 1e-6).sum())
+    np.less(ppc_off, -eps, out=bws)
+    violations += int(np.count_nonzero(bws))
+    np.less(ppc_def, -eps, out=bws)
+    violations += int(np.count_nonzero(bws))
+    np.add(ppc_off, ppc_def, out=fws)
+    np.greater(fws, 1.0 + 1e-6, out=bws)
+    violations += int(np.count_nonzero(bws))
     # transition surfaces are (possibly empty) probability masses over cells
     for mass in (trans_prior, trans):
-        violations += int((mass < -eps).sum())
+        np.less(mass, -eps, out=bws)
+        violations += int(np.count_nonzero(bws))
         msum = float(mass.sum())
         violations += int(not (msum == 0.0 or abs(msum - 1.0) <= 1e-6))
-    violations += int((~np.isfinite(eppa_ft)).sum())
+    np.isfinite(eppa_ft, out=bws)
+    violations += int(eppa_ft.size - np.count_nonzero(bws))
     # attribution stays on offense (play_eppa_cpu.py:553-559)
     violations += int(np.abs(ind_eppa[~is_off]).sum() > 0.0)
 

@@ -260,9 +260,12 @@ def connected_components(
     dense local cliques (LSH bands link most pairs directly), so this
     converges in 2-4 rounds on real corpora.
 
-    Phase 2 — if phase 1 has not converged after `star_after` rounds the
-    graph has a long-diameter tail (adversarial dup-chains), so switch to
-    alternating Large-Star/Small-Star contraction (Kiveris et al. 2014),
+    Phase 2 — if phase 1 has not converged after `star_after` rounds AND
+    the un-converged frontier is still a meaningful fraction of the graph
+    (> max(64, 1%) of nodes — an adversarial long chain keeps ~half its
+    nodes changing every round, while a real dup-graph's tail is a handful
+    of stragglers that one more cheap propagation round finishes), switch
+    to alternating Large-Star/Small-Star contraction (Kiveris et al. 2014),
     which converges in O(log n) rounds with the same per-round shuffle
     shape. The star phase is seeded with the original edges PLUS the
     current labels-as-edges — each label edge joins a node to a member of
@@ -289,6 +292,7 @@ def connected_components(
         .agg(F.min("b").alias("_nb"))
         .select(F.col("a").alias("node"), F.least("a", "_nb").alias("comp"))
     )
+    n_nodes = None  # lazily counted only if a star switch is considered
     for rnd in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -305,7 +309,10 @@ def connected_components(
         if changed == 0:
             return labels
         if rnd + 1 >= star_after:
-            break
+            if n_nodes is None:
+                n_nodes = labels.count()
+            if changed > max(64, n_nodes // 100):
+                break  # large frontier after star_after rounds → long chain
     # Phase 2: star contraction on original edges + label shortcuts.
     star = (
         sym.filter(F.col("a") != F.col("b"))

@@ -360,23 +360,53 @@ _FEATURES: list[tuple[str, float]] = [
 assert len(_FEATURES) == 26
 
 
-def _leaf(c: int, j: int, k: int) -> str:
-    # deterministic leaf weights in [-0.5, 0.5] — margins stay in [-1, 1] so
-    # exp() is well-conditioned for the softmax
-    return f"CAST({((c * 31 + j * 17 + k * 7) % 11 - 5) / 10.0} AS DOUBLE)"
+# The ensemble spec is data, not code: one row per depth-2 tree holding
+# feature *indices* into _FEATURES plus thresholds and leaf weights (in
+# [-0.5, 0.5] so margins stay in [-1, 1] and exp() is well-conditioned).
+# m1's builder round-trips these rows through a parquet model artifact (the
+# S6 lifecycle, mirroring the reference's version-pinned model binaries at
+# play_eppa_cpu.py:80-87) and regenerates the SQL from the *loaded* rows.
+_SPEC_ROWS: list[dict] = [
+    {
+        "tree_id": 2 * c + j,
+        "cls": c,
+        "fa_idx": (2 * c + j) % 26,
+        "thr_a": _FEATURES[(2 * c + j) % 26][1],
+        "fb_idx": (2 * c + j + 7) % 26,
+        "thr_b": _FEATURES[(2 * c + j + 7) % 26][1],
+        "leaves": [((c * 31 + j * 17 + k * 7) % 11 - 5) / 10.0 for k in range(4)],
+    }
+    for c in range(_N_CLASSES)
+    for j in range(2)
+]
 
 
-def _tree_sql(c: int, j: int) -> str:
-    fa, ta = _FEATURES[(2 * c + j) % 26]
-    fb, tb = _FEATURES[(2 * c + j + 7) % 26]
-    l0, l1, l2, l3 = (_leaf(c, j, k) for k in range(4))
+def _tree_sql_from(row: dict) -> str:
+    fa = _FEATURES[row["fa_idx"]][0]
+    fb = _FEATURES[row["fb_idx"]][0]
+    ta, tb = row["thr_a"], row["thr_b"]
+    l0, l1, l2, l3 = (f"CAST({v} AS DOUBLE)" for v in row["leaves"])
     return (
         f"CASE WHEN {fa} < {ta} THEN (CASE WHEN {fb} < {tb} THEN {l0} ELSE {l1} END) "
         f"ELSE (CASE WHEN {fb} < {tb} THEN {l2} ELSE {l3} END) END"
     )
 
 
-_MARGINS = [f"({_tree_sql(c, 0)} + {_tree_sql(c, 1)})" for c in range(_N_CLASSES)]
+def _margins_from(rows: list[dict]) -> list[str]:
+    """Per-class margin SQL from spec rows (order by tree_id within class —
+    deterministic regardless of artifact read order)."""
+    per_class: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: r["tree_id"]):
+        per_class.setdefault(r["cls"], []).append(_tree_sql_from(r))
+    return [f"({' + '.join(per_class[c])})" for c in range(_N_CLASSES)]
+
+
+_MARGINS = _margins_from(_SPEC_ROWS)
+
+# Loaded-spec cache: the reference loads its model binaries once at process
+# start (play_eppa_cpu.py:80-87), not per query — the first m1 build does the
+# full save→reload lifecycle, repeat builds reuse the loaded spec.
+_SPEC_LOADED: list[dict] | None = None
 _M_COLS = ", ".join(f"{m} AS m{c}" for c, m in enumerate(_MARGINS))
 _Z = " + ".join(f"exp(m{c})" for c in range(_N_CLASSES))
 _BEST = "CASE " + " ".join(
@@ -415,10 +445,25 @@ def m1_tree_ensemble_score(spark: SparkSession, sf_dir: str):
     here the whole ensemble — 16 depth-2 trees, softmax, expectation — is
     generated relational logic running inside WholeStageCodegen, the fast
     path for small ensembles (no Python round-trip, vectorized JVM).
+
+    The model-binary lifecycle (S6) is real: the spec is persisted as a
+    parquet artifact and the CASE cascade is regenerated from the *reloaded*
+    rows. parquet round-trips float64 bit-exactly and floats format via
+    repr, so the regenerated SQL is string-identical to the static oracle —
+    asserted here, so any artifact drift fails loudly instead of silently
+    diverging from the oracle.
     """
+    from bigdatabowl_spark.sources.artifacts import roundtrip_relational_spec
+
+    global _SPEC_LOADED
+    if _SPEC_LOADED is None:
+        _SPEC_LOADED = roundtrip_relational_spec(spark, _SPEC_ROWS)
+    margins = _margins_from(_SPEC_LOADED)
+    assert margins == _MARGINS, "ensemble artifact drifted from compiled spec"
+
     o = t(spark, sf_dir, "orders")
     feats = o.select(
-        "o_orderkey", *[F.expr(m).alias(f"m{c}") for c, m in enumerate(_MARGINS)]
+        "o_orderkey", *[F.expr(m).alias(f"m{c}") for c, m in enumerate(margins)]
     )
     scored = feats.select(
         "o_orderkey",

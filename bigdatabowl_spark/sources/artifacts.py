@@ -19,6 +19,7 @@ import os
 import numpy as np
 from pyspark.sql import SparkSession
 
+from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
 from bigdatabowl_spark.kernels.eppa import EppaPriors
 from bigdatabowl_spark.kernels.priors import (
     T_given_L_prior,
@@ -76,11 +77,172 @@ def roundtrip_priors(spark: SparkSession, out_dir: str = DEFAULT_ARTIFACT_DIR) -
     return load_priors(spark, out_dir)
 
 
+# --------------------------------------------------------------------------
+# Model-binary lifecycle (S6): tree-ensemble spec → parquet → reload
+# --------------------------------------------------------------------------
+# The reference loads version-pinned serialized model binaries at kernel
+# start (play_eppa_cpu.py:80-87, treelite .so + xgboost .model). The engine's
+# equivalent model binary is the TreeEnsemble spec — a 16-row parquet table
+# (one row per depth-2 tree) plus an 8-row class-value table. float64 values
+# round-trip bit-exactly through parquet, so a reloaded ensemble scores
+# bit-identically to the in-memory spec; q_m2_value_model_width certifies
+# this in-query the way s4_prior_artifact_lifecycle does for priors.
+
+DEFAULT_ENSEMBLE_DIR = os.path.join(_REPO_ROOT, "spark-warehouse", "artifacts", "ensemble")
+
+_TREE_SCHEMA = (
+    "tree_id int, tree_class int, feat_a int, thr_a double, "
+    "feat_b int, thr_b double, leaves array<double>"
+)
+
+
+def save_ensemble(
+    spark: SparkSession,
+    ens: TreeEnsemble | None = None,
+    out_dir: str = DEFAULT_ENSEMBLE_DIR,
+) -> dict[str, str]:
+    """Persist a TreeEnsemble as parquet model artifacts (S6/S11; overwrite →
+    idempotent resume, the S12 property)."""
+    ens = ens or TreeEnsemble.default()
+    tree_rows = [
+        (
+            t,
+            int(ens.tree_class[t]),
+            int(ens.feat_a[t]),
+            float(ens.thr_a[t]),
+            int(ens.feat_b[t]),
+            float(ens.thr_b[t]),
+            [float(v) for v in ens.leaves[t]],
+        )
+        for t in range(len(ens.feat_a))
+    ]
+    ep_rows = [(c, float(v)) for c, v in enumerate(ens.epvals)]
+    paths = {
+        "trees": os.path.join(out_dir, "trees"),
+        "epvals": os.path.join(out_dir, "epvals"),
+    }
+    # coalesce(1): a 16-row / 8-row artifact is one file, one read task
+    spark.createDataFrame(tree_rows, _TREE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(paths["trees"])
+    spark.createDataFrame(ep_rows, "class_id int, epval double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(paths["epvals"])
+    return paths
+
+
+def load_ensemble(spark: SparkSession, out_dir: str = DEFAULT_ENSEMBLE_DIR) -> TreeEnsemble:
+    """Reload parquet model artifacts into a TreeEnsemble (S6: binary → model).
+
+    Row order is restored from the explicit tree_id/class_id columns, so the
+    rebuild is deterministic regardless of file/task read order.
+    """
+    tree_rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "trees")).collect(),
+        key=lambda r: r["tree_id"],
+    )
+    ep_rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "epvals")).collect(),
+        key=lambda r: r["class_id"],
+    )
+    return TreeEnsemble(
+        feat_a=np.array([r["feat_a"] for r in tree_rows], dtype=np.int64),
+        thr_a=np.array([r["thr_a"] for r in tree_rows], dtype=np.float64),
+        feat_b=np.array([r["feat_b"] for r in tree_rows], dtype=np.int64),
+        thr_b=np.array([r["thr_b"] for r in tree_rows], dtype=np.float64),
+        leaves=np.array([r["leaves"] for r in tree_rows], dtype=np.float64),
+        tree_class=np.array([r["tree_class"] for r in tree_rows], dtype=np.int64),
+        epvals=np.array([r["epval"] for r in ep_rows], dtype=np.float64),
+    )
+
+
+def roundtrip_ensemble(
+    spark: SparkSession,
+    ens: TreeEnsemble | None = None,
+    out_dir: str = DEFAULT_ENSEMBLE_DIR,
+) -> TreeEnsemble:
+    """Full save→reload cycle returning the reloaded ensemble."""
+    save_ensemble(spark, ens, out_dir)
+    return load_ensemble(spark, out_dir)
+
+
+# The relational twin (m1_tree_ensemble_score) compiles its spec to SQL; its
+# artifact is the same 16-row tree table with feature *indices* into the
+# query's static feature-expression list. The loaded rows regenerate the CASE
+# cascade bit-identically (floats print via repr, which parquet preserves).
+
+DEFAULT_RELATIONAL_SPEC_DIR = os.path.join(
+    _REPO_ROOT, "spark-warehouse", "artifacts", "relational_ensemble"
+)
+
+_SPEC_SCHEMA = (
+    "tree_id int, cls int, fa_idx int, thr_a double, "
+    "fb_idx int, thr_b double, leaves array<double>"
+)
+
+
+def save_relational_spec(
+    spark: SparkSession, rows: list[dict], out_dir: str = DEFAULT_RELATIONAL_SPEC_DIR
+) -> str:
+    """Persist the relational-ensemble spec rows as a parquet artifact."""
+    data = [
+        (
+            int(r["tree_id"]),
+            int(r["cls"]),
+            int(r["fa_idx"]),
+            float(r["thr_a"]),
+            int(r["fb_idx"]),
+            float(r["thr_b"]),
+            [float(v) for v in r["leaves"]],
+        )
+        for r in rows
+    ]
+    spark.createDataFrame(data, _SPEC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return out_dir
+
+
+def load_relational_spec(
+    spark: SparkSession, out_dir: str = DEFAULT_RELATIONAL_SPEC_DIR
+) -> list[dict]:
+    """Reload the relational-ensemble spec, ordered by tree_id."""
+    rows = sorted(spark.read.parquet(out_dir).collect(), key=lambda r: r["tree_id"])
+    return [
+        {
+            "tree_id": r["tree_id"],
+            "cls": r["cls"],
+            "fa_idx": r["fa_idx"],
+            "thr_a": r["thr_a"],
+            "fb_idx": r["fb_idx"],
+            "thr_b": r["thr_b"],
+            "leaves": list(r["leaves"]),
+        }
+        for r in rows
+    ]
+
+
+def roundtrip_relational_spec(
+    spark: SparkSession, rows: list[dict], out_dir: str = DEFAULT_RELATIONAL_SPEC_DIR
+) -> list[dict]:
+    """Full save→reload cycle returning the reloaded spec rows."""
+    save_relational_spec(spark, rows, out_dir)
+    return load_relational_spec(spark, out_dir)
+
+
 __all__ = [
     "DEFAULT_ARTIFACT_DIR",
+    "DEFAULT_ENSEMBLE_DIR",
+    "DEFAULT_RELATIONAL_SPEC_DIR",
     "save_priors",
     "load_priors",
     "roundtrip_priors",
+    "save_ensemble",
+    "load_ensemble",
+    "roundtrip_ensemble",
+    "save_relational_spec",
+    "load_relational_spec",
+    "roundtrip_relational_spec",
     "p_t_prior",
     "T_given_L_prior",
 ]

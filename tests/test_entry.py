@@ -37,6 +37,7 @@ def test_queries_and_oracles_aligned(spark):
         "eppa_pass_summary",
         "eppa_player_stats",
         "s4_prior_artifact_lifecycle",  # kernel consumer; bitexact in-query
+        "a20b_gamma_mle_fit",  # digamma-Newton MLE; self-certifies vs moments
         "m2_value_model_width",  # kernel path; envelope property in tests
         "m6_optimize_defense",
         "analytics_player_rankings",

@@ -112,6 +112,40 @@ def test_prior_lifecycle_query_bitexact(spark):
     assert all(r["bitexact"] for r in rows)
 
 
+def test_ensemble_artifact_roundtrip(spark, tmp):
+    """S6: the tree-ensemble model binary saved to parquet reloads
+    bit-identically (float64 round-trips exactly), and a reloaded model
+    scores a batch bit-identically to the in-memory spec."""
+    import numpy as np
+
+    from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+    from bigdatabowl_spark.sources.artifacts import load_ensemble, save_ensemble
+
+    d = f"{tmp}/ensemble"
+    ref = TreeEnsemble.default()
+    save_ensemble(spark, ref, d)
+    got = load_ensemble(spark, d)
+    for field in ("feat_a", "thr_a", "feat_b", "thr_b", "leaves", "tree_class", "epvals"):
+        assert np.array_equal(getattr(got, field), getattr(ref, field)), field
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(257, 26))
+    assert np.array_equal(got.expectation(X), ref.expectation(X))
+    save_ensemble(spark, ref, d)  # resume: overwrite converges (S12)
+    again = load_ensemble(spark, d)
+    assert np.array_equal(again.leaves, ref.leaves)
+
+
+def test_relational_spec_artifact_regenerates_identical_sql(spark, tmp):
+    """S6 for the relational twin: the m1 spec rows round-trip through
+    parquet and regenerate a CASE cascade string-identical to the static
+    oracle SQL — the property m1's builder asserts at run time."""
+    from bigdatabowl_spark.plans.advanced import _MARGINS, _SPEC_ROWS, _margins_from
+    from bigdatabowl_spark.sources.artifacts import roundtrip_relational_spec
+
+    loaded = roundtrip_relational_spec(spark, _SPEC_ROWS, f"{tmp}/relspec")
+    assert _margins_from(loaded) == _MARGINS
+
+
 def test_corrupt_file_resilience(spark, sf_dir, tmp_path):
     """File-level fault tolerance: with ignoreCorruptFiles set, one garbage
     file among 10^5 parquet parts must not kill a 6-hour scan — the job
