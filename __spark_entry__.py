@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _RUN_FIRST = (
     # (a) r2 hash-FAIL, oracle type fixed this round
     "pack_sequences",
+    # round-3 additions (never driver-run)
+    "pii_redact", "url_host_agg", "stream_static_enrich",
     # (b) never driver-run in r1 or r2
     "tfidf_topterms", "containment_pairs", "skew_salted_agg", "stream_dedup",
     "stream_interval_join", "s14_upsert_merge", "s15_rollup_reuse",

@@ -652,3 +652,164 @@ def w8_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, z).alias("zscore"),
         (ok & (F.abs(z) > 3.0)).cast("long").alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction / URL structure (TX1, TX2)
+# --------------------------------------------------------------------------
+
+# Synthetic-PII construction shared by the Spark plan and the oracle: the
+# testdata corpus is PII-free word soup, so the redaction query injects a
+# deterministic email + digit run per document and then proves removal.
+# Both engines build the SAME string (integer→decimal-string concat), so
+# the redacted-output checksum is cross-engine exact.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_DIGITS_RE = "[0-9]{6,}"
+
+
+@register(
+    "pii_redact",
+    "TX1,F9,F10,A1",
+    f"""
+    WITH pii AS (
+        SELECT doc_id, source,
+               text || ' reach user' || doc_id || '@ex' || (doc_id % 7)
+                    || '.net call ' || (1000000000 + doc_id) AS pii_text
+        FROM documents
+    ),
+    red AS (
+        SELECT source, pii_text,
+               regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+               len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(pii_text, '{_DIGITS_RE}')) AS n_digit_runs
+        FROM pii
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_digit_runs) AS BIGINT) AS digit_runs_redacted,
+           CAST(SUM(length(pii_text) - length(redacted)) AS BIGINT) AS chars_removed,
+           CAST(SUM(CAST(('0x' || substr(md5(redacted), 1, 8)) AS BIGINT) % 1000003)
+                AS BIGINT) AS redacted_checksum
+    FROM red
+    GROUP BY source
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (TX1): scrub emails and long digit runs from document
+    text with JVM `regexp_replace`, counting what was removed per source —
+    the compliance pass every web-scraped pretraining corpus runs before
+    training. The per-source checksum of the redacted text proves the
+    replacement output (not just the counts) matches the oracle exactly.
+
+    Email matches are replaced before digit runs so digits inside an
+    address are consumed by the email rule, the same precedence a real
+    scrubber uses.
+
+    Scale: map-only regex work inside WholeStageCodegen (no Python, no
+    shuffle until the tiny per-source rollup) — the regex cost is linear in
+    corpus bytes and embarrassingly parallel, exactly what 100 TB needs.
+    """
+    from bigdatabowl_spark.functions.scalar import md5_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".net call "),
+        (F.col("doc_id") + 1000000000).cast("string"),
+    )
+    red = docs.select(
+        "source",
+        pii_text.alias("pii_text"),
+        F.regexp_replace(
+            F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>"), _DIGITS_RE, "<NUM>"
+        ).alias("redacted"),
+        F.regexp_count(pii_text, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(_DIGITS_RE)).alias("n_digit_runs"),
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("emails_redacted"),
+        F.sum("n_digit_runs").cast("long").alias("digit_runs_redacted"),
+        F.sum(F.length("pii_text") - F.length("redacted"))
+        .cast("long")
+        .alias("chars_removed"),
+        F.sum(md5_bucket(F.col("redacted")) % 1000003)
+        .cast("long")
+        .alias("redacted_checksum"),
+    )
+
+
+_URL_PREFIX_RE = "https://[a-z0-9.-]+/"
+
+
+@register(
+    "url_host_agg",
+    "TX2,F9,A1,A12",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, n_chars,
+               'https://w' || (doc_id % 37) || '.ex' || (doc_id % 5)
+                    || '.org/p/' || doc_id || '/s/' || (doc_id % 11) AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id, n_chars,
+               regexp_extract(url, 'https://([a-z0-9.-]+)/', 1) AS host,
+               len(string_split(regexp_replace(url, '{_URL_PREFIX_RE}', '', 'g'), '/'))
+                   AS path_depth
+        FROM urls
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(path_depth) AS BIGINT) AS max_depth,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM hosts GROUP BY host
+    """,
+)
+def url_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus composition (TX2): derive each document's source
+    URL, parse out the host with one regex, and aggregate volume per host —
+    the operator behind domain-mixture decisions (how much of the corpus is
+    each site) and per-domain quality policies.
+
+    The URL is synthesized deterministically from doc_id (the testdata has
+    no URL column); the parse→group→aggregate pipeline is the real operator
+    and is exercised across 185 distinct hosts.
+
+    Scale: map-only parse, then a groupBy on host — web-corpus hosts are
+    Zipf-skewed, so at 100 TB this aggregation composes with the SK1 salted
+    two-phase pattern (`skew_salted_agg`); counts/sums here are already
+    algebraic partials so the map-side combine absorbs the head.
+    """
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://w"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".ex"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/s/"),
+        (F.col("doc_id") % 11).cast("string"),
+    )
+    hosts = docs.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(url, "https://([a-z0-9.-]+)/", 1).alias("host"),
+        F.size(F.split(F.regexp_replace(url, _URL_PREFIX_RE, ""), "/")).alias(
+            "path_depth"
+        ),
+    )
+    return hosts.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("path_depth").cast("long").alias("max_depth"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -432,3 +432,74 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@register(
+    "stream_static_enrich",
+    "ST7,J1,J9,A1",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(floor(epoch_us(e.ts) / 600000000) AS BIGINT) AS window_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS seg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (ST7): a live event stream joined to a
+    static dimension table (customer segment) — the canonical Structured
+    Streaming pattern for decorating a firehose with slowly-changing
+    reference data. The static side re-snapshots per micro-batch, needs no
+    watermark and holds no state; Spark broadcasts it into each batch.
+
+    The stream stage emits enriched events (append mode, stateless), and
+    the windowed per-segment rollup runs as a batch aggregate over the sink
+    — keeping every emitted row oracle-comparable without waiting on
+    watermark finalization.
+
+    Scale: the dimension is broadcast (no shuffle on the stream side); the
+    post-sink rollup keys on (segment, window) — low cardinality but
+    algebraic, so map-side combine flattens it.
+    """
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    name = f"stream_static_enrich_{next(_STATEFUL_RUNS)}"
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = (
+        stream.withColumn("ts_us", epoch_us_col(stream, "ts"))
+        .join(F.broadcast(dim), "user_id")
+        .select(
+            "segment",
+            F.floor(F.col("ts_us") / WINDOW_US).cast("long").alias("window_id"),
+            "value",
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("segment", "window_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("seg_value"),
+        )
+    )

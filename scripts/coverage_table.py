@@ -84,6 +84,7 @@ def main() -> None:
         "ST4": "custom stateful operator (applyInPandasWithState)",
         "ST5": "streaming exact dedup (dropDuplicatesWithinWatermark)",
         "ST6": "stream-stream interval join (dual watermarks)",
+        "ST7": "stream-static enrichment join (broadcast dim per micro-batch)",
         "DD8": "asymmetric containment pairs (doc-in-doc)",
         "TQ2": "intra-document repetition stats",
         "TQ3": "logistic quality scorer (classifier filtering)",
@@ -93,6 +94,8 @@ def main() -> None:
         "TT3": "BPE adjacent-pair counts (tokenizer training step)",
         "TT4": "TF-IDF keyword extraction",
         "TS2": "domain-mixture downsampling (data mixing)",
+        "TX1": "PII redaction (regex scrub + checksum proof)",
+        "TX2": "per-domain composition (URL host parse)",
         "TP2": "sliding-window document chunking",
         "MD1": "JSON metadata extraction (schema-on-read)",
         "SK1": "salted skew-safe aggregation (two-phase)",
