@@ -813,3 +813,151 @@ def url_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("path_depth").cast("long").alias("max_depth"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-granularity rollups / reshaping / stratification (GS1, UV1, NT1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_hierarchy",
+    "GS1,A1,A12,P13",
+    """
+    SELECT source, lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity corpus composition in ONE pass (GS1): per
+    (source, lang), per source, and grand total via ROLLUP — the mixture
+    dashboard every corpus build watches needs all three levels, and
+    grouping-sets computes them in a single shuffle instead of three jobs.
+
+    GROUPING() flags disambiguate a rolled-up level from a genuine NULL
+    key, identically in both engines.
+
+    Scale: Catalyst expands rollup into grouping-set partial aggregates —
+    still one exchange keyed on (source, lang, grouping_id); the rollup
+    rows add |sources|+1 groups, noise next to the leaf level.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.grouping("source").cast("long").alias("g_source"),
+        F.grouping("lang").cast("long").alias("g_lang"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).select("source", "lang", "g_source", "g_lang", "n_docs", "total_chars")
+
+
+@register(
+    "unpivot_features",
+    "UV1,P6,A10,F6",
+    """
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS len_chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) AS tok_density
+        FROM documents
+    ),
+    long AS (
+        SELECT doc_id, 'len_chars' AS feature, len_chars AS value FROM feats
+        UNION ALL
+        SELECT doc_id, 'n_tokens', n_tokens FROM feats
+        UNION ALL
+        SELECT doc_id, 'tok_density', tok_density FROM feats
+    )
+    SELECT feature,
+           COUNT(*) AS n,
+           round(MIN(value), 6) AS min_v,
+           round(MAX(value), 6) AS max_v,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_v
+    FROM long GROUP BY feature
+    """,
+)
+def unpivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long feature melt (UV1): per-document quality features unpivot
+    into (doc_id, feature, value) rows, then per-feature distribution
+    stats — the reshaping step behind feature-drift monitoring, where each
+    feature's distribution is tracked as its own series.
+
+    Spark's native `unpivot` (stack) is a zero-shuffle narrow transform;
+    the oracle spells it as the equivalent UNION ALL. Sums go through
+    DECIMAL(28,10) so the fold order cannot change the double.
+
+    Scale: melt multiplies rows ×|features| but stays map-only; the
+    per-feature rollup keys on |features| groups with algebraic
+    aggregates — map-side combine reduces each partition to |features|
+    rows before the exchange.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens / F.col("n_chars").cast("double")).alias("tok_density"),
+    )
+    long = feats.unpivot(
+        ids=["doc_id"],
+        values=["len_chars", "n_tokens", "tok_density"],
+        variableColumnName="feature",
+        valueColumnName="value",
+    )
+    vdec = F.col("value").cast("decimal(28,10)")
+    return long.groupBy("feature").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.sum(vdec).cast("double"), 6).alias("sum_v"),
+    )
+
+
+@register(
+    "ntile_stratify",
+    "NT1,W4,A9,O4",
+    """
+    WITH tiled AS (
+        SELECT doc_id, source, n_chars,
+               ntile(10) OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT source, decile,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS decile_floor,
+           CAST(MAX(n_chars) AS BIGINT) AS decile_ceil
+    FROM tiled GROUP BY source, decile
+    """,
+)
+def ntile_stratify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-decile stratification (NT1): ntile(10) buckets
+    every document inside its source — the stratification step behind
+    curriculum ordering and stratified eval sampling. The ordering carries
+    doc_id as tiebreak so bucket assignment is deterministic (O4) in both
+    engines (standard SQL ntile: the first rows%n buckets take the extra
+    row).
+
+    Scale: the window partitions by source, so this is one exchange on a
+    corpus-mixture key — the same skew posture as url_host_agg; a global
+    (un-partitioned) ntile would serialize on one reducer and is the
+    anti-pattern this query deliberately avoids (use range-partitioned
+    percent_rank for global stratification).
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    tiled = docs.select("doc_id", "source", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return tiled.groupBy("source", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("decile_floor"),
+        F.max("n_chars").cast("long").alias("decile_ceil"),
+    )

@@ -96,6 +96,9 @@ def main() -> None:
         "TS2": "domain-mixture downsampling (data mixing)",
         "TX1": "PII redaction (regex scrub + checksum proof)",
         "TX2": "per-domain composition (URL host parse)",
+        "GS1": "multi-granularity rollup (grouping sets, one shuffle)",
+        "UV1": "wide-to-long feature melt (native unpivot)",
+        "NT1": "per-group decile stratification (ntile window)",
         "TP2": "sliding-window document chunking",
         "MD1": "JSON metadata extraction (schema-on-read)",
         "SK1": "salted skew-safe aggregation (two-phase)",
