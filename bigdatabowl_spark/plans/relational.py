@@ -1063,3 +1063,141 @@ def j16_full_outer(spark: SparkSession, sf_dir: str):
         F.col("c.user_id").isNull().alias("buys_without_clicking"),
         F.col("p.user_id").isNull().alias("clicks_without_buying"),
     )
+
+
+@register(
+    "resample_interpolate",
+    "RS1,W1,J15,A4,F6",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE user_id < 20
+    ),
+    bounds AS (
+        SELECT user_id,
+               ((MIN(ts_us) + 3599999999) // 3600000000) * 3600000000 AS g_start,
+               (MAX(ts_us) // 3600000000) * 3600000000 AS g_end
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(g_start, g_end, 3600000000)) AS t_us
+        FROM bounds WHERE g_end >= g_start
+    ),
+    u AS (
+        SELECT user_id, ts_us AS t_us, value AS v, 0 AS is_grid,
+               ts_us AS ev_ts, event_id AS ord FROM ev
+        UNION ALL
+        SELECT user_id, t_us, NULL, 1, NULL, -1 FROM grid
+    ),
+    scanned AS (
+        SELECT user_id, t_us, is_grid,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us, is_grid, ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(ev_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us, is_grid, ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us DESC, is_grid DESC, ord DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+               last_value(ev_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us DESC, is_grid DESC, ord DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+        FROM u
+    )
+    SELECT user_id, t_us AS grid_us,
+           round(CASE WHEN pt IS NULL THEN NULL
+                      WHEN nt IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE)
+                                             / CAST(nt - pt AS DOUBLE))
+                 END, 6) AS v_interp,
+           nt - pt AS gap_us
+    FROM scanned WHERE is_grid = 1
+    """,
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str):
+    """Resample an irregular event series onto a regular hourly grid with
+    linear interpolation (RS1) — the canonical sensor/tracking-data
+    alignment step (the reference's 10 Hz frames are already regular; real
+    telemetry is not, and every downstream window op assumes a grid).
+
+    One pass, no join: grid points and events union into a single stream,
+    and two ordered window scans (forward = last event at-or-before,
+    backward = first event strictly-after) recover both interpolation
+    endpoints — the same shuffle shape as the as-of join (J15), one
+    exchange on user_id. Tie rules are explicit in the sort key (events
+    sort before grid points forward, after them backward; event_id breaks
+    same-timestamp ties) so both engines scan identical orders. Endpoint
+    grid points hold the last value (nt IS NULL branch); the grid is
+    ceil/floor-aligned inside each user's span with integer arithmetic.
+
+    Scale: sequence+explode is map-side; the window pass is one exchange
+    on user_id with O(1) running state — the W1/W3 posture. Grid density
+    is a multiplier on rows, not on shuffle count.
+    """
+    from pyspark.sql import Window
+
+    HOUR = 3_600_000_000
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", "ts_us", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.expr(f"((MIN(ts_us) + {HOUR - 1}) DIV {HOUR}) * {HOUR}").alias("g_start"),
+        F.expr(f"(MAX(ts_us) DIV {HOUR}) * {HOUR}").alias("g_end"),
+    )
+    grid = bounds.filter(F.col("g_end") >= F.col("g_start")).select(
+        "user_id",
+        F.explode(F.sequence("g_start", "g_end", F.lit(HOUR))).alias("t_us"),
+    )
+    u = ev.select(
+        "user_id",
+        F.col("ts_us").alias("t_us"),
+        F.col("value").alias("v"),
+        F.lit(0).alias("is_grid"),
+        F.col("ts_us").alias("ev_ts"),
+        F.col("event_id").alias("ord"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "t_us",
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("ev_ts"),
+            F.lit(-1).cast("long").alias("ord"),
+        )
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.desc("is_grid"), F.desc("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = u.select(
+        "user_id",
+        "t_us",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(fwd).alias("pv"),
+        F.last("ev_ts", ignorenulls=True).over(fwd).alias("pt"),
+        F.last("v", ignorenulls=True).over(bwd).alias("nv"),
+        F.last("ev_ts", ignorenulls=True).over(bwd).alias("nt"),
+    )
+    frac = (F.col("t_us") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("pt").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return scanned.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("t_us").alias("grid_us"),
+        F.round(interp, 6).alias("v_interp"),
+        (F.col("nt") - F.col("pt")).alias("gap_us"),
+    )

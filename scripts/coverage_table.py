@@ -99,6 +99,7 @@ def main() -> None:
         "GS1": "multi-granularity rollup (grouping sets, one shuffle)",
         "UV1": "wide-to-long feature melt (native unpivot)",
         "NT1": "per-group decile stratification (ntile window)",
+        "RS1": "regular-grid resample + linear interpolation",
         "TP2": "sliding-window document chunking",
         "MD1": "JSON metadata extraction (schema-on-read)",
         "SK1": "salted skew-safe aggregation (two-phase)",
