@@ -1201,3 +1201,86 @@ def resample_interpolate(spark: SparkSession, sf_dir: str):
         F.round(interp, 6).alias("v_interp"),
         (F.col("nt") - F.col("pt")).alias("gap_us"),
     )
+
+
+@register(
+    "o7_global_rank",
+    "O7,O1,O4,A9,W4",
+    """
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER () AS n_total
+        FROM documents
+    )
+    SELECT doc_id, n_chars, rnk,
+           round(CAST(rnk - 1 AS DOUBLE) / CAST(n_total - 1 AS DOUBLE), 9)
+               AS pct_rank
+    FROM ranked
+    """,
+)
+def o7_global_rank(spark: SparkSession, sf_dir: str):
+    """Distributed global ranking (O7): every document's exact global rank
+    and percentile under a total order, WITHOUT the single-reducer global
+    window (`ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY
+    collapses to one task in Spark — the anti-pattern).
+
+    The scale pattern (DataFrame zipWithIndex): range-partition on the
+    sort key so partition i holds keys entirely below partition i+1, sort
+    within partitions, localCheckpoint the partitioned data so both
+    consumers read it once, rank locally with an Arrow running counter
+    (mapInPandas — order-preserving, NO second shuffle), count rows per
+    partition (a |partitions|-row aggregate), and broadcast the
+    prefix-sum offsets back. Rank = local rank + offset. The output is
+    independent of where the sampled range boundaries fall because the
+    (n_chars, doc_id) tiebreak makes the total order unique — so the
+    result is deterministic even though RangePartitioner samples its
+    bounds.
+
+    Scale: ONE data exchange (the same shuffle a distributed sort pays),
+    one tiny aggregate, one broadcast join — versus a full corpus through
+    a single reducer. This is how global leaderboards/percentiles ship at
+    100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    parted = (
+        docs.repartitionByRange(n_parts, "n_chars", "doc_id")
+        .sortWithinPartitions("n_chars", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # materialize the range exchange once for both consumers
+    )
+    counts = parted.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "pid", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset")
+    )
+
+    def local_rank(batches):
+        # per-partition running counter; mapInPandas preserves the sorted
+        # partition order, so the counter IS the local row_number
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["local_rnk"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    ranked = parted.mapInPandas(
+        local_rank, "doc_id long, n_chars long, pid int, local_rnk long"
+    ).join(F.broadcast(offsets), "pid")
+    n_total = docs.count()  # scalar (one job); the oracle's COUNT(*) OVER ()
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        (F.col("local_rnk") + F.col("offset")).alias("rnk"),
+        F.round(
+            (F.col("local_rnk") + F.col("offset") - 1).cast("double")
+            / F.lit(float(n_total - 1)),
+            9,
+        ).alias("pct_rank"),
+    )
