@@ -41,7 +41,7 @@ _RUN_FIRST = (
     # round-3 additions (never driver-run)
     "pii_redact", "url_host_agg", "stream_static_enrich",
     "rollup_hierarchy", "unpivot_features", "ntile_stratify",
-    "resample_interpolate", "o7_global_rank",
+    "resample_interpolate", "o7_global_rank", "funnel_steps",
     # (b) never driver-run in r1 or r2
     "tfidf_topterms", "containment_pairs", "skew_salted_agg", "stream_dedup",
     "stream_interval_join", "s14_upsert_merge", "s15_rollup_reuse",

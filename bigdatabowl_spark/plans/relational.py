@@ -1284,3 +1284,96 @@ def o7_global_rank(spark: SparkSession, sf_dir: str):
             9,
         ).alias("pct_rank"),
     )
+
+
+@register(
+    "funnel_steps",
+    "FN1,W2,A3,P9,F12",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS t_view
+        FROM s1
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t_view
+                           THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+                           THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM w2
+    )
+    SELECT DISTINCT user_id, t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS stage,
+           t_purchase - t_view AS convert_us
+    FROM w3
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str):
+    """Ordered-funnel analysis (FN1): per user, the first view, the first
+    click strictly AFTER that view, and the first purchase strictly after
+    that click — the product-analytics sequence-matching operator (step
+    timestamps, funnel stage reached, time-to-convert). Ordering matters:
+    a click before the first view does not count, which is what separates
+    this from three independent mins.
+
+    The three stages chain as window aggregates over the SAME user
+    partitioning — Catalyst plans one exchange on user_id and evaluates
+    the dependent windows without re-shuffling (each stage's threshold is
+    a per-user scalar from the previous window). NULL ordering semantics
+    (ts > NULL → NULL → no match) encode "previous stage not reached"
+    identically in both engines.
+
+    Scale: one exchange, O(1) state per window — the W-family posture; a
+    longer funnel adds window expressions, not shuffles.
+    """
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    w1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w_user),
+    )
+    w2 = w1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")),
+                F.col("ts_us"),
+            )
+        ).over(w_user),
+    )
+    w3 = w2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t_click")),
+                F.col("ts_us"),
+            )
+        ).over(w_user),
+    )
+    stage = (
+        F.col("t_view").isNotNull().cast("long")
+        + F.col("t_click").isNotNull().cast("long")
+        + F.col("t_purchase").isNotNull().cast("long")
+    )
+    return w3.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        stage.alias("stage"),
+        (F.col("t_purchase") - F.col("t_view")).alias("convert_us"),
+    ).distinct()

@@ -101,6 +101,7 @@ def main() -> None:
         "NT1": "per-group decile stratification (ntile window)",
         "RS1": "regular-grid resample + linear interpolation",
         "O7": "distributed global rank/percentile (no single-reducer sort)",
+        "FN1": "ordered-funnel sequence matching (chained windows)",
         "TP2": "sliding-window document chunking",
         "MD1": "JSON metadata extraction (schema-on-read)",
         "SK1": "salted skew-safe aggregation (two-phase)",
