@@ -1,0 +1,131 @@
+"""Adversarial edge-case oracle runs: crafted event data the synthetic
+testdata may never produce — same-timestamp ties, events exactly on grid
+boundaries, single-event series, out-of-order funnels — run through BOTH
+engines with the standard harness, so the tie-break and NULL-ordering
+semantics the window queries document are pinned by execution, not prose.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle_harness import run_all
+
+HOUR_US = 3_600_000_000
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)  # aligned exactly on an hour boundary
+
+
+def _ts(us: int) -> dt.datetime:
+    return T0 + dt.timedelta(microseconds=us)
+
+
+EDGE_EVENTS = [
+    # user 0: duplicate timestamps (distinct event_ids, different values)
+    # straddling an exact-hour grid point, plus an event ON the boundary
+    (0, 0, _ts(30 * 60_000_000), "view", 10.0),
+    (1, 0, _ts(30 * 60_000_000), "click", 20.0),  # same ts as event 0
+    (2, 0, _ts(HOUR_US), "purchase", 30.0),  # exactly on the 1 h grid line
+    (3, 0, _ts(HOUR_US + 45 * 60_000_000), "view", 40.0),
+    # user 1: single event — grid start > grid end, series must vanish
+    (4, 1, _ts(7 * 60_000_000), "view", 5.0),
+    # user 2: out-of-order funnel — purchase, then click, then view:
+    # stage must be 1 (view only), not 3
+    (5, 2, _ts(1 * 60_000_000), "purchase", 1.0),
+    (6, 2, _ts(2 * 60_000_000), "click", 2.0),
+    (7, 2, _ts(3 * 60_000_000), "view", 3.0),
+    # user 3: proper funnel with a decoy click BEFORE the first view
+    (8, 3, _ts(1 * 60_000_000), "click", 1.0),
+    (9, 3, _ts(2 * 60_000_000), "view", 2.0),
+    (10, 3, _ts(2 * 60_000_000 + 1), "click", 3.0),  # 1 µs after the view
+    (11, 3, _ts(3 * 60_000_000), "purchase", 4.0),
+    # user 4: span exactly two hours, endpoints on the boundary —
+    # first grid point interpolates, last holds (nt IS NULL branch)
+    (12, 4, _ts(0), "view", 0.0),
+    (13, 4, _ts(2 * HOUR_US), "view", 100.0),
+]
+
+EDGE_QUERIES = [
+    "resample_interpolate",
+    "funnel_steps",
+    "j15_asof_join",
+    "w1_lag_gaps",
+    "a25_cumulative",
+    "w8_zscore_anomaly",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(tmp_path_factory):
+    """A tmp sf-dir: crafted events.parquet + symlinks to the sf0.001
+    parquet for every other table (the harness registers views for all)."""
+    d = tmp_path_factory.mktemp("edge_sf")
+    src = "/root/testdata/sf0.001"
+    for name in os.listdir(src):
+        if name != "events.parquet":
+            os.symlink(os.path.join(src, name), os.path.join(d, name))
+    ids, users, tss, types, values = zip(*EDGE_EVENTS)
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(list(tss), pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+def test_edge_cases_match_oracle(spark, edge_sf_dir):
+    """Every edge-sensitive window query hash-matches its oracle on the
+    crafted collisions — ties, boundary hits, and vanishing series resolve
+    identically in both engines."""
+    results = run_all(spark, edge_sf_dir, names=EDGE_QUERIES)
+    assert set(results) == set(EDGE_QUERIES)
+    failures = {n: p for n, p in results.items() if p}
+    assert not failures, failures
+
+
+def test_edge_funnel_semantics(spark, edge_sf_dir):
+    """Pin the documented funnel ordering rules on the crafted rows."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = {
+        r["user_id"]: r
+        for r in CATALOG["funnel_steps"].builder(spark, edge_sf_dir).collect()
+    }
+    # out-of-order user: only the view counts
+    assert rows[2]["stage"] == 1 and rows[2]["t_click"] is None
+    # decoy click before the first view is ignored; the +1 µs click counts
+    assert rows[3]["stage"] == 3
+    assert rows[3]["t_click"] == rows[3]["t_view"] + 1
+    # same-timestamp click as user 0's first view is NOT strictly after it
+    assert rows[0]["t_click"] is None
+
+
+def test_edge_resample_semantics(spark, edge_sf_dir):
+    """Pin grid-boundary and endpoint-hold behavior on the crafted rows."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    out = CATALOG["resample_interpolate"].builder(spark, edge_sf_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1 (single event): grid start > end → no rows
+    assert 1 not in by_user
+    # user 4: grid points at 0 h, 1 h, 2 h; endpoints sit ON events
+    u4 = sorted(by_user[4], key=lambda r: r["grid_us"])
+    assert [r["v_interp"] for r in u4] == [0.0, 50.0, 100.0]
+    # user 0: the 1 h grid point coincides with event 2 → its exact value
+    # survives (an event AT a grid point is its own "previous" observation)
+    vals = sorted(r["v_interp"] for r in by_user[0])
+    assert 30.0 in vals
