@@ -57,9 +57,27 @@ def player_eppa_rankings(
     per_player = renorm.groupBy("nflId", "team_pos").agg(
         F.sum(F.col("w") * F.col("ind_eppa1")).alias("weighted_eppa"),
         F.countDistinct("gameId", "playId").alias("n_plays"),
+        F.sum("w").alias("_sum_w"),
+    )
+    # self-certification: each (play, player)'s renormalized weights sum to
+    # 1, so a player's total weight mass cannot exceed their play count —
+    # and the weighted score must be finite (rows-only driver check
+    # exercises real semantics, like the kernel queries)
+    viol = (
+        (F.col("_sum_w") > F.col("n_plays") + 1e-6)
+        | F.isnan("weighted_eppa")
+        | F.col("weighted_eppa").isNull()
     )
     return (
-        per_player.orderBy(F.desc("weighted_eppa"), F.asc("nflId")).limit(top_n)
+        per_player.select(
+            "nflId",
+            "team_pos",
+            "weighted_eppa",
+            "n_plays",
+            viol.cast("long").alias("invariant_violations"),
+        )
+        .orderBy(F.desc("weighted_eppa"), F.asc("nflId"))
+        .limit(top_n)
     )
 
 
@@ -93,11 +111,23 @@ def throw_calibration(
     binned = joined.withColumn(
         "bin", F.least(F.floor(F.col("trans_prob") * n_bins), F.lit(n_bins - 1)).cast("int")
     )
-    return binned.groupBy("bin").agg(
+    agged = binned.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.avg("trans_prob").alias("mean_predicted"),
         F.avg(F.col("completed").cast("double")).alias("empirical_rate"),
     )
+    # self-certification: bins in range, rates are probabilities, bins
+    # non-empty — the calibration identities a rows-only check can verify
+    viol = (
+        (F.col("bin") < 0)
+        | (F.col("bin") >= n_bins)
+        | (F.col("n") <= 0)
+        | (F.col("mean_predicted") < -1e-9)
+        | (F.col("mean_predicted") > 1.0 + 1e-9)
+        | (F.col("empirical_rate") < -1e-9)
+        | (F.col("empirical_rate") > 1.0 + 1e-9)
+    )
+    return agged.withColumn("invariant_violations", viol.cast("long"))
 
 
 # ------------------------------------------------------- catalog entries

@@ -178,6 +178,7 @@ def test_analytics_layer(spark, pass_norm):
     assert (ranks["n_plays"] >= 1).all()
     # weights renormalize within play: per-player weighted eppa is finite
     assert np.isfinite(ranks["weighted_eppa"]).all()
+    assert (ranks["invariant_violations"] == 0).all()
 
     plays = play_rankings(ps).toPandas()
     assert set(plays["playId"]) <= {300, 400}
@@ -187,6 +188,7 @@ def test_analytics_layer(spark, pass_norm):
     assert not cal.empty
     assert cal["mean_predicted"].between(0, 1).all()
     assert cal["empirical_rate"].between(0, 1).all()
+    assert (cal["invariant_violations"] == 0).all()
 
 
 def test_optimize_defense_rollout(spark, pass_norm):
