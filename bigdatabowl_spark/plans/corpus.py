@@ -961,3 +961,133 @@ def ntile_stratify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("decile_floor"),
         F.max("n_chars").cast("long").alias("decile_ceil"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against the historical corpus (DD9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    "DD9,DD1,DD8,U4,P12",
+    """
+    WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    existing AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    bh AS (
+        SELECT doc_id, md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS h
+        FROM batch
+    ),
+    eh AS (
+        SELECT DISTINCT md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS h
+        FROM existing
+    ),
+    bs AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(string_split(text, ' ')) >= 3
+                 THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i+1] || ' ' ||
+                           string_split(text, ' ')[i+2])
+                 ELSE [] END) AS shingle
+        FROM batch
+    ),
+    es AS (
+        SELECT DISTINCT unnest(
+            CASE WHEN len(string_split(text, ' ')) >= 3
+                 THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i+1] || ' ' ||
+                           string_split(text, ' ')[i+2])
+                 ELSE [] END) AS shingle
+        FROM existing
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM bs GROUP BY doc_id),
+    hits AS (
+        SELECT bs.doc_id, COUNT(*) AS n_hit
+        FROM bs JOIN es ON bs.shingle = es.shingle
+        GROUP BY bs.doc_id
+    ),
+    cont AS (
+        SELECT sizes.doc_id,
+               CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS containment
+        FROM sizes LEFT JOIN hits ON hits.doc_id = sizes.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN eh.h IS NOT NULL THEN 'exact'
+                WHEN cont.containment >= 0.8 THEN 'near_dup'
+                ELSE 'keep' END AS decision,
+           round(COALESCE(cont.containment, 0.0), 6) AS containment
+    FROM batch b
+    JOIN bh ON bh.doc_id = b.doc_id
+    LEFT JOIN eh ON eh.h = bh.h
+    LEFT JOIN cont ON cont.doc_id = b.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (DD9): a NEW ingest batch (doc_id % 5 = 0 stands
+    in for today's crawl) deduplicated against the EXISTING corpus — the
+    production mode at 100 TB/day, where all-pairs over the full corpus is
+    never re-run; only batch×history is checked. A batch doc is dropped as
+    'exact' when its normalized-text hash already exists, or as 'near_dup'
+    when ≥80% of its shingles appear in the historical shingle set.
+
+    Scale: the exact stage is a semi-join of batch hashes against the
+    (pre-computed, incrementally-maintained) history hash index. The
+    containment stage here is the exact shingle equi-join — the oracle
+    twin; the production path band-joins the batch's MinHash signatures
+    against the persisted LSH index (same staging as DD3), so batch cost
+    is O(batch × collisions), independent of corpus size. History shingles
+    are DISTINCT-deduped before the join, bounding the fan-out by
+    vocabulary, not corpus.
+    """
+    from bigdatabowl_spark.operators.dedup import normalize_text, shingles
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+
+    bh = batch.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("h"))
+    eh = existing.select(F.md5(normalize_text(F.col("text"))).alias("h")).distinct()
+    exact = bh.join(eh.withColumn("_hit", F.lit(1)), "h", "left").select(
+        "doc_id", F.col("_hit").isNotNull().alias("is_exact")
+    )
+
+    bs = batch.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    es = existing.select(
+        F.explode(shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = bs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = bs.join(es, "shingle").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    cont = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh")).alias(
+            "containment"
+        ),
+    )
+
+    decision = (
+        F.when(F.col("is_exact"), F.lit("exact"))
+        .when(F.col("containment") >= 0.8, F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            decision.alias("decision"),
+            F.round(F.coalesce("containment", F.lit(0.0)), 6).alias("containment"),
+        )
+    )

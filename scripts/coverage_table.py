@@ -86,6 +86,7 @@ def main() -> None:
         "ST6": "stream-stream interval join (dual watermarks)",
         "ST7": "stream-static enrichment join (broadcast dim per micro-batch)",
         "DD8": "asymmetric containment pairs (doc-in-doc)",
+        "DD9": "incremental dedup vs historical corpus (batch ingest mode)",
         "TQ2": "intra-document repetition stats",
         "TQ3": "logistic quality scorer (classifier filtering)",
         "TQ4": "percentile-threshold quality filtering",
