@@ -42,7 +42,7 @@ _RUN_FIRST = (
     "pii_redact", "url_host_agg", "stream_static_enrich",
     "rollup_hierarchy", "unpivot_features", "ntile_stratify",
     "resample_interpolate", "o7_global_rank", "funnel_steps",
-    "dedup_incremental",
+    "dedup_incremental", "skew_salted_join",
     # (b) never driver-run in r1 or r2
     "tfidf_topterms", "containment_pairs", "skew_salted_agg", "stream_dedup",
     "stream_interval_join", "s14_upsert_merge", "s15_rollup_reuse",

@@ -1091,3 +1091,44 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("containment", F.lit(0.0)), 6).alias("containment"),
         )
     )
+
+
+@register(
+    "skew_salted_join",
+    "SK2,J1,A1,SK1",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (SK2): the big side carries a deterministic salt
+    and the small side is replicated n_salts×, so a hot join key's rows
+    spread over n_salts reducers instead of one — the explicit form of
+    AQE's skew-join split for contexts AQE can't reach (streaming joins,
+    deterministic tests). Output equals the plain join row-for-row (the
+    oracle), because salting only re-routes rows; the follow-on aggregate
+    is decimal-exact so partials commute across the extra reducers.
+
+    Scale: replication multiplies the SMALL side by n_salts (bounded —
+    small × 8 is still small); the big side's shuffle volume is unchanged.
+    The salt is a stable hash of the row id, not rand(), so plans are
+    reproducible run-to-run (operators/skew.py).
+    """
+    from bigdatabowl_spark.functions.scalar import dec
+    from bigdatabowl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="l_orderkey", big_id_col="l_linenumber", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+    )

@@ -106,6 +106,7 @@ def main() -> None:
         "TP2": "sliding-window document chunking",
         "MD1": "JSON metadata extraction (schema-on-read)",
         "SK1": "salted skew-safe aggregation (two-phase)",
+        "SK2": "salted skew-safe join (replicate small side)",
         "O6": "Z-order (Morton) layout key for multi-dim file pruning",
         "S14": "CDC upsert merge (anti-join + union)",
         "S15": "materialized rollup reuse (continuous aggregate)",
