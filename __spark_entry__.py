@@ -30,11 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # emit first the queries with no driver verdict in CORRECTNESS_r01/r02:
 # (a) pack_sequences — the single r2 hash-FAIL (oracle HUGEINT type artifact,
 #     now CAST to BIGINT; values verified identical at 3 SFs) — re-verify it;
-# (b) the 30 catalog queries the driver has never run in either round;
-# (c) the 7 rows-only kernel queries, now emitting self-certifying invariant
+# then the 11 round-3 additions (never driver-run);
+# (b) the 30 catalog queries the driver never ran in r1 or r2;
+# (c) the 8 rows-only kernel queries, now emitting self-certifying invariant
 #     columns so the rows-only check exercises real semantics.
-# That is 38 entries; the remaining ~12 cap slots re-prove r1/r2 greens in
-# catalog order. Union over r1+r2+r3 then covers all 112 catalog queries.
+# That is exactly 50 entries — the full cap goes to un-verdicted queries.
+# Union over r1+r2+r3 then covers all 124 catalog queries.
 _RUN_FIRST = (
     # (a) r2 hash-FAIL, oracle type fixed this round
     "pack_sequences",
