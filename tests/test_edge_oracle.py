@@ -129,3 +129,82 @@ def test_edge_resample_semantics(spark, edge_sf_dir):
     # survives (an event AT a grid point is its own "previous" observation)
     vals = sorted(r["v_interp"] for r in by_user[0])
     assert 30.0 in vals
+
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source)  — doc_id % 5 == 0 → "new batch" in DD9
+    # batch doc 0: exact twin of existing doc 1 (normalized: case/punct differ)
+    (0, "The quick brown fox jumps over the lazy dog", "en", "srcA"),
+    (1, "the QUICK brown fox, jumps over the lazy dog!", "en", "srcA"),
+    # batch doc 5: fully contained in existing doc 2 (prefix)
+    (5, "alpha beta gamma delta epsilon", "en", "srcA"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "srcA"),
+    # batch doc 10: sub-shingle-length (2 tokens) — no shingles, no exact twin
+    (10, "tiny doc", "en", "srcB"),
+    # existing doc 3: sub-shingle-length exact twin of batch doc 15
+    (3, "wee text", "en", "srcB"),
+    (15, "wee text", "en", "srcB"),
+    # batch doc 20: genuinely novel
+    (20, "completely novel content about spark engines and parquet files", "en", "srcB"),
+    # existing doc 4: overlaps doc 20 below the 0.8 containment bar
+    (4, "completely novel content about duckdb oracles and arrow buffers", "en", "srcB"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_docs")
+    src = "/root/testdata/sf0.001"
+    for name in os.listdir(src):
+        if name != "documents.parquet":
+            os.symlink(os.path.join(src, name), os.path.join(d, name))
+    ids, texts, langs, sources = zip(*EDGE_DOCS)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+DOC_EDGE_QUERIES = [
+    "dedup_incremental",
+    "dedup_exact",
+    "containment_pairs",
+    "pii_redact",
+    "rollup_hierarchy",
+    "ntile_stratify",
+]
+
+
+def test_doc_edge_cases_match_oracle(spark, edge_docs_dir):
+    """Sub-shingle-length docs, cross-batch exact twins, and containment
+    boundary cases resolve identically in both engines."""
+    results = run_all(spark, edge_docs_dir, names=DOC_EDGE_QUERIES)
+    assert set(results) == set(DOC_EDGE_QUERIES)
+    failures = {n: p for n, p in results.items() if p}
+    assert not failures, failures
+
+
+def test_doc_edge_incremental_semantics(spark, edge_docs_dir):
+    """Pin the documented DD9 decisions on the crafted corpus."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = {
+        r["doc_id"]: r
+        for r in CATALOG["dedup_incremental"].builder(spark, edge_docs_dir).collect()
+    }
+    assert set(rows) == {0, 5, 10, 15, 20}  # exactly the batch docs
+    assert rows[0]["decision"] == "exact"  # normalization catches case/punct
+    assert rows[5]["decision"] == "near_dup" and rows[5]["containment"] == 1.0
+    # sub-shingle docs are invisible to MinHash/containment but the exact
+    # hash stage still catches their twins — the DD1-alongside-LSH rationale
+    assert rows[10]["decision"] == "keep"
+    assert rows[15]["decision"] == "exact"
+    assert rows[20]["decision"] == "keep" and rows[20]["containment"] < 0.8
