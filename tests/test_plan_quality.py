@@ -269,3 +269,56 @@ def test_tfidf_shares_doc_partitioning(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "tfidf_topterms")
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange <= 5, plan
+
+
+def test_funnel_single_exchange_no_join(spark, sf_dir):
+    """The funnel's three dependent stage windows share the user_id
+    partitioning — one exchange total (plus the distinct's re-use of it),
+    and no join operator anywhere."""
+    plan = _catalog_plan(spark, sf_dir, "funnel_steps")
+    assert not re.search(r"SortMergeJoin|BroadcastHashJoin", plan), plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, plan  # window exchange + distinct reuses hash
+
+
+def test_resample_no_join_union_windows(spark, sf_dir):
+    """Resampling recovers both interpolation endpoints with window scans
+    over a union — the broadcast offsets in o7 aside, a Join node here
+    means someone replaced the as-of pattern with a range join."""
+    plan = _catalog_plan(spark, sf_dir, "resample_interpolate")
+    assert not re.search(r"SortMergeJoin", plan), plan
+    assert "Union" in plan, plan
+
+
+def test_pii_redact_is_map_side_regex(spark, sf_dir):
+    """Redaction is JVM regex inside codegen: no Python stage, and the
+    only exchange is the tiny per-source rollup."""
+    plan = _catalog_plan(spark, sf_dir, "pii_redact")
+    assert "Python" not in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+
+
+def test_rollup_single_exchange(spark, sf_dir):
+    """Grouping-sets rollup computes all three granularities in ONE
+    shuffle (Expand + single aggregate exchange), not three jobs."""
+    plan = _catalog_plan(spark, sf_dir, "rollup_hierarchy")
+    assert "Expand" in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+
+
+def test_unpivot_is_single_exchange(spark, sf_dir):
+    """The melt is a zero-shuffle narrow transform; only the per-feature
+    rollup exchanges."""
+    plan = _catalog_plan(spark, sf_dir, "unpivot_features")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must join on (key, salt) — the salt column in the
+    join keys is what spreads a hot key over n reducers."""
+    plan = _catalog_plan(spark, sf_dir, "skew_salted_join")
+    assert "_salt" in plan, plan
+    assert re.search(r"Join", plan), plan
