@@ -60,6 +60,8 @@ _RUN_FIRST = (
     "a7b_approx_sketches", "s4_prior_artifact_lifecycle",
     "eppa_field_surface", "eppa_pass_summary", "eppa_player_stats",
     "m2_value_model_width", "m6_optimize_defense",
+    # round-4 queue (past the 50-query cap this round; in-repo oracle green)
+    "mixture_temperature",
 )
 
 

@@ -1132,3 +1132,61 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "mixture_temperature",
+    "TS3,TS2,A1,J4,F4",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(cnt) AS m FROM counts),
+    rates AS (
+        SELECT source,
+               CAST(floor(10000 * sqrt(CAST(m AS DOUBLE) / cnt)) AS BIGINT)
+                   AS rate_bp
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.source, r.rate_bp
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))
+               AS BIGINT) % 10000 < r.rate_bp
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture reweighting (TS3, α = 0.5): each domain's
+    keep-rate is sqrt(min_count / count), flattening the domain
+    distribution toward — but not all the way to — uniform, the standard
+    multilingual/multi-domain pretraining temperature trade (keep more of
+    big domains than uniform TS2 would, less than proportional).
+
+    α = 0.5 is computed as sqrt deliberately: IEEE sqrt is
+    correctly-rounded in both engines (bit-identical), whereas pow(x, 0.5)
+    carries libm variance — the catalog's last-ulp rule decided the
+    exponent. The rate quantizes to basis points before the hash-threshold
+    comparison, so the kept set is engine-exact.
+
+    Scale: identical posture to TS2 — tiny per-source aggregate, 1-row min,
+    broadcast rate table, map-only hash filter over the corpus.
+    """
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(
+            F.lit(10000) * F.sqrt(F.col("m").cast("double") / F.col("cnt"))
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    bucket = (
+        dedup.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":temp")))
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_bp"))
+        .select("doc_id", "source", "rate_bp")
+    )

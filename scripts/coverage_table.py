@@ -95,6 +95,7 @@ def main() -> None:
         "TT3": "BPE adjacent-pair counts (tokenizer training step)",
         "TT4": "TF-IDF keyword extraction",
         "TS2": "domain-mixture downsampling (data mixing)",
+        "TS3": "temperature-scaled mixture reweighting (alpha=0.5)",
         "TX1": "PII redaction (regex scrub + checksum proof)",
         "TX2": "per-domain composition (URL host parse)",
         "GS1": "multi-granularity rollup (grouping sets, one shuffle)",
