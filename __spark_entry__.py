@@ -26,25 +26,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-3 driver-run ordering. The driver caps each round at 50 queries, so
-# emit first the queries with no driver verdict in CORRECTNESS_r01/r02:
-# (a) pack_sequences — the single r2 hash-FAIL (oracle HUGEINT type artifact,
-#     now CAST to BIGINT; values verified identical at 3 SFs) — re-verify it;
-# then the 11 round-3 additions (never driver-run);
-# (b) the 30 catalog queries the driver never ran in r1 or r2;
-# (c) the 8 rows-only kernel queries, now emitting self-certifying invariant
-#     columns so the rows-only check exercises real semantics.
-# That is exactly 50 entries — the full cap goes to un-verdicted queries.
-# Union over r1+r2+r3 then covers all 124 catalog queries.
+# Round-4 driver-run ordering. The driver caps each round at 50 queries, so
+# emit first the queries with no driver verdict yet:
+# (a) mixture_temperature — added late in round 3, past that round's cap —
+#     and the 9 round-4 additions (round4.py), all never driver-run;
+# (b) insurance re-runs in case the round-3 driver pass was lost (no
+#     CORRECTNESS_r03 is present in the repo): the exact round-3 priority
+#     order — pack_sequences (r2 hash-FAIL, oracle type since fixed), the 11
+#     round-3 additions, the 30 queries never run in r1/r2, then the 8
+#     rows-only self-certifying kernel queries. Entries past position 50 are
+#     the documented queue (all in-repo-oracle green at sf0.001/0.01).
 _RUN_FIRST = (
-    # (a) r2 hash-FAIL, oracle type fixed this round
+    # (a) no driver verdict in any round
+    "mixture_temperature",
+    "repeated_ngram_spans", "kmv_distinct_sketch", "bloom_semi_prune",
+    "scd2_history", "psi_drift", "markov_transitions",
+    "simhash_hamming_pairs", "zonemap_prune_stats", "oov_rate",
+    # (b) round-3 priority order, kept as insurance
     "pack_sequences",
-    # round-3 additions (never driver-run)
     "pii_redact", "url_host_agg", "stream_static_enrich",
     "rollup_hierarchy", "unpivot_features", "ntile_stratify",
     "resample_interpolate", "o7_global_rank", "funnel_steps",
     "dedup_incremental", "skew_salted_join",
-    # (b) never driver-run in r1 or r2
     "tfidf_topterms", "containment_pairs", "skew_salted_agg", "stream_dedup",
     "stream_interval_join", "s14_upsert_merge", "s15_rollup_reuse",
     "o6_zorder_layout", "w8_zscore_anomaly", "quality_percentile_filter",
@@ -54,14 +57,12 @@ _RUN_FIRST = (
     "j11_selfjoin_compare", "j14_label_join", "a27_axis_reduce",
     "o4_deterministic_order", "f13_flat_index", "f14_meshgrid",
     "f15_xor_flags", "f17_dot_projection",
+    # ---- 50-query cap lands here; below is the documented queue ----
     "analytics_player_rankings", "analytics_throw_calibration",
-    # (c) rows-only kernel queries, now with in-row invariant certification
     "a20b_gamma_mle_fit",
     "a7b_approx_sketches", "s4_prior_artifact_lifecycle",
     "eppa_field_surface", "eppa_pass_summary", "eppa_player_stats",
     "m2_value_model_width", "m6_optimize_defense",
-    # round-4 queue (past the 50-query cap this round; in-repo oracle green)
-    "mixture_temperature",
 )
 
 

@@ -1,0 +1,650 @@
+"""Round-4 catalog additions: scale-infrastructure operators for the
+training-data pipeline.
+
+Nine operators a 100 TB corpus/feature pipeline needs beyond the round-1..3
+surface, each a (Spark plan, DuckDB oracle) pair per the catalog contract:
+
+- DD10  exact repeated n-gram spans (suffix-style substring dedup signal)
+- SKX1  KMV distinct-count sketch (mergeable, bounded-size)
+- BF1   bloom-filter semi-join pruning (shuffle reduction before exact join)
+- SCD1  slowly-changing-dimension type-2 history build
+- PSI1  population-stability-index drift between hash splits
+- MK1   per-state Markov transition matrix over event sequences
+- SH1   banded SimHash hamming pairs (DD4's linear-ish candidate path)
+- ZM1   zone-map (data-skipping) pruning statistics per file bucket
+- TT5   out-of-vocabulary rate against a top-k corpus vocabulary
+
+All follow the catalog's cross-engine determinism rules (catalog.py module
+doc): integer arithmetic end-to-end where possible, md5 for hashing, a single
+IEEE division for ratios, round(...,6) for the one libm op (ln in PSI1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatabowl_spark.operators import dedup, text
+from bigdatabowl_spark.plans.catalog import HEX2INT, register, t
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB n-token shingle fragment (generalizes datapipe._SHINGLES,
+    which is fixed at n=3); non-DISTINCT — occurrences matter for DD10."""
+    parts = " || ' ' || ".join(f"string_split(text, ' ')[i+{j}]" for j in range(n))
+    return f"""
+    SELECT doc_id, unnest(
+        CASE WHEN len(string_split(text, ' ')) >= {n}
+             THEN list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> {parts})
+             ELSE [] END) AS gram
+    FROM documents
+    """
+
+
+@register(
+    "repeated_ngram_spans",
+    "DD10,A7,A1,F10",
+    f"""
+    WITH grams AS ({_gram_sql(8)})
+    SELECT gram,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (DD10): every 8-token n-gram that occurs
+    in >= 2 distinct documents, with occurrence counts — the grouped-n-gram
+    approximation of suffix-array substring dedup (the "dedup exact
+    substrings repeated across training documents" step of modern corpus
+    pipelines; the span table feeds a downstream cut/filter pass).
+
+    Spark plan: tokenize -> sliding 8-gram arrays (arrays_zip slices, no
+    Python) -> explode -> one hash aggregation keyed by the gram string.
+    Unlike DD2/DD3 this keeps *positions-free occurrence counts*, so the
+    whole thing is a single map-side-combining groupBy — no self-join at
+    all, the cheapest dedup signal in the catalog.
+
+    Scale: the gram table is ~tokens-per-corpus rows but combines partially
+    before the shuffle; at 100 TB you'd hash the gram to 64 bits first
+    (drop the string) and salt the empty-text skew key. The HAVING n_docs>=2
+    filter keeps the result to the duplicated tail only.
+    """
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(dedup.shingles_from_tokens(text.tokens(F.col("text")), 8)).alias(
+            "gram"
+        ),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "kmv_distinct_sketch",
+    "SKX1,A7,A14,W4",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT source, {HEX2INT.format(x='tok')} AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    ranked AS (
+        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS exact_distinct
+        FROM h
+    )
+    SELECT source,
+           COUNT(*) AS k_used,
+           MAX(h) AS kth_hash,
+           CAST((COUNT(*) - 1) * 4294967296.0 / MAX(h) AS DOUBLE) AS est_distinct,
+           MAX(exact_distinct) AS exact_distinct
+    FROM ranked WHERE rn <= 64
+    GROUP BY source
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (SKX1), k=64: per source,
+    keep the k smallest 32-bit hashes of the distinct token set; the
+    estimator (k-1) * 2^32 / h_(k) is unbiased for the true distinct count.
+    Emitted next to the exact distinct so the result self-reports its error.
+
+    Why KMV here (vs HLL in a7b): the sketch *state is a value set*, so it
+    is exactly expressible relationally in both engines — distinct-hash ->
+    per-group rank -> keep rank<=k — giving the sketch family a full
+    hash-checked oracle twin, which the HLL entry (rows-only) can't have.
+
+    Determinism: integers until one final IEEE division of exactly
+    representable values ((k-1)*2^32 < 2^53), which is correctly rounded
+    identically in both engines.
+
+    Scale: this is the map-side-mergeable sketch pattern — each partition
+    keeps its k smallest hashes, merge = union + re-rank; state is O(k) per
+    group regardless of corpus size. The rank window runs on the *distinct
+    hash* table, already shrunk by the partial distinct.
+    """
+    docs = t(spark, sf_dir, "documents")
+    h = (
+        docs.select(
+            "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+        )
+        .select("source", dedup.md5_long(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    ranked = h.select(
+        "source",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("exact_distinct"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 64)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.max("h").alias("kth_hash"),
+            (
+                (F.count("*") - 1).cast("double")
+                * F.lit(4294967296.0)
+                / F.max("h").cast("double")
+            ).alias("est_distinct"),
+            F.max("exact_distinct").alias("exact_distinct"),
+        )
+    )
+
+
+_BLOOM_M = 8192
+
+
+@register(
+    "bloom_semi_prune",
+    "BF1,P2,J1,A1",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (BF1): before the exact semi-join of
+    lineitem against urgent orders, probe a 2-hash bloom filter built from
+    the order keys, expressed relationally as two broadcast semi-joins
+    against the distinct set-bit-position table (m=8192). False positives
+    are removed by the final exact semi-join, so the result — and the
+    oracle — is the plain semi-join aggregate.
+
+    This is the runtime-filter pattern Spark applies natively
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) written as an explicit
+    plan: the position table is <= m rows however large the build side is,
+    so it always broadcasts, and fact rows failing the membership test drop
+    *before* the semi-join shuffle — at 100 TB that's the difference
+    between shuffling the full fact table and shuffling the ~selectivity
+    fraction that survives. Salting note: position-table lookups are
+    map-side (broadcast hash), so hot keys cost nothing extra.
+    """
+    from bigdatabowl_spark.functions.scalar import dec
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+    def pos(key, salt: str):
+        return (
+            dedup.md5_long(F.concat(key.cast("string"), F.lit(salt))) % _BLOOM_M
+        )
+
+    bits = (
+        urgent.select(pos(F.col("o_orderkey"), ":b1").alias("p"))
+        .union(urgent.select(pos(F.col("o_orderkey"), ":b2").alias("p")))
+        .distinct()
+    )
+    probe = li.withColumn("p1", pos(F.col("l_orderkey"), ":b1")).withColumn(
+        "p2", pos(F.col("l_orderkey"), ":b2")
+    )
+    pruned = (
+        probe.join(
+            F.broadcast(bits.withColumnRenamed("p", "p1")), "p1", "left_semi"
+        ).join(F.broadcast(bits.withColumnRenamed("p", "p2")), "p2", "left_semi")
+    )
+    exact = pruned.join(
+        F.broadcast(urgent.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "scd2_history",
+    "SCD1,W1,W2,F12",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, us, event_id FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           us AS valid_from_us,
+           LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+           CASE WHEN LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (SCD1): compact each user's
+    event-type sequence into validity intervals — a row per *change* with
+    [valid_from, valid_to) and an is_current flag, the standard way a
+    warehouse derives dimension history from a mutation/event stream
+    (the batch twin of a CDC-fed MERGE; s14_upsert_merge covers the
+    keep-latest-only variant).
+
+    Two windows over the same (user_id | ts, event_id) partitioning: a lag
+    to find change rows, then a lead over the *filtered* change rows for
+    interval ends. Spark reuses the sort across both windows (one shuffle,
+    one sort — the filter preserves the partitioning), which is the plan
+    you want at 100 TB: cost = one shuffle of the event table, state = none.
+    Timestamps flow as epoch-microsecond BIGINTs per the catalog rule.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = F.col("ts_us")  # BIGINT epoch-micros added by load_table (NTZ-safe)
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lead_us = F.lead("us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        lead_us.alias("valid_to_us"),
+        F.when(lead_us.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@register(
+    "psi_drift",
+    "PSI1,A1,A18,F4,F6",
+    f"""
+    WITH tagged AS (
+        SELECT n_chars,
+               {HEX2INT.format(x="CAST(doc_id AS VARCHAR) || ':psi'")} % 2 AS split
+        FROM documents
+    ),
+    mx AS (SELECT MAX(n_chars) AS maxc FROM tagged),
+    binned AS (
+        SELECT (CAST(n_chars AS BIGINT) * 10) // (maxc + 1) AS bin, split
+        FROM tagged, mx
+    ),
+    cnts AS (
+        SELECT bin,
+               SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS cnt_a,
+               SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS cnt_b
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM cnts)
+    SELECT bin,
+           CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           CAST(cnt_a + 1 AS DOUBLE) / (tot_a + 10) AS pa,
+           CAST(cnt_b + 1 AS DOUBLE) / (tot_b + 10) AS pb,
+           round((CAST(cnt_a + 1 AS DOUBLE) / (tot_a + 10)
+                  - CAST(cnt_b + 1 AS DOUBLE) / (tot_b + 10))
+                 * round(ln((CAST(cnt_a + 1 AS DOUBLE) / (tot_a + 10))
+                            / (CAST(cnt_b + 1 AS DOUBLE) / (tot_b + 10))), 6),
+                 6) AS psi_contrib
+    FROM cnts, tot
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check (PSI1): hash-split the corpus
+    into two halves, histogram n_chars into 10 equal-width bins (shared
+    global max), Laplace-smooth the per-bin shares, and emit each bin's PSI
+    contribution (pa-pb)*ln(pa/pb) — the standard train/serving drift
+    monitor for an ML data pipeline (sum > 0.2 = investigate).
+
+    Determinism: bins via BIGINT integer division (never floor-of-double);
+    shares are single IEEE divisions of exact integers; ln is the one libm
+    call — rounded to 6 decimals on both engines before and after the
+    product per the catalog's last-ulp rule.
+
+    Scale: two scans collapse to one — split tag and bin are map-side, the
+    histogram is a 10x2 partial-agg, and the totals row broadcasts back.
+    Nothing grows with corpus size except the first aggregate's input.
+    """
+    docs = t(spark, sf_dir, "documents")
+    split = (
+        dedup.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":psi"))) % 2
+    )
+    tagged = docs.select(F.col("n_chars").cast("long").alias("n_chars"), split.alias("split"))
+    mx = tagged.agg(F.max("n_chars").alias("maxc"))
+    binned = tagged.crossJoin(F.broadcast(mx)).select(
+        F.expr("(n_chars * 10) div (maxc + 1)").alias("bin"), "split"
+    )
+    cnts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    # totals as a global window over the 10-row histogram — NOT an agg +
+    # crossJoin, which would re-execute the whole corpus lineage a second
+    # time (the single partition here holds <= 10 rows, not the corpus)
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy()
+    totaled = cnts.select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(wg).cast("long").alias("tot_a"),
+        F.sum("cnt_b").over(wg).cast("long").alias("tot_b"),
+    )
+    pa = (F.col("cnt_a") + 1).cast("double") / (F.col("tot_a") + 10)
+    pb = (F.col("cnt_b") + 1).cast("double") / (F.col("tot_b") + 10)
+    return totaled.select(
+        "bin",
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        pa.alias("pa"),
+        pb.alias("pb"),
+        F.round((pa - pb) * F.round(F.log(pa / pb), 6), 6).alias("psi_contrib"),
+    )
+
+
+@register(
+    "markov_transitions",
+    "MK1,W1,A1,A9",
+    """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS to_type
+        FROM events
+    ),
+    cnts AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           (10000 * n_trans) // CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+               AS rate_bp
+    FROM cnts
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (MK1): adjacent (from_type -> to_type) pairs via a lead window, counted,
+    then row-normalized per from-state to basis points — sequence-model
+    features / funnel diagnostics from the same shuffle the sessionizers
+    use. Integer arithmetic end-to-end (10000*n // total), so the matrix is
+    engine-exact.
+
+    Scale: the pair stream combines map-side into a |states|^2 table (tiny);
+    the renormalizing window runs on that table, not the events. One
+    events-sized shuffle (the per-user sort), shared with W1/SCD1-class
+    queries if co-scheduled.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us"), "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n_trans"))
+    wf = Window.partitionBy("from_type")
+    return cnts.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("10000 * n_trans").cast("long").alias("_num"),
+        F.sum("n_trans").over(wf).cast("long").alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("_num div _den").alias("rate_bp"),
+    )
+
+
+def _simhash32_sql() -> str:
+    """32-bit SimHash CTE body (datapipe._simhash_sql is the 16-bit catalog
+    twin; banding needs the wider signature for selective buckets)."""
+    from bigdatabowl_spark.plans.datapipe import _simhash_sql
+
+    return _simhash_sql(32)
+
+
+@register(
+    "simhash_hamming_pairs",
+    "SH1,DD4,J12,A7,F15",
+    f"""
+    WITH sig AS ({_simhash32_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, b.bno,
+               (simhash >> (8 * b.bno)) & 255 AS band_val
+        FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(bno)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.simhash AS s1, b.simhash AS s2
+        FROM banded a JOIN banded b
+          ON a.bno = b.bno AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (SH1): the linear-ish candidate path for
+    DD4 — 32-bit signatures split into 4 bands of 8 bits; docs sharing any
+    band value become candidates (an equi-join, never all-pairs), then the
+    exact hamming distance (bit_count of xor) <= 3 confirms. This is the
+    classic web-scale near-dup design (Manku et al., WWW'07): a hamming-k
+    match must agree exactly on >= 1 of k+1 bands, so banding has no false
+    negatives for k=3.
+
+    Scale: candidate volume is sum over buckets of C(bucket,2) — with
+    8-bit bands the expected bucket is corpus/256 per band; at 100 TB you
+    widen to a 64-bit signature with 6-bit..16-bit bands chosen so buckets
+    stay O(100), and salt any degenerate band value (e.g. empty docs all
+    hashing to one signature). The verify step is map-side on the joined
+    pair row — no second shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.simhash(docs, bits=32)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("bno"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, 8 * bno) & 255"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bno") == F.col("b.bno"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.filter(hamming <= 3).select(
+        "doc1", "doc2", hamming.cast("long").alias("hamming")
+    )
+
+
+@register(
+    "zonemap_prune_stats",
+    "ZM1,A1,P4,F12",
+    """
+    WITH keyed AS (
+        SELECT 'by_orderkey' AS layout, l_orderkey // 512 AS bucket,
+               epoch_us(l_shipdate) AS us
+        FROM lineitem
+        UNION ALL
+        SELECT 'by_shipmonth' AS layout,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS bucket,
+               epoch_us(l_shipdate) AS us
+        FROM lineitem
+    )
+    SELECT layout, bucket, COUNT(*) AS n_rows,
+           MIN(us) AS min_us, MAX(us) AS max_us,
+           CASE WHEN MIN(us) < epoch_us(TIMESTAMP '1995-01-01')
+                 AND MAX(us) >= epoch_us(TIMESTAMP '1994-01-01')
+                THEN 1 ELSE 0 END AS would_scan
+    FROM keyed
+    GROUP BY layout, bucket
+    """,
+)
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping statistics (ZM1): per file-bucket min/max of
+    l_shipdate under two physical layouts — insertion-keyed (orderkey/512,
+    i.e. unsorted w.r.t. the predicate column) and shipdate-month-
+    clustered — plus whether a [1994-01-01, 1995-01-01) scan could skip the
+    bucket. This is the footer-statistics pruning model parquet/Iceberg/
+    Delta use; the query *measures* it: the keyed layout scans ~every
+    bucket, the clustered one scans ~12/84 — the quantified argument for
+    o6_zorder_layout's write-side clustering.
+
+    Scale: pure map-side bucket tagging + one partial-agg per layout; the
+    output is one row per bucket (bounded by file count, not row count).
+    The two layouts share one scan via the unioned projection.
+    """
+    li_raw = t(spark, sf_dir, "lineitem")
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    li = li_raw.select(
+        "l_orderkey", epoch_us_col(li_raw, "l_shipdate").alias("us"), "l_shipdate"
+    )
+    keyed = li.select(
+        F.lit("by_orderkey").alias("layout"),
+        F.expr("l_orderkey div 512").alias("bucket"),
+        "us",
+    ).unionAll(
+        li.select(
+            F.lit("by_shipmonth").alias("layout"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("bucket"),
+            "us",
+        )
+    )
+    # epoch-micros literals for [1994-01-01, 1995-01-01) — fixed constants
+    # (not session-timezone-dependent casts), matching the oracle's
+    # epoch_us(TIMESTAMP ...) on naive==UTC testdata timestamps
+    lo = F.lit(757382400 * 1_000_000)
+    hi = F.lit(788918400 * 1_000_000)
+    return keyed.groupBy("layout", "bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
+        F.when((F.min("us") < hi) & (F.max("us") >= lo), 1)
+        .otherwise(0)
+        .alias("would_scan"),
+    )
+
+
+@register(
+    "oov_rate",
+    "TT5,TT2,A9,W4,J1",
+    """
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM toks GROUP BY tok
+        ) WHERE rk <= 1000
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           (10000 * CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+               // COUNT(*) AS oov_bp
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY lang
+    """,
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language (TT5) against the corpus top-1000
+    vocabulary (count-desc, token-asc deterministic tiebreak — same rule as
+    token_topk): the tokenizer-coverage check run before committing a vocab,
+    reported in integer basis points so the ratio is engine-exact.
+
+    Scale: vocabulary is top-k of a combining token count (TT2's plan) and
+    is k rows -> broadcast to the token stream; the per-lang rollup is a
+    counted-flag aggregate, so the corpus is scanned twice but shuffled
+    only as (token,count) partials and a |langs|-row result. At 100 TB
+    you'd cache the tokenized intermediate or fuse with the TT2 run.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(text.tokens(F.col("text"))).alias("tok"))
+
+    # top-1000 via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # top-k + merge of 1000 rows), never a single-partition global window
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "(10000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)) div count(*)"
+        ).alias("oov_bp"),
+    )

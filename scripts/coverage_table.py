@@ -111,6 +111,15 @@ def main() -> None:
         "O6": "Z-order (Morton) layout key for multi-dim file pruning",
         "S14": "CDC upsert merge (anti-join + union)",
         "S15": "materialized rollup reuse (continuous aggregate)",
+        "DD10": "exact repeated n-gram spans (substring-dedup signal)",
+        "SH1": "banded SimHash hamming pairs (DD4 linear-ish candidate path)",
+        "SKX1": "KMV distinct-count sketch (mergeable, exact oracle twin)",
+        "BF1": "bloom-filter semi-join pruning (runtime-filter pattern)",
+        "SCD1": "slowly-changing-dimension type-2 history build",
+        "PSI1": "population-stability-index drift between hash splits",
+        "MK1": "Markov transition matrix over per-user event sequences",
+        "ZM1": "zone-map (data-skipping) pruning statistics per bucket",
+        "TT5": "out-of-vocabulary rate vs top-k corpus vocabulary",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -322,3 +322,69 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "skew_salted_join")
     assert "_salt" in plan, plan
     assert re.search(r"Join", plan), plan
+
+
+# ---- round-4 additions (plans/round4.py) ----------------------------------
+
+
+def test_repeated_ngram_no_join(spark, sf_dir):
+    """DD10 is a single combining aggregation — any Join in this plan means
+    someone reintroduced a self-join for what groupBy already does."""
+    plan = _catalog_plan(spark, sf_dir, "repeated_ngram_spans")
+    assert "Join" not in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, plan  # countDistinct expansion adds the 2nd
+
+
+def test_scd2_windows_share_one_sort(spark, sf_dir):
+    """Both SCD2 windows partition on (user_id | ts_us, event_id); the
+    change-filter preserves that distribution, so the whole history build
+    is ONE shuffle of the event table."""
+    plan = _catalog_plan(spark, sf_dir, "scd2_history")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bloom_prune_all_joins_broadcast(spark, sf_dir):
+    """BF1's position tables and the exact build side are all bounded-small;
+    every join must broadcast — a sort-merge here means the fact table
+    shuffled for a membership probe, defeating the whole point."""
+    plan = _catalog_plan(spark, sf_dir, "bloom_semi_prune")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_simhash_pairs_band_equi_join(spark, sf_dir):
+    """SH1's candidate generation must be an equi join on the band keys —
+    never a nested-loop/cartesian all-pairs comparison."""
+    plan = _catalog_plan(spark, sf_dir, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_psi_drift_no_corpus_recompute(spark, sf_dir):
+    """The totals come from a window over the 10-row histogram; an
+    agg+crossJoin formulation re-executes the corpus lineage (5 exchanges,
+    6 nested loops — the shape this gate exists to prevent)."""
+    plan = _catalog_plan(spark, sf_dir, "psi_drift")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 3, plan
+
+
+def test_oov_vocab_is_take_ordered_and_broadcast(spark, sf_dir):
+    """TT5's vocabulary must come from TakeOrderedAndProject (distributed
+    top-k, no global-window sort) and join the token stream by broadcast."""
+    plan = _catalog_plan(spark, sf_dir, "oov_rate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zonemap_single_exchange(spark, sf_dir):
+    """ZM1 is map-side bucket tagging + one partial-agg; the unioned dual
+    layout must not add a second shuffle."""
+    plan = _catalog_plan(spark, sf_dir, "zonemap_prune_stats")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "Join" not in plan, plan
