@@ -1,10 +1,10 @@
 """Round-4 catalog additions: scale-infrastructure operators for the
 training-data pipeline.
 
-Nine operators a 100 TB corpus/feature pipeline needs beyond the round-1..3
+Operators a 100 TB corpus/feature pipeline needs beyond the round-1..3
 surface, each a (Spark plan, DuckDB oracle) pair per the catalog contract:
 
-- DD10  exact repeated n-gram spans (suffix-style substring dedup signal)
+- DD10  exact repeated n-gram spans + per-doc dup-span coverage (apply side)
 - SKX1  KMV distinct-count sketch (mergeable, bounded-size)
 - BF1   bloom-filter semi-join pruning (shuffle reduction before exact join)
 - SCD1  slowly-changing-dimension type-2 history build
@@ -13,6 +13,9 @@ surface, each a (Spark plan, DuckDB oracle) pair per the catalog contract:
 - SH1   banded SimHash hamming pairs (DD4's linear-ish candidate path)
 - ZM1   zone-map (data-skipping) pruning statistics per file bucket
 - TT5   out-of-vocabulary rate against a top-k corpus vocabulary
+- ST3'  batch sessionization twin (cumulative-flag idiom, one shuffle)
+- ER1   entity-resolution blocking pairs (bounded-block candidate join)
+- RB1   robust median+MAD per group (two exact-percentile passes)
 
 All follow the catalog's cross-engine determinism rules (catalog.py module
 doc): integer arithmetic end-to-end where possible, md5 for hashing, a single
@@ -647,4 +650,274 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(10000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)) div count(*)"
         ).alias("oov_bp"),
+    )
+
+
+_GRAM8 = " || ' ' || ".join(f"tk[i+{j}]" for j in range(8))
+
+
+@register(
+    "dup_span_coverage",
+    "DD10,P2,A7,A9,F13",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(tk) >= 8
+                 THEN list_transform(range(1, len(tk) - 6),
+                      i -> struct_pack(pos := i, gram := {_GRAM8}))
+                 ELSE [] END, recursive := true)
+        FROM toks
+    ),
+    dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS cpos
+        FROM grams g JOIN dup_grams USING (gram)
+    ),
+    cov_counts AS (
+        SELECT doc_id, COUNT(*) AS n_dup_tokens FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+           (10000 * COALESCE(c.n_dup_tokens, 0)) // CAST(len(t.tk) AS BIGINT)
+               AS dup_bp
+    FROM toks t LEFT JOIN cov_counts c USING (doc_id)
+    WHERE len(t.tk) > 0
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD10's apply side: per-document fraction of token positions covered
+    by an 8-gram that also occurs in another document — the number the
+    span-dedup cut/filter decision runs on (drop or trim docs whose
+    duplicated coverage exceeds a threshold, as in suffix-array corpus
+    dedup pipelines).
+
+    Position-aware: posexplode keeps each gram's start offset, a semi-join
+    against the duplicated-gram set keeps only dup occurrences, and the
+    covered positions are the *distinct union* of [pos, pos+8) intervals —
+    overlapping spans are not double-counted. Coverage ratio is integer
+    basis points (engine-exact).
+
+    Scale: the dup-gram set is the DD10 aggregate (already shuffled small);
+    the covered-position explode is 8 rows per dup occurrence — bounded by
+    duplicated text volume, not corpus volume. At 100 TB, hash grams to 64
+    bits for the join key and compute coverage by merging sorted intervals
+    per doc (an 8x row reduction) inside a groupBy-collect over positions.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(dedup.shingles_from_tokens(F.col("tk"), 8)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("cpos"),
+        )
+        .distinct()
+    )
+    cov_counts = covered.groupBy("doc_id").agg(F.count("*").alias("n_dup_tokens"))
+    base = toks.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return base.join(cov_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).alias("n_dup_tokens"),
+        F.expr("(10000 * coalesce(n_dup_tokens, 0)) div n_tokens").alias("dup_bp"),
+    )
+
+
+@register(
+    "sessionize_batch",
+    "ST3,W1,A25,A1",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+        SELECT user_id, us, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (ST3's batch twin): a 30-minute
+    inactivity gap starts a new session — lag flags the boundaries, a
+    running sum numbers the sessions, one aggregate summarizes them. This
+    is the classic cumulative-flag idiom; the streaming catalog entry
+    (stream_session_windows) computes the same sessions with
+    session_window state, so the two can cross-check.
+
+    Scale: both windows and the final groupBy share the (user_id) hash
+    partitioning — Spark plans ONE exchange for the whole query [gated
+    pattern, cf. scd2_history]. Session summaries are decimal-exact.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from bigdatabowl_spark.functions.scalar import dec
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("us"),
+        "value",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.select(
+        "user_id",
+        "us",
+        "value",
+        F.sum("new_session").over(w2).cast("long").alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("session_value"),
+    )
+
+
+@register(
+    "blocking_pairs",
+    "ER1,J2,J12,F6",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT a.c_nationkey, a.c_mktsegment,
+           a.c_custkey AS cust1, b.c_custkey AS cust2,
+           abs(a.cents - b.cents) AS diff_cents
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE abs(a.cents - b.cents) <= 1000
+    """,
+)
+def blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking (ER1): candidate record pairs are
+    generated only *within* blocks — here (nation, market segment) — then
+    scored by attribute proximity (account balance within $10, exact in
+    integer cents). Blocking is the classical record-linkage answer to the
+    quadratic pair explosion, the structured-data sibling of LSH banding
+    (DD3/SH1): an equi-join on the block key replaces the all-pairs cross.
+
+    Scale: cost is sum over blocks of C(n,2); the blocking key must keep
+    blocks bounded — at 100 TB you'd add a second-level block (balance
+    decile) to cap n, and any degenerate block (one giant segment) is
+    exactly the SK1/SK2 salting case. The plan must stay an equi-join on
+    both block columns — never a cartesian with post-filters.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.abs(F.col("a.cents") - F.col("b.cents")) <= 1000)
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_mktsegment").alias("c_mktsegment"),
+            F.col("a.c_custkey").alias("cust1"),
+            F.col("b.c_custkey").alias("cust2"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias("diff_cents"),
+        )
+    )
+
+
+@register(
+    "mad_robust_stats",
+    "RB1,A10,A11,J4",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS med
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           MAX(m.med) AS median_price,
+           round(quantile_cont(abs(CAST(l.l_extendedprice AS DOUBLE) - m.med), 0.5), 6)
+               AS mad_price
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group (RB1): the robust
+    location/spread pair (median, MAD) that quality-filtering thresholds
+    should use instead of mean/stddev when the metric is heavy-tailed
+    (w8_zscore_anomaly's trailing z-score is the windowed cousin). Two
+    exact-percentile passes: group medians (rounded per the catalog's
+    libm-free exact-percentile idiom, cf. a10_quantiles), broadcast back
+    (J4 pattern), then the median of absolute deviations.
+
+    Scale: two aggregations over the fact table with a broadcast in
+    between — the |groups|-row median table never shuffles the facts. Exact
+    percentile needs the group's values collected per reducer; at 100 TB
+    swap percentile -> percentile_approx (t-digest, mergeable) and keep the
+    same two-pass shape.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    return dev.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.max("med").alias("median_price"),
+        F.round(F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 6).alias(
+            "mad_price"
+        ),
     )

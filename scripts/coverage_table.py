@@ -120,6 +120,8 @@ def main() -> None:
         "MK1": "Markov transition matrix over per-user event sequences",
         "ZM1": "zone-map (data-skipping) pruning statistics per bucket",
         "TT5": "out-of-vocabulary rate vs top-k corpus vocabulary",
+        "ER1": "entity-resolution blocking pairs (bounded-block candidate join)",
+        "RB1": "robust location/spread (median + MAD) per group",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

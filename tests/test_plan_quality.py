@@ -388,3 +388,37 @@ def test_zonemap_single_exchange(spark, sf_dir):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_sessionize_batch_single_exchange(spark, sf_dir):
+    """Both sessionization windows and the session rollup share the
+    (user_id) hash partitioning — the whole query is ONE shuffle."""
+    plan = _catalog_plan(spark, sf_dir, "sessionize_batch")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_blocking_pairs_equi_join_on_block_keys(spark, sf_dir):
+    """ER1 candidates must come from an equi join on both block columns —
+    a cartesian with post-filters is the quadratic blowup blocking exists
+    to avoid."""
+    plan = _catalog_plan(spark, sf_dir, "blocking_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mad_broadcasts_group_medians(spark, sf_dir):
+    """RB1's median table is |groups| rows and must broadcast back to the
+    facts — a shuffled join would re-shuffle the fact table for 3 rows."""
+    plan = _catalog_plan(spark, sf_dir, "mad_robust_stats")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dup_span_coverage_semi_join(spark, sf_dir):
+    """DD10-apply keeps only dup-gram occurrences via a semi join (or
+    AQE-converted broadcast); no cartesian anywhere in the lineage."""
+    plan = _catalog_plan(spark, sf_dir, "dup_span_coverage")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
