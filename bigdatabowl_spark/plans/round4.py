@@ -921,3 +921,119 @@ def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_price"
         ),
     )
+
+
+@register(
+    "time_range_rolling",
+    "TR1,W3,F12,A1",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (TR1): per user, trailing one-hour event
+    count and decimal-exact value sum — RANGE BETWEEN over epoch-micros,
+    the time-based rolling aggregate (w3_rolling_mean is the fixed-ROWS
+    cousin; this one's frame width varies with event density, the form
+    monitoring/feature pipelines actually need). Rows sharing a timestamp
+    share a frame by RANGE semantics, so no tiebreak column is needed for
+    determinism.
+
+    Scale: one shuffle on user_id, sorted once; the range frame is
+    evaluated with a sliding two-pointer over the sorted partition —
+    cost O(n) per partition, state O(frame). Hot users are the skew
+    knob (same answer as W-family: AQE skew split or pre-salting with
+    frame-safe overlap).
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from bigdatabowl_spark.functions.scalar import dec
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("us"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    "TR2,W1,A28,F12",
+    """
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS span_us,
+           CAST(SUM(CAST(cents * (next_us - us) AS DECIMAL(38,0))) AS DOUBLE)
+               / 100.0 / (MAX(us) - MIN(us)) AS twa
+    FROM o
+    GROUP BY user_id
+    HAVING MAX(us) - MIN(us) > 0
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TR2): each observation holds until the next
+    one (step interpolation), so the average weights every value by its
+    holding duration — the hypertable/metrics-rollup aggregate for
+    irregularly sampled series, where a plain AVG over-counts bursts.
+
+    Determinism: durations are BIGINT micro diffs and values integer cents,
+    so each cents x duration product is an exact BIGINT (~1e16 max, no
+    overflow) summed in DECIMAL(38,0) — engines' decimal *multiplication*
+    widening rules differ (a DECIMAL(18,2) x BIGINT formulation drifted
+    7e-15), integer products sidestep them. One cast-to-double and two IEEE
+    divisions at the end, identical sequence both engines. Zero-duration
+    rows (same-timestamp ties, broken by event_id) contribute zero weight.
+
+    Scale: lead window and the groupBy share the user_id partitioning (one
+    shuffle); the aggregate is algebraic, so map-side combine applies. The
+    step-function integral generalizes to gauge downsampling: group by
+    (user, hour-bucket) instead of user.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead("ts_us").over(w).alias("next_us"),
+    )
+    span = F.max("us") - F.min("us")
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            span.alias("span_us"),
+            (
+                F.sum(
+                    (F.col("cents") * (F.col("next_us") - F.col("us"))).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(100.0)
+                / span
+            ).alias("twa"),
+        )
+        .filter(F.col("span_us") > 0)
+    )

@@ -122,6 +122,8 @@ def main() -> None:
         "TT5": "out-of-vocabulary rate vs top-k corpus vocabulary",
         "ER1": "entity-resolution blocking pairs (bounded-block candidate join)",
         "RB1": "robust location/spread (median + MAD) per group",
+        "TR1": "time-based RANGE window frame (trailing interval rollup)",
+        "TR2": "time-weighted average (step-function integral)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

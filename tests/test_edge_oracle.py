@@ -56,6 +56,12 @@ EDGE_QUERIES = [
     "w1_lag_gaps",
     "a25_cumulative",
     "w8_zscore_anomaly",
+    # round-4: tie/boundary-sensitive event-sequence operators
+    "scd2_history",
+    "sessionize_batch",
+    "markov_transitions",
+    "time_range_rolling",
+    "time_weighted_avg",
 ]
 
 
@@ -179,6 +185,13 @@ DOC_EDGE_QUERIES = [
     "pii_redact",
     "rollup_hierarchy",
     "ntile_stratify",
+    # round-4: sub-shingle docs, dup spans, tiny-corpus sketch/drift
+    "repeated_ngram_spans",
+    "dup_span_coverage",
+    "kmv_distinct_sketch",
+    "oov_rate",
+    "psi_drift",
+    "simhash_hamming_pairs",
 ]
 
 
@@ -208,3 +221,59 @@ def test_doc_edge_incremental_semantics(spark, edge_docs_dir):
     assert rows[10]["decision"] == "keep"
     assert rows[15]["decision"] == "exact"
     assert rows[20]["decision"] == "keep" and rows[20]["containment"] < 0.8
+
+
+def test_edge_scd2_and_session_semantics(spark, edge_sf_dir):
+    """Pin SCD2 change-compaction and the 30-minute session-gap boundary on
+    the crafted rows (a gap of EXACTLY 30 min does not split a session)."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    hist = [
+        r
+        for r in CATALOG["scd2_history"].builder(spark, edge_sf_dir).collect()
+        if r["user_id"] == 0
+    ]
+    hist.sort(key=lambda r: r["valid_from_us"])
+    # same-ts tie broken by event_id: view(id0) then click(id1) — every
+    # event changes type, so 4 intervals, chained, last one current
+    assert [r["event_type"] for r in hist] == ["view", "click", "purchase", "view"]
+    assert [r["is_current"] for r in hist] == [0, 0, 0, 1]
+    assert hist[0]["valid_to_us"] == hist[1]["valid_from_us"]
+    assert hist[-1]["valid_to_us"] is None
+
+    sess = [
+        r
+        for r in CATALOG["sessionize_batch"].builder(spark, edge_sf_dir).collect()
+        if r["user_id"] == 0
+    ]
+    sess.sort(key=lambda r: r["session_no"])
+    # gaps: 0 µs (tie), exactly 30 min (NOT > gap → same session), 45 min
+    # (> gap → new session): sessions of 3 events and 1 event
+    assert [r["n_events"] for r in sess] == [3, 1]
+
+
+def test_edge_time_weighted_semantics(spark, edge_sf_dir):
+    """Zero-duration tie rows carry zero weight; the step integral over
+    user 0 is (20*30 + 30*45) / 75 minutes = 26.0 exactly."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = {
+        r["user_id"]: r
+        for r in CATALOG["time_weighted_avg"].builder(spark, edge_sf_dir).collect()
+    }
+    assert rows[0]["twa"] == 26.0
+    assert rows[0]["span_us"] == 75 * 60_000_000
+    # single-event user: zero span → filtered out
+    assert 1 not in rows
+
+    roll = {
+        (r["user_id"], r["event_id"]): r
+        for r in CATALOG["time_range_rolling"].builder(spark, edge_sf_dir).collect()
+    }
+    # at the event exactly 1 h after the first two: RANGE frame includes
+    # the boundary (closed interval) → all three events
+    assert roll[(0, 2)]["n_1h"] == 3 and roll[(0, 2)]["sum_1h"] == 60.0
+    # 45 min later the two 0:30 events have aged out
+    assert roll[(0, 3)]["n_1h"] == 2 and roll[(0, 3)]["sum_1h"] == 70.0

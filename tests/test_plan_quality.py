@@ -422,3 +422,21 @@ def test_dup_span_coverage_semi_join(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "dup_span_coverage")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_time_range_rolling_single_exchange(spark, sf_dir):
+    """TR1's range frame runs on the one (user_id) sort — no extra shuffle,
+    no join, no self-merge formulation."""
+    plan = _catalog_plan(spark, sf_dir, "time_range_rolling")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    """TR2's lead window and the per-user rollup share the (user_id)
+    partitioning — one shuffle end-to-end."""
+    plan = _catalog_plan(spark, sf_dir, "time_weighted_avg")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "Join" not in plan, plan
