@@ -1037,3 +1037,129 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+@register(
+    "triangle_count",
+    "GR1,J12,A1,A7,U2",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    wed AS (
+        SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+               COUNT(*) AS n_nodes
+        FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           n_nodes, n_wedges, n_triangles,
+           CAST(3 * n_triangles AS DOUBLE) / n_wedges AS clustering_coeff
+    FROM wed, tri
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient (GR1) on the
+    part co-purchase graph (parts sharing an order are adjacent) — the
+    canonical distributed graph-analytics join: with edges oriented
+    a < b, each triangle a<b<c matches exactly one (e1=(a,b), e2=(b,c),
+    e3=(a,c)) in the two-step self-join, so no dedup or division by 6.
+    Wedges come from per-node degrees; coefficient = 3*triangles/wedges
+    with one exact-integer IEEE division.
+
+    Scale: counting is by sorted-adjacency intersection per edge — never
+    the e1xe2 path self-join, which materializes every wedge (~150M rows at
+    sf0.1, measured 5x slower) before the closing edge prunes them. The
+    adjacency table (one row per node) broadcasts here; past broadcast
+    range it becomes a shuffled join and the intersection still avoids the
+    wedge blowup. At 100 TB the standard upgrades are degree-based
+    orientation (low-degree endpoint first, bounding every neighbor list)
+    and graph partitioning; the edge build itself is one groupBy on the
+    order key with array-side pair fan-out, never a fact self-join.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Edge build WITHOUT a fact self-join: group each order's distinct
+    # parts into a sorted array, then expand ordered pairs array-side (the
+    # bpe_pair_counts idiom) — one shuffle on l_orderkey instead of a
+    # 600k x 600k equi-join (measured 6 s -> ~2 s at sf0.1). Per-order
+    # pair fan-out is C(parts_per_order, 2), bounded by basket size.
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+    )
+    e = (
+        parts.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.pa", "p.pb")
+        .distinct()
+        # the edge table feeds FOUR consumers (count, 2x degree union, the
+        # triangle probe) that run as PARALLEL subtrees of one action — a
+        # lazy .persist() races its own population there and each subtree
+        # rebuilds the edges (measured 2x); the eager localCheckpoint
+        # materializes once and truncates lineage (the dedup/CC precedent,
+        # operators/dedup.py). At 100 TB this is a write of the edge table,
+        # which a bucketed-table materialization would also pay.
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        F.count("*").alias("n_nodes"),
+    )
+    # Triangles by sorted-adjacency intersection, NOT the e1xe2 path join:
+    # the path join materializes all wedges (~150M rows at sf0.1 — measured
+    # 9-22 s) before e3 prunes them; intersecting each edge's out-neighbor
+    # lists does the same counting with zero wedge-sized shuffle (~2 s).
+    # Same trick at 100 TB, with the adjacency build as the only big agg.
+    adj = e.groupBy("pa").agg(F.sort_array(F.collect_list("pb")).alias("nbrs"))
+    tri = (
+        e.join(F.broadcast(adj.select(F.col("pa"), F.col("nbrs").alias("nbrs_a"))), "pa")
+        .join(
+            F.broadcast(
+                adj.select(F.col("pa").alias("pb"), F.col("nbrs").alias("nbrs_b"))
+            ),
+            "pb",
+            "left",
+        )
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nbrs_a"),
+                    F.coalesce(F.col("nbrs_b"), F.array().cast("array<bigint>")),
+                )
+            ).alias("n_common")
+        )
+        .agg(F.sum("n_common").cast("long").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        edges.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -124,6 +124,7 @@ def main() -> None:
         "RB1": "robust location/spread (median + MAD) per group",
         "TR1": "time-based RANGE window frame (trailing interval rollup)",
         "TR2": "time-weighted average (step-function integral)",
+        "GR1": "triangle count + clustering coefficient (oriented-edge join)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -440,3 +440,13 @@ def test_time_weighted_avg_single_exchange(spark, sf_dir):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """GR1's triangle enumeration must be equi joins on edge endpoints —
+    a cartesian/nested-loop means the oriented-edge convention was lost.
+    The three scalar summaries (edges/wedges/triangles) combine via 1-row
+    broadcast nested loops, which are exempt (the J4 pattern)."""
+    plan = _catalog_plan(spark, sf_dir, "triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
