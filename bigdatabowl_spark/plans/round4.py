@@ -1039,6 +1039,44 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (pa < pb) distinct edge table of the part co-purchase graph,
+    built WITHOUT a fact self-join: group each order's distinct parts into
+    a sorted array, then expand ordered pairs array-side (the
+    bpe_pair_counts idiom) — one shuffle on l_orderkey instead of a
+    600k x 600k equi-join (measured 6 s -> ~2 s at sf0.1). Per-order pair
+    fan-out is C(parts_per_order, 2), bounded by basket size.
+
+    Eagerly localCheckpoint-ed: the graph queries consume the edges from
+    several PARALLEL subtrees of one action, where a lazy .persist() races
+    its own population and each subtree rebuilds the edges (measured 2x);
+    the checkpoint materializes once and truncates lineage (the dedup/CC
+    precedent, operators/dedup.py). At 100 TB this is a write of the edge
+    table, which a bucketed-table materialization would also pay.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+    )
+    return (
+        parts.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.pa", "p.pb")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+_EDGE_SQL = """
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
 @register(
     "triangle_count",
     "GR1,J12,A1,A7,U2",
@@ -1088,32 +1126,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and graph partitioning; the edge build itself is one groupBy on the
     order key with array-side pair fan-out, never a fact self-join.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Edge build WITHOUT a fact self-join: group each order's distinct
-    # parts into a sorted array, then expand ordered pairs array-side (the
-    # bpe_pair_counts idiom) — one shuffle on l_orderkey instead of a
-    # 600k x 600k equi-join (measured 6 s -> ~2 s at sf0.1). Per-order
-    # pair fan-out is C(parts_per_order, 2), bounded by basket size.
-    parts = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_expr = (
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
-    )
-    e = (
-        parts.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.pa", "p.pb")
-        .distinct()
-        # the edge table feeds FOUR consumers (count, 2x degree union, the
-        # triangle probe) that run as PARALLEL subtrees of one action — a
-        # lazy .persist() races its own population there and each subtree
-        # rebuilds the edges (measured 2x); the eager localCheckpoint
-        # materializes once and truncates lineage (the dedup/CC precedent,
-        # operators/dedup.py). At 100 TB this is a write of the edge table,
-        # which a bucketed-table materialization would also pay.
-        .localCheckpoint()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))
@@ -1162,4 +1175,95 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")
             ).alias("clustering_coeff"),
         )
+    )
+
+
+def _pagerank_iter_sql(prev: str, nxt: str) -> str:
+    """One integer-PageRank round as a DuckDB CTE pair: integer
+    contributions rank // degree summed per destination, damped 85/100 in
+    integer arithmetic. Summing BIGINTs is order-independent, which is the
+    whole reason the fixture uses integer (not float) ranks."""
+    return f"""
+    {nxt} AS (
+        SELECT g.dst AS node,
+               150000 + (85 * SUM(r.rank // g.deg_src)) // 100 AS rank
+        FROM graph g JOIN {prev} r ON r.node = g.src
+        GROUP BY g.dst
+    )"""
+
+
+@register(
+    "pagerank_fixed",
+    "GR2,J1,A1,A9,U1",
+    f"""
+    WITH e AS ({_EDGE_SQL}),
+    sym AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM e
+    ),
+    degs AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+    graph AS (
+        SELECT s.src, s.dst, d.deg AS deg_src
+        FROM sym s JOIN degs d ON d.node = s.src
+    ),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM degs),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT node, CAST(rank AS BIGINT) AS rank_ppm
+    FROM r3
+    ORDER BY rank DESC, node
+    LIMIT 100
+    """,
+)
+def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 unrolled iterations in exact integer arithmetic (GR2):
+    ranks in parts-per-million, contribution = rank // degree (BIGINT div),
+    damping 0.85 applied as (85 * sum) // 100 — every operation is
+    order-independent integer math, so the iterative fixpoint family gets a
+    hash-exact oracle twin (float PageRank cannot: shuffle-order float
+    summation diverges across engines). Top-100 with (rank desc, node)
+    tiebreak.
+
+    Scale: the per-iteration shape is join(graph, ranks) + groupBy(dst) —
+    ranks is |nodes| rows and broadcasts; the graph table is checkpointed
+    once (shared with GR1's edge build) and re-read per iteration, which is
+    exactly GraphX/Pregel's materialize-per-superstep behavior. Iteration
+    count is fixed (pipeline-unrolled); a convergence loop would use the
+    M5/M6 driver-loop pattern with localCheckpoint per round.
+
+    Truncation note: integer division loses < 1 ppm per edge per round
+    relative to float PageRank — acceptable for ranking, and the price of
+    cross-engine exactness (same trade as the catalog's basis-point rates).
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    graph = sym.join(
+        F.broadcast(degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))),
+        "src",
+    )
+    ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(3):
+        contribs = graph.join(
+            F.broadcast(ranks.select(F.col("node").alias("src"), "rank")), "src"
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(150000)
+                    + F.expr("(85 * sum(rank div deg_src)) div 100")
+                ).alias("rank")
+            )
+        )
+    return (
+        ranks.select("node", F.col("rank").cast("long").alias("rank_ppm"))
+        .orderBy(F.col("rank_ppm").desc(), F.col("node").asc())
+        .limit(100)
     )

@@ -125,6 +125,7 @@ def main() -> None:
         "TR1": "time-based RANGE window frame (trailing interval rollup)",
         "TR2": "time-weighted average (step-function integral)",
         "GR1": "triangle count + clustering coefficient (oriented-edge join)",
+        "GR2": "PageRank, fixed iterations in exact integer arithmetic",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -450,3 +450,13 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "triangle_count")
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_pagerank_broadcasts_ranks(spark, sf_dir):
+    """GR2's per-iteration rank and degree tables are |nodes| rows and must
+    broadcast into the graph join — shuffling the edge table three times
+    for a 20k-row side is the regression this pins."""
+    plan = _catalog_plan(spark, sf_dir, "pagerank_fixed")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
