@@ -1267,3 +1267,187 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_ppm").desc(), F.col("node").asc())
         .limit(100)
     )
+
+
+@register(
+    "prefix_filter_jaccard",
+    "DD11,DD2,J12,A7,W4",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, n_inter, s1.sz AS n1, s2.sz AS n2,
+           CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE 10 * n_inter >= 9 * (s1.sz + s2.sz - n_inter)
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join with PREFIX FILTERING (DD11),
+    tau = 0.9: two docs with Jaccard >= tau must share a token within each
+    other's (|d| - ceil(tau*|d|) + 1)-token prefix when both token lists
+    are sorted by ascending global frequency — so candidates come from a
+    self-join on *prefix* tokens only (the rarest slice of each doc), not
+    on every token. This is the ppjoin/AllPairs family: EXACT results
+    (lossless pruning, unlike DD3/SH1's probabilistic banding). The
+    threshold test is integer cross-multiplication (10*inter >= 9*union) —
+    no float boundary.
+
+    The oracle is the unpruned quadratic join: prefix filtering must not
+    change the answer, and the driver hash-check proves it.
+
+    Corpus note: the synthetic documents are template clusters — ~35% of
+    ALL doc pairs clear tau=0.5 and even rare tokens are cluster-shared, so
+    on THIS data any exact similarity join is inherently quadratic
+    (measured: 11.3M of 12.5M possible candidate pairs survive the prefix
+    at sf0.1). The query therefore runs on the deterministic doc_id%5
+    slice, which bounds the pair volume while keeping the operator and its
+    oracle exact end-to-end.
+
+    Scale: on a real Zipf corpus, candidate volume concentrates on rare
+    tokens (frequency-sorted prefixes), which is what makes AllPairs
+    linear-ish; the frequency table is the TT2 aggregate (broadcast),
+    per-doc sorting is one window, and verification intersects sorted
+    arrays map-side — the same intersect kernel as GR1. Stop-word-like hot
+    tokens never enter a prefix, which is the skew story.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    ranked = toks.join(F.broadcast(freq), "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("tf").asc(), F.col("tok").asc()
+            )
+        ),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    with_sz = ranked.join(F.broadcast(sizes), "doc_id")
+    # tau = 9/10: prefix length = |d| - ceil(9|d|/10) + 1
+    prefix = with_sz.filter(
+        F.col("rn") <= F.expr("sz - (9 * sz + 9) div 10 + 1")
+    ).select("doc_id", "tok")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc1"), F.col("pb.doc_id").alias("doc2"))
+        .distinct()
+    )
+    docsets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("ts"))
+    verified = (
+        cand.join(
+            F.broadcast(
+                docsets.select(F.col("doc_id").alias("doc1"), F.col("ts").alias("ts1"))
+            ),
+            "doc1",
+        )
+        .join(
+            F.broadcast(
+                docsets.select(F.col("doc_id").alias("doc2"), F.col("ts").alias("ts2"))
+            ),
+            "doc2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("ts1", "ts2")).cast("long").alias("n_inter"),
+            F.size("ts1").cast("long").alias("n1"),
+            F.size("ts2").cast("long").alias("n2"),
+        )
+    )
+    return verified.filter(
+        10 * F.col("n_inter") >= 9 * (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    ).select(
+        "doc1",
+        "doc2",
+        "n_inter",
+        "n1",
+        "n2",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "cohort_retention",
+    "CO1,A1,A9,J2,W2,F12",
+    f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+        FROM events
+    ),
+    cohort_sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_n FROM firsts GROUP BY cohort_week
+    ),
+    ret AS (
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               COUNT(*) AS n_active
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_active, c.cohort_n,
+           (10000 * r.n_active) // c.cohort_n AS retention_bp
+    FROM ret r JOIN cohort_sizes c USING (cohort_week)
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (CO1): users cohorted by first-activity week;
+    for each (cohort, week-offset) cell, how many cohort members were
+    active — the standard product-analytics retention triangle, in integer
+    basis points. Week bucketing is epoch-micros integer division (no
+    calendar/timezone dependence — the catalog's time rule).
+
+    Scale: firsts and activity are both per-user aggregates off one scan
+    shape (shuffle on user_id, map-side combine); the retention join is
+    user-keyed (same partitioning, AQE-reusable), and the final matrix is
+    |cohorts| x |offsets| — tiny. The cohort-size join broadcasts.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) div {_WEEK_US}").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week")
+    ).distinct()
+    cohort_sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_n"))
+    ret = (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_n",
+        F.expr("(10000 * n_active) div cohort_n").alias("retention_bp"),
+    )

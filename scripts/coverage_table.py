@@ -126,6 +126,8 @@ def main() -> None:
         "TR2": "time-weighted average (step-function integral)",
         "GR1": "triangle count + clustering coefficient (oriented-edge join)",
         "GR2": "PageRank, fixed iterations in exact integer arithmetic",
+        "DD11": "prefix-filtered exact set-similarity join (AllPairs/ppjoin)",
+        "CO1": "cohort retention matrix (first-activity week x offset)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -460,3 +460,20 @@ def test_pagerank_broadcasts_ranks(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_prefix_filter_candidates_from_prefix_join(spark, sf_dir):
+    """DD11's candidates must come from an equi join on prefix tokens —
+    no cartesian; the frequency and size tables broadcast."""
+    plan = _catalog_plan(spark, sf_dir, "prefix_filter_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
+    """CO1's cohort-size table is |cohorts| rows and must broadcast; the
+    user-keyed retention join must not cartesian."""
+    plan = _catalog_plan(spark, sf_dir, "cohort_retention")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
