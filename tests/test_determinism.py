@@ -27,6 +27,12 @@ QUERIES = [
     "bpe_pair_counts",          # pair top-k tie-break
     "s14_upsert_merge",         # anti-join + union
     "m10_quality_logit",        # sigmoid rounding
+    # round-4 float/order-sensitive additions
+    "psi_drift",                # rounded-ln products over smoothed shares
+    "kmv_distinct_sketch",      # rank-window kth-hash + one division
+    "time_weighted_avg",        # decimal step integral + double division
+    "mad_robust_stats",         # two exact-percentile passes
+    "pagerank_fixed",           # integer sums must survive re-partitioning
 ]
 
 
