@@ -503,3 +503,91 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("seg_value"),
         )
     )
+
+
+@register(
+    "stream_foreach_merge",
+    "ST8,S12,S14,A1",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge sink (ST8): the production pattern for streaming
+    into a keyed table no sink connector covers — each micro-batch reduces
+    to per-user partials (count + DECIMAL-exact value sum), merges them
+    with the previous state table, and writes a NEW versioned state
+    directory named by batchId. Versioned-dir-per-batch is the
+    exactly-once trick: a replayed batch rewrites state_<id> from the same
+    predecessor state, so the result is idempotent under retries
+    (the streaming analogue of the S12 resumable sink), and readers never
+    see a half-overwritten directory.
+
+    Partials stay DECIMAL in parquet between merges — merging exact
+    partials is exact — and convert to double once at the final read,
+    which is why the batch groupBy oracle matches to the bit.
+
+    Scale: per-batch work is one partial agg + one |users|-row merge;
+    state compaction is the versioned dir (drop old versions
+    asynchronously). At real scale the state table is bucketed by the
+    merge key so the per-batch merge join never shuffles history.
+    """
+    import shutil
+    import tempfile
+
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    state_root = tempfile.mkdtemp(prefix="bdb_foreach_merge_")
+    latest: dict[str, str] = {}
+
+    batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+        if "dir" in latest:
+            prev = spark.read.parquet(latest["dir"])
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_dec").alias("total_dec"),
+                )
+            )
+        out = f"{state_root}/state_{batch_id}"
+        partial.write.mode("overwrite").parquet(out)
+        latest["dir"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{state_root}/_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(latest["dir"])
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+        # materialize before the scratch dir is deleted
+        .localCheckpoint()
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    return result

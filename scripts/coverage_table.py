@@ -128,6 +128,7 @@ def main() -> None:
         "GR2": "PageRank, fixed iterations in exact integer arithmetic",
         "DD11": "prefix-filtered exact set-similarity join (AllPairs/ppjoin)",
         "CO1": "cohort retention matrix (first-activity week x offset)",
+        "ST8": "foreachBatch merge sink (versioned state, exactly-once)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))
