@@ -62,6 +62,8 @@ EDGE_QUERIES = [
     "markov_transitions",
     "time_range_rolling",
     "time_weighted_avg",
+    "cohort_retention",
+    "stream_foreach_merge",
 ]
 
 
@@ -192,6 +194,7 @@ DOC_EDGE_QUERIES = [
     "oov_rate",
     "psi_drift",
     "simhash_hamming_pairs",
+    "prefix_filter_jaccard",
 ]
 
 
