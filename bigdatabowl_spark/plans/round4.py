@@ -1080,12 +1080,8 @@ _EDGE_SQL = """
 @register(
     "triangle_count",
     "GR1,J12,A1,A7,U2",
-    """
-    WITH e AS (
-        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
+    f"""
+    WITH e AS ({_EDGE_SQL}),
     deg AS (
         SELECT node, COUNT(*) AS d FROM (
             SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
@@ -1227,11 +1223,13 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     Scale: the per-iteration shape is join(graph, ranks) + groupBy(dst) —
-    ranks is |nodes| rows and broadcasts; the graph table is checkpointed
-    once (shared with GR1's edge build) and re-read per iteration, which is
-    exactly GraphX/Pregel's materialize-per-superstep behavior. Iteration
-    count is fixed (pipeline-unrolled); a convergence loop would use the
-    M5/M6 driver-loop pattern with localCheckpoint per round.
+    ranks is |nodes| rows and broadcasts; the oriented EDGE table is
+    checkpointed once (same builder code as GR1, materialized per query)
+    and the symmetrize+degree join replays from it each superstep, which is
+    the GraphX/Pregel materialize-per-superstep model — at real scale you
+    would checkpoint the joined `graph` relation itself. Iteration count is
+    fixed (pipeline-unrolled); a convergence loop would use the M5/M6
+    driver-loop pattern with localCheckpoint per round.
 
     Truncation note: integer division loses < 1 ppm per edge per round
     relative to float PageRank — acceptable for ranking, and the price of

@@ -522,10 +522,12 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     to per-user partials (count + DECIMAL-exact value sum), merges them
     with the previous state table, and writes a NEW versioned state
     directory named by batchId. Versioned-dir-per-batch is the
-    exactly-once trick: a replayed batch rewrites state_<id> from the same
-    predecessor state, so the result is idempotent under retries
-    (the streaming analogue of the S12 resumable sink), and readers never
-    see a half-overwritten directory.
+    exactly-once trick: the predecessor is resolved FROM DISK (the largest
+    state_<id> with id < batchId), so a replayed batch — including one
+    replayed after a driver restart — rewrites state_<id> from the same
+    predecessor and the result is idempotent under retries (the streaming
+    analogue of the S12 resumable sink); readers never see a
+    half-overwritten directory.
 
     Partials stay DECIMAL in parquet between merges — merging exact
     partials is exact — and convert to double once at the final read,
@@ -536,15 +538,23 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     asynchronously). At real scale the state table is bucketed by the
     merge key so the per-batch merge join never shuffles history.
     """
+    import os
     import shutil
     import tempfile
 
     from bigdatabowl_spark.session import configure
-    from bigdatabowl_spark.sources.tables import epoch_us_col
 
     configure(spark)
     state_root = tempfile.mkdtemp(prefix="bdb_foreach_merge_")
-    latest: dict[str, str] = {}
+
+    def state_dirs(below: int | None = None) -> list[tuple[int, str]]:
+        out = []
+        for name in os.listdir(state_root):
+            if name.startswith("state_"):
+                bid = int(name.split("_", 1)[1])
+                if below is None or bid < below:
+                    out.append((bid, f"{state_root}/{name}"))
+        return sorted(out)
 
     batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     stream = (
@@ -558,8 +568,12 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(dec("value")).alias("total_dec"),
         )
-        if "dir" in latest:
-            prev = spark.read.parquet(latest["dir"])
+        # predecessor from disk, NOT driver memory — a batch replayed after
+        # a driver restart must merge from the same prior state it did the
+        # first time, which is what makes the rewrite idempotent
+        prior = state_dirs(below=batch_id)
+        if prior:
+            prev = spark.read.parquet(prior[-1][1])
             partial = (
                 prev.unionByName(partial)
                 .groupBy("user_id")
@@ -568,26 +582,31 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("total_dec").alias("total_dec"),
                 )
             )
-        out = f"{state_root}/state_{batch_id}"
-        partial.write.mode("overwrite").parquet(out)
-        latest["dir"] = out
+        partial.write.mode("overwrite").parquet(f"{state_root}/state_{batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{state_root}/_ckpt")
-        .start()
-    )
-    q.awaitTermination()
-    result = (
-        spark.read.parquet(latest["dir"])
-        .select(
-            "user_id",
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("total_dec").cast("double").alias("total_value"),
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{state_root}/_ckpt")
+            .start()
         )
-        # materialize before the scratch dir is deleted
-        .localCheckpoint()
-    )
-    shutil.rmtree(state_root, ignore_errors=True)
+        q.awaitTermination()
+        final = state_dirs()
+        if not final:  # zero-batch stream (e.g. empty source dir)
+            return spark.createDataFrame(
+                [], "user_id long, n_events long, total_value double"
+            )
+        result = (
+            spark.read.parquet(final[-1][1])
+            .select(
+                "user_id",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("total_dec").cast("double").alias("total_value"),
+            )
+            # materialize before the scratch dir is deleted
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(state_root, ignore_errors=True)
     return result
