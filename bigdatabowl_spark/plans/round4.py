@@ -1449,3 +1449,125 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_n",
         F.expr("(10000 * n_active) div cohort_n").alias("retention_bp"),
     )
+
+
+def _pq_oracle(k: int = 8, n_iter: int = 2, dims: int = 64, subs: int = 4) -> str:
+    """CTE-chain twin of the product-quantization trainer+encoder below:
+    the kmeans_lloyd lattice scheme with the subspace id as an extra key
+    (datapipe._kmeans_oracle is the single-space special case)."""
+    sub_w = dims // subs
+    ctes = [
+        f"""pts AS (
+        SELECT vec_id, (i - 1) // {sub_w} AS sub, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+        FROM embeddings, generate_series(1, {dims}) s(i)
+    )""",
+        f"c0 AS (SELECT sub, vec_id AS cid, d, q AS c FROM pts WHERE vec_id < {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""d{it} AS (
+        SELECT p.vec_id, p.sub, c.cid, SUM((p.q - c.c) * (p.q - c.c)) AS d2
+        FROM pts p JOIN {prev} c ON c.sub = p.sub AND c.d = p.d
+        GROUP BY 1, 2, 3
+    )"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+        SELECT vec_id, sub, cid, d2 FROM (
+            SELECT vec_id, sub, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+            FROM d{it})
+        WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+        SELECT p.sub, a.cid, p.d,
+               CAST(round(CAST(SUM(p.q) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS c
+        FROM pts p JOIN a{it} a ON a.vec_id = p.vec_id AND a.sub = p.sub
+        GROUP BY 1, 2, 3
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id,
+           CAST(SUM(cid * power({k}, sub)) AS BIGINT) AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS err_q
+    FROM a{n_iter}
+    GROUP BY vec_id
+    """
+    )
+
+
+@register("pq_codes", "SIM4,SIM3,J12,A14,A26", _pq_oracle())
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (SIM4): split each 64-dim embedding into 4
+    subvectors of 16 dims, train a k=8 codebook per subspace (2 Lloyd
+    iterations in the catalog's quantized-integer lattice — the
+    kmeans_lloyd/SIM3 determinism contract, with the subspace id as an
+    extra grouping key), then encode every vector as the concatenation of
+    its 4 nearest-centroid ids (a 12-bit code here; 8 subs x 256 centroids
+    = 64-bit codes at production scale) plus its integer reconstruction
+    error. PQ is the memory side of large-scale ANN: IVF (embed_ivf_knn)
+    prunes the search space, PQ shrinks the residual vectors ~20x so the
+    index fits in RAM.
+
+    Determinism: everything runs on the integer lattice (round(x*1000)),
+    distances and errors are integer sums, argmin ties break on centroid
+    id, centroid updates round back to the lattice — bit-exact across
+    engines and partitionings, like SIM3.
+
+    Scale: pts is N x 64 rows but every iteration is one broadcast join
+    (codebook = subs x k x dims/subs = 512 rows) + one combining groupBy;
+    the per-vector encode is the same broadcast-argmin shape as IVF
+    assignment. Codebook training on a corpus sample (TS1 split) and
+    full-corpus encode is the production split of the same two stages.
+    """
+    from pyspark.sql import Window
+
+    k, n_iter, dims, subs = 8, 2, 64, 4
+    sub_w = dims // subs
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        F.expr(f"d div {sub_w}").alias("sub"),
+        "d",
+        F.round(F.col("x").cast("double") * 1000, 0).cast("long").alias("q"),
+    )
+    cents = pts.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("cid"), "d", F.col("q").alias("c")
+    )
+    assign = None
+    for _ in range(n_iter):
+        d2 = (
+            pts.join(F.broadcast(cents), ["sub", "d"])
+            .groupBy("vec_id", "sub", "cid")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cid", "d2")
+        )
+        cents = (
+            pts.join(assign.select("vec_id", "sub", "cid"), ["vec_id", "sub"])
+            .groupBy("sub", "cid", "d")
+            .agg(
+                F.round(F.sum("q").cast("double") / F.count("*"), 0)
+                .cast("long")
+                .alias("c")
+            )
+        )
+    return assign.groupBy("vec_id").agg(
+        F.sum(F.col("cid") * F.pow(F.lit(float(k)), F.col("sub")))
+        .cast("long")
+        .alias("pq_code"),
+        F.sum("d2").cast("long").alias("err_q"),
+    )

@@ -129,6 +129,7 @@ def main() -> None:
         "DD11": "prefix-filtered exact set-similarity join (AllPairs/ppjoin)",
         "CO1": "cohort retention matrix (first-activity week x offset)",
         "ST8": "foreachBatch merge sink (versioned state, exactly-once)",
+        "SIM4": "product quantization (per-subspace lattice codebooks + codes)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

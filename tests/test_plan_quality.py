@@ -477,3 +477,12 @@ def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "cohort_retention")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    """SIM4's per-iteration codebook is subs x k x dims rows (512) and must
+    broadcast into the distance join — shuffling the point table per Lloyd
+    round against a 512-row side is the regression this pins."""
+    plan = _catalog_plan(spark, sf_dir, "pq_codes")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
