@@ -319,3 +319,68 @@ def s15_rollup_reuse(spark: SparkSession, sf_dir: str):
         F.sum("n").alias("n"),
         F.sum("dec_val").cast("double").alias("hour_value"),
     )
+
+
+@register(
+    "s16_npy_datasource",
+    "S4,S11,A1",
+    """
+    SELECT l_returnflag, 0 AS idx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 1 AS idx, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s16_npy_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndarray artifacts through a custom Python DataSource (Spark 4 API):
+    per-returnflag [revenue, count] vectors are np.save-d as one ``.npy``
+    per flag (the S11 sink), then read back with
+    ``spark.read.format("npy_artifact")`` — a registered
+    ``pyspark.sql.datasource.DataSource`` that plans one InputPartition
+    per file and loads on the EXECUTORS (sources/npy_source.py). This is
+    the partition-planned twin of the S4 driver-broadcast artifact path:
+    the reference loads its ndarray priors on one process
+    (play_eppa_cpu.py:72); a directory of artifacts here scans in
+    parallel like any other source.
+
+    Cross-engine exactness: the values are decimal-exact aggregates cast
+    to float64 once, and ``.npy`` round-trips float64 bit-for-bit, so the
+    scan output hash-matches the plain SQL oracle.
+
+    Scale: the artifact build is a driver-side write of |groups| tiny
+    files (bounded, the S4 contract); the READ side is the part that
+    scales — one task per artifact file, no driver materialization.
+    """
+    import numpy as np
+
+    from bigdatabowl_spark.functions.scalar import dec
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactDataSource
+
+    out_dir = _scratch(sf_dir, "npy_artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".npy"):
+            os.remove(os.path.join(out_dir, f))
+    li = t(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").cast("double").alias("n_items"),
+        )
+        .collect()
+    )
+    for row in stats:
+        np.save(
+            os.path.join(out_dir, f"{row['l_returnflag']}.npy"),
+            np.array([row["revenue"], row["n_items"]], dtype=np.float64),
+        )
+    spark.dataSource.register(NpyArtifactDataSource)
+    return (
+        spark.read.format("npy_artifact")
+        .option("path", out_dir)
+        .load()
+        .withColumnRenamed("file", "l_returnflag")
+    )

@@ -1,0 +1,50 @@
+"""Python DataSource (Spark 4 API) exposing a directory of ``.npy``
+artifacts as a table — the executor-side, partition-planned form of the
+reference's ndarray loads (play_eppa_cpu.py:72, frame_eppa.py:53), where
+sources/artifacts.py covers the driver-broadcast form (S4).
+
+One InputPartition per file: Spark schedules file loads across executors
+and a directory of model artifacts scans in parallel like any other
+source. Rows are (file, idx, value) — the flattened-array relational view
+the S11 sink family round-trips through.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class NpyArtifactReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [
+            InputPartition(os.path.join(self.path, f))
+            for f in sorted(os.listdir(self.path))
+            if f.endswith(".npy")
+        ]
+
+    def read(self, partition):
+        import numpy as np
+
+        arr = np.load(partition.value)
+        stem = os.path.basename(partition.value)[: -len(".npy")]
+        for i, v in enumerate(arr.ravel()):
+            yield (stem, i, float(v))
+
+
+class NpyArtifactDataSource(DataSource):
+    """``spark.read.format("npy_artifact").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "npy_artifact"
+
+    def schema(self) -> str:
+        return "file string, idx bigint, value double"
+
+    def reader(self, schema) -> NpyArtifactReader:
+        return NpyArtifactReader(self.options)

@@ -130,6 +130,7 @@ def main() -> None:
         "CO1": "cohort retention matrix (first-activity week x offset)",
         "ST8": "foreachBatch merge sink (versioned state, exactly-once)",
         "SIM4": "product quantization (per-subspace lattice codebooks + codes)",
+        "S16": "custom Python DataSource scan over .npy artifacts",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))
