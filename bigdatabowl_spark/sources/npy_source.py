@@ -21,15 +21,20 @@ class NpyArtifactReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self):
-        return [
+        parts = [
             InputPartition(os.path.join(self.path, f))
             for f in sorted(os.listdir(self.path))
             if f.endswith(".npy")
         ]
+        # an empty partition list makes Spark invoke read(None) on a
+        # single default partition — represent "no artifacts" explicitly
+        return parts or [InputPartition(None)]
 
     def read(self, partition):
         import numpy as np
 
+        if partition is None or partition.value is None:
+            return
         arr = np.load(partition.value)
         stem = os.path.basename(partition.value)[: -len(".npy")]
         for i, v in enumerate(arr.ravel()):

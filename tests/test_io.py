@@ -165,3 +165,30 @@ def test_corrupt_file_resilience(spark, sf_dir, tmp_path):
         assert got.agg(F.sum("v")).collect()[0][0] == 9900
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_npy_datasource_shapes_and_empty(spark, tmp_path):
+    """S16 source: 2-D arrays flatten in C order; an artifact-free dir
+    yields an empty table with the declared schema, not an error."""
+    import numpy as np
+
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactDataSource
+
+    spark.dataSource.register(NpyArtifactDataSource)
+    d = tmp_path / "npy"
+    d.mkdir()
+    np.save(d / "m.npy", np.array([[1.0, 2.0], [3.0, 4.0]]))
+    rows = (
+        spark.read.format("npy_artifact").option("path", str(d)).load().collect()
+    )
+    assert [(r["file"], r["idx"], r["value"]) for r in sorted(rows, key=lambda r: r["idx"])] == [
+        ("m", 0, 1.0),
+        ("m", 1, 2.0),
+        ("m", 2, 3.0),
+        ("m", 3, 4.0),
+    ]
+    empty = d / "none"
+    empty.mkdir()
+    df = spark.read.format("npy_artifact").option("path", str(empty)).load()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["file", "idx", "value"]
