@@ -384,3 +384,78 @@ def s16_npy_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .withColumnRenamed("file", "l_returnflag")
     )
+
+
+@register(
+    "stream_npy_artifacts",
+    "ST9,S16,S4,A1",
+    """
+    SELECT l_returnflag, 0 AS idx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 1 AS idx, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stream_npy_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python data source (ST9): the S16 artifact
+    directory consumed through ``spark.readStream`` with a registered
+    ``SimpleDataSourceStreamReader`` — offsets are counts into the sorted
+    file listing, committed ranges replay via readBetweenOffsets, so a
+    restarted query re-emits identical rows (sources/npy_source.py). This
+    is the engine's "artifact dirs that fill over time" ingestion path:
+    new model/prior files become micro-batch rows without a bespoke
+    poller.
+
+    Run to completion on a static dir (processAllAvailable + stop), the
+    emitted rows equal the batch S16 scan, which is the oracle.
+
+    Scale: one offset range per micro-batch; the prefetch-cache row volume
+    per batch is bounded by artifact sizes (model tables, not fact
+    tables). Fact-scale streams stay on the native file/Kafka sources.
+    """
+    import numpy as np
+
+    from bigdatabowl_spark.functions.scalar import dec
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactStreamSource
+
+    out_dir = _scratch(sf_dir, "npy_stream_artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".npy"):
+            os.remove(os.path.join(out_dir, f))
+    li = t(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").cast("double").alias("n_items"),
+        )
+        .collect()
+    )
+    for row in stats:
+        np.save(
+            os.path.join(out_dir, f"{row['l_returnflag']}.npy"),
+            np.array([row["revenue"], row["n_items"]], dtype=np.float64),
+        )
+    spark.dataSource.register(NpyArtifactStreamSource)
+    name = f"npy_stream_{os.path.basename(out_dir)}_{abs(hash(sf_dir)) % 10000}"
+    q = (
+        spark.readStream.format("npy_artifact_stream")
+        .option("path", out_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .withColumnRenamed("file", "l_returnflag")
+        # the memory sink table dies with the query; pin the rows
+        .localCheckpoint()
+    )

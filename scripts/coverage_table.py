@@ -131,6 +131,7 @@ def main() -> None:
         "ST8": "foreachBatch merge sink (versioned state, exactly-once)",
         "SIM4": "product quantization (per-subspace lattice codebooks + codes)",
         "S16": "custom Python DataSource scan over .npy artifacts",
+        "ST9": "custom streaming Python data source (offset-tracked artifact dir)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -158,3 +158,36 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "sink")).collect()
     }
     assert got.get("2026-01-01 00:00:00") == 2, got  # late row NOT counted
+
+
+def test_npy_stream_source_incremental_discovery(spark, tmp_path):
+    """ST9 source: files appearing between micro-batches are picked up by
+    the next offset range, and already-consumed files are not re-emitted."""
+    import numpy as np
+
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactStreamSource
+
+    spark.dataSource.register(NpyArtifactStreamSource)
+    d = tmp_path / "arts"
+    d.mkdir()
+    np.save(d / "a.npy", np.array([1.5, 2.5]))
+    q = (
+        spark.readStream.format("npy_artifact_stream")
+        .option("path", str(d))
+        .load()
+        .writeStream.format("memory")
+        .queryName("npy_stream_inc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("npy_stream_inc").count() == 2
+        np.save(d / "b.npy", np.array([9.0]))
+        q.processAllAvailable()
+        rows = sorted(
+            (r["file"], r["idx"], r["value"])
+            for r in spark.table("npy_stream_inc").collect()
+        )
+    finally:
+        q.stop()
+    assert rows == [("a", 0, 1.5), ("a", 1, 2.5), ("b", 0, 9.0)]
