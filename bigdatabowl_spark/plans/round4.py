@@ -1571,3 +1571,135 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pq_code"),
         F.sum("d2").cast("long").alias("err_q"),
     )
+
+
+_QDOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+_SEM_K = 16  # stand-in centroids: vectors with vec_id < K (ivf_topk contract)
+
+
+@register(
+    "semantic_dedup",
+    "DD12,SIM2,J12,A14,P10",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS v
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+    dists AS (
+        SELECT e.vec_id, c.cid,
+               {_QDOT.format(a='e.v', b='e.v')} + {_QDOT.format(a='c.cv', b='c.cv')}
+                 - 2 * {_QDOT.format(a='e.v', b='c.cv')} AS d2
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dists)
+        WHERE rn = 1
+    ),
+    av AS (
+        SELECT a.vec_id, a.cid, e.v, {_QDOT.format(a='e.v', b='e.v')} AS n2
+        FROM assign a JOIN e USING (vec_id)
+    ),
+    sim AS (
+        SELECT b.vec_id AS vj
+        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_QDOT.format(a='a.v', b='b.v')} > 0
+          AND CAST({_QDOT.format(a='a.v', b='b.v')} AS DECIMAL(38,0))
+              * CAST({_QDOT.format(a='a.v', b='b.v')} AS DECIMAL(38,0)) * 10000
+              >= 9216 * CAST(a.n2 AS DECIMAL(38,0)) * CAST(b.n2 AS DECIMAL(38,0))
+        GROUP BY b.vec_id
+    )
+    SELECT av.vec_id, av.cid,
+           CASE WHEN s.vj IS NULL THEN 0 ELSE 1 END AS dropped
+    FROM av LEFT JOIN sim s ON s.vj = av.vec_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (DD12): semantic near-duplicate removal over embeddings —
+    cluster with the coarse quantizer (centroid stand-ins = lowest vector
+    ids, the ivf_topk contract), then inside each cluster drop any vector
+    whose cosine to a LOWER-id cluster member exceeds tau=0.96. This is
+    the embedding-space dedup modern corpus pipelines run after exact/
+    fuzzy text dedup (Abbas et al., SemDeDup): paraphrases and
+    re-renderings that share no n-grams still collapse.
+
+    Determinism: components quantize to the integer lattice (x1000), all
+    dots/norms are integer-valued doubles (exact below 2^53, sequential
+    fold order both engines), and the cosine threshold is the
+    cross-multiplied DECIMAL(38,0) comparison dot^2 * 10000 >= 9216 *
+    |a|^2 |b|^2 (with dot > 0) — no sqrt, no float boundary anywhere. The
+    drop rule (exists a similar lower-id member) is set-based, not
+    greedy-chained, so it is order- and partitioning-independent.
+
+    Scale: the all-pairs term is per-CLUSTER (sum of C(n_c, 2)), which is
+    the whole point of clustering first — K scales with corpus size to
+    bound n_c; centroids broadcast; the dedup join is an equi-join on cid.
+    The production upgrade is trained centroids (kmeans_lloyd / pq_codes
+    share the lattice, so the contract carries over).
+    """
+    from bigdatabowl_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000)).alias(
+            "v"
+        ),
+    )
+    cents = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = (
+        similarity.dot(F.col("v"), F.col("v"))
+        + similarity.dot(F.col("cv"), F.col("cv"))
+        - 2 * similarity.dot(F.col("v"), F.col("cv"))
+    )
+    from pyspark.sql import Window
+
+    dists = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", "v", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    av = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cid",
+            "v",
+            similarity.dot(F.col("v"), F.col("v")).alias("n2"),
+        )
+    )
+    a, b = av.alias("a"), av.alias("b")
+    dt = similarity.dot(F.col("a.v"), F.col("b.v"))
+    dtd = dt.cast("decimal(38,0)")
+    sim = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            (dt > 0)
+            & (
+                dtd * dtd * F.lit(10000).cast("decimal(38,0)")
+                >= F.lit(9216).cast("decimal(38,0)")
+                * F.col("a.n2").cast("decimal(38,0)")
+                * F.col("b.n2").cast("decimal(38,0)")
+            )
+        )
+        .select(F.col("b.vec_id").alias("vj"))
+        .distinct()
+    )
+    return av.join(sim, av.vec_id == sim.vj, "left").select(
+        "vec_id",
+        "cid",
+        F.when(F.col("vj").isNull(), 0).otherwise(1).alias("dropped"),
+    )

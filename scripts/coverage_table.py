@@ -132,6 +132,7 @@ def main() -> None:
         "SIM4": "product quantization (per-subspace lattice codebooks + codes)",
         "S16": "custom Python DataSource scan over .npy artifacts",
         "ST9": "custom streaming Python data source (offset-tracked artifact dir)",
+        "DD12": "semantic dedup over embeddings (SemDeDup, per-cluster cosine)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

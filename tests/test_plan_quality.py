@@ -486,3 +486,12 @@ def test_pq_codebook_broadcasts(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "pq_codes")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_pairs_bounded_by_cluster(spark, sf_dir):
+    """DD12's similarity pairs must come from an equi join on the cluster
+    id — the all-pairs term is per-cluster by construction; the centroid
+    cross join is the K-row broadcast (nestedloop-exempt)."""
+    plan = _catalog_plan(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
