@@ -1703,3 +1703,169 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.when(F.col("vj").isNull(), 0).otherwise(1).alias("dropped"),
     )
+
+
+@register(
+    "table_diff",
+    "CDC1,J16,P10,F9,U2",
+    """
+    WITH old_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN round(o_totalprice * 0.9, 2)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new_snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    hashed AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               md5(CAST(o.o_totalprice AS VARCHAR) || '|' || o.o_orderstatus) AS h_old,
+               md5(CAST(n.o_totalprice AS VARCHAR) || '|' || n.o_orderstatus) AS h_new
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN h_old IS NULL THEN 'inserted'
+                WHEN h_new IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change
+    FROM hashed
+    WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed derivation (CDC1): given two
+    versions of a keyed table, emit (key, inserted|deleted|updated) —
+    the table_changes operation a lakehouse exposes natively, derived
+    relationally with a full outer join on the key and an md5 row-hash
+    comparison over the non-key columns (value-compare via one hash, not
+    N column comparisons). The "old" snapshot is simulated
+    deterministically from the same base (keys %97 missing = inserts,
+    keys %89 price-perturbed = updates), so both engines derive identical
+    snapshots; row hashes use the catalog's md5 rule.
+
+    The VARCHAR cast feeding md5 is engine-sensitive for doubles in
+    general; here o_totalprice is 2-dp data and the %89 perturbation is
+    round(x*0.9, 2), so both engines print identical shortest-form
+    decimals (same class of contract as the catalog's decimal-exact sums).
+
+    Scale: one full outer join on the table key (co-partitioned shuffle,
+    AQE-mergeable) and a map-side hash per row; the changes output is
+    bounded by churn, not table size. At lakehouse scale this reads two
+    snapshot manifests and prunes unchanged files first (zone-map story,
+    ZM1).
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old_snap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.round(F.col("o_totalprice") * 0.9, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+    def row_hash(side):
+        return F.md5(
+            F.concat(
+                F.col(f"{side}.o_totalprice").cast("string"),
+                F.lit("|"),
+                F.col(f"{side}.o_orderstatus"),
+            )
+        )
+
+    o, n = old_snap.alias("o"), orders.alias("n")
+    hashed = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        row_hash("o").alias("h_old"),
+        row_hash("n").alias("h_new"),
+    )
+    return hashed.filter(
+        F.col("h_old").isNull()
+        | F.col("h_new").isNull()
+        | (F.col("h_old") != F.col("h_new"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("h_old").isNull(), "inserted")
+        .when(F.col("h_new").isNull(), "deleted")
+        .otherwise("updated")
+        .alias("change"),
+    )
+
+
+@register(
+    "dq_checks",
+    "DQ1,A7,U4,P5,P15",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+           )) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_shipdate_not_null',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality check suite (DQ1): the dbt-style contract tests a
+    pipeline runs before publishing a table — primary-key uniqueness,
+    referential integrity (lineitem->orders, as a NOT-EXISTS anti count),
+    value-domain membership, positivity, and not-null — emitted as one
+    (check_name, n_violations) table so a scheduler can gate on
+    max(n_violations) == 0.
+
+    Scale: each check is a count aggregate; uniqueness is a combining
+    groupBy on the key, the FK check is a left-anti join (broadcast or
+    shuffled by size), and the scans share columns the reader prunes to.
+    At 100 TB the checks run incrementally per partition-batch and only
+    the violated keys are materialized.
+    """
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk_dupes = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+    )
+    fk_orphans = (
+        li.join(
+            orders.select("o_orderkey").withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    qty = li.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n"))
+    dom = orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count("*").alias("n")
+    )
+    nulls = li.filter(F.col("l_shipdate").isNull()).agg(F.count("*").alias("n"))
+    return (
+        one("orders_pk_unique", pk_dupes)
+        .unionAll(one("lineitem_orderkey_fk", fk_orphans))
+        .unionAll(one("lineitem_qty_positive", qty))
+        .unionAll(one("orders_status_domain", dom))
+        .unionAll(one("lineitem_shipdate_not_null", nulls))
+    )

@@ -133,6 +133,8 @@ def main() -> None:
         "S16": "custom Python DataSource scan over .npy artifacts",
         "ST9": "custom streaming Python data source (offset-tracked artifact dir)",
         "DD12": "semantic dedup over embeddings (SemDeDup, per-cluster cosine)",
+        "CDC1": "snapshot diff / change-data-feed derivation (row-hash compare)",
+        "DQ1": "data-quality contract checks (pk/fk/domain/not-null suite)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

@@ -495,3 +495,19 @@ def test_semantic_dedup_pairs_bounded_by_cluster(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "semantic_dedup")
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_table_diff_single_key_join(spark, sf_dir):
+    """CDC1 diffs via ONE full-outer join on the key with map-side row
+    hashes — no second join, no cartesian."""
+    plan = _catalog_plan(spark, sf_dir, "table_diff")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FullOuter") >= 1 or "full_outer" in plan.lower(), plan
+
+
+def test_dq_fk_check_is_anti_join(spark, sf_dir):
+    """DQ1's referential-integrity check must plan as a left-anti join,
+    not an exists-subquery rewrite into something quadratic."""
+    plan = _catalog_plan(spark, sf_dir, "dq_checks")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
