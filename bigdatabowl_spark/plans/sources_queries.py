@@ -459,3 +459,77 @@ def stream_npy_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the memory sink table dies with the query; pin the rows
         .localCheckpoint()
     )
+
+
+@register(
+    "s17_npy_writer_roundtrip",
+    "S17,S11,S16,A1",
+    """
+    SELECT l_returnflag, 0 AS idx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 1 AS idx, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s17_npy_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (S17): the S11 ndarray sink in its
+    Spark-native form — per-flag stat rows flow through
+    ``df.write.format("npy_sink")`` where each task stages hidden
+    ``.tmp-<taskAttemptId>.npy`` files and the driver's commit renames
+    winners into place (two-phase commit: a failed or speculative task
+    never publishes a partial artifact; sources/npy_source.py). Unlike
+    S16's driver-side np.save build, the WRITE itself is distributed:
+    rows repartition by artifact stem so one task owns one file.
+
+    Read back through the S16 scan, the values hash-match the plain SQL
+    oracle — decimal-exact aggregates survive the npy float64 round-trip
+    bit-for-bit.
+
+    Scale: one writer task per artifact; artifact count is the
+    parallelism. This is how model/prior tables leave the cluster for
+    kernel consumers without a driver bottleneck.
+    """
+    from bigdatabowl_spark.functions.scalar import dec
+    from bigdatabowl_spark.sources.npy_source import (
+        NpyArtifactDataSource,
+        NpyArtifactSink,
+    )
+
+    out_dir = _scratch(sf_dir, "npy_writer_artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".npy"):
+            os.remove(os.path.join(out_dir, f))
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    rows = stats.select(
+        F.col("l_returnflag").alias("file"),
+        F.lit(0).cast("long").alias("idx"),
+        F.col("revenue").alias("value"),
+    ).unionAll(
+        stats.select(
+            F.col("l_returnflag").alias("file"),
+            F.lit(1).cast("long").alias("idx"),
+            F.col("n_items").alias("value"),
+        )
+    )
+    spark.dataSource.register(NpyArtifactSink)
+    spark.dataSource.register(NpyArtifactDataSource)
+    (
+        rows.repartition("file")
+        .write.format("npy_sink")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+    return (
+        spark.read.format("npy_artifact")
+        .option("path", out_dir)
+        .load()
+        .withColumnRenamed("file", "l_returnflag")
+    )

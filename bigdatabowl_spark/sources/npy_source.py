@@ -13,11 +13,15 @@ from __future__ import annotations
 
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -29,7 +33,8 @@ class NpyArtifactReader(DataSourceReader):
         parts = [
             InputPartition(os.path.join(self.path, f))
             for f in sorted(os.listdir(self.path))
-            if f.endswith(".npy")
+            # dotfiles are the writer's uncommitted stage — never read them
+            if f.endswith(".npy") and not f.startswith(".")
         ]
         # an empty partition list makes Spark invoke read(None) on a
         # single default partition — represent "no artifacts" explicitly
@@ -79,7 +84,12 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
         return {"n": 0}
 
     def _files(self) -> list:
-        return sorted(f for f in os.listdir(self.path) if f.endswith(".npy"))
+        # dotfiles are the writer's uncommitted stage — never read them
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(".npy") and not f.startswith(".")
+        )
 
     def _rows(self, names) -> list:
         import numpy as np
@@ -112,3 +122,71 @@ class NpyArtifactStreamSource(DataSource):
 
     def simpleStreamReader(self, schema) -> NpyArtifactStreamReader:
         return NpyArtifactStreamReader(self.options)
+
+
+@dataclass
+class NpyCommitMessage(WriterCommitMessage):
+    # (stem, tmp_path) pairs this task staged
+    tmp_paths: list
+
+
+class NpyArtifactWriter(DataSourceWriter):
+    """Partitioned ``.npy`` sink with staged-file two-phase commit.
+
+    Each task groups its rows by ``file`` stem, writes one hidden
+    ``.<stem>.tmp-<taskAttemptId>.npy`` per stem, and reports the staged
+    paths in its commit message; the driver's ``commit`` atomically
+    renames winners into place and ``abort`` deletes the stage — so a
+    failed/speculative task never publishes a partial artifact (the same
+    contract as Spark's file commit protocol). Rows must be co-partitioned
+    by stem (``df.repartition("file")``) so one task owns one artifact.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+
+    def write(self, rows) -> "NpyCommitMessage":
+        import numpy as np
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().taskAttemptId()
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r[0], []).append((r[1], r[2]))
+        staged = []
+        for stem, vals in groups.items():
+            arr = np.array([v for _, v in sorted(vals)], dtype=np.float64)
+            # name must END in .npy — np.save appends the suffix otherwise,
+            # and commit would rename a path that does not exist
+            tmp = os.path.join(self.path, f".{stem}.tmp-{tid}.npy")
+            np.save(tmp, arr)
+            staged.append((stem, tmp))
+        return NpyCommitMessage(tmp_paths=staged)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            for stem, tmp in m.tmp_paths:
+                os.replace(tmp, os.path.join(self.path, f"{stem}.npy"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for _, tmp in m.tmp_paths:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+
+class NpyArtifactSink(DataSource):
+    """``df.write.format("npy_sink").option("path", dir).save()`` over
+    (file string, idx bigint, value double) rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "npy_sink"
+
+    def schema(self) -> str:
+        return "file string, idx bigint, value double"
+
+    def writer(self, schema, overwrite: bool) -> NpyArtifactWriter:
+        return NpyArtifactWriter(self.options, overwrite)

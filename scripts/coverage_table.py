@@ -135,6 +135,7 @@ def main() -> None:
         "DD12": "semantic dedup over embeddings (SemDeDup, per-cluster cosine)",
         "CDC1": "snapshot diff / change-data-feed derivation (row-hash compare)",
         "DQ1": "data-quality contract checks (pk/fk/domain/not-null suite)",
+        "S17": "custom Python DataSource writer (.npy sink, 2-phase commit)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))
