@@ -179,11 +179,19 @@ def test_npy_stream_source_incremental_discovery(spark, tmp_path):
         .queryName("npy_stream_inc")
         .start()
     )
+    import time
+
     try:
         q.processAllAvailable()
         assert spark.table("npy_stream_inc").count() == 2
         np.save(d / "b.npy", np.array([9.0]))
-        q.processAllAvailable()
+        # the simple-reader prefetch thread may have cached a pre-b offset
+        # range just before the save; drain until the new file lands
+        for _ in range(30):
+            q.processAllAvailable()
+            if spark.table("npy_stream_inc").count() >= 3:
+                break
+            time.sleep(0.5)
         rows = sorted(
             (r["file"], r["idx"], r["value"])
             for r in spark.table("npy_stream_inc").collect()
