@@ -1716,7 +1716,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderstatus
         FROM orders WHERE o_orderkey % 97 <> 0
     ),
-    new_snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    new_snap AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ),
     hashed AS (
         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
                md5(CAST(o.o_totalprice AS VARCHAR) || '|' || o.o_orderstatus) AS h_old,
@@ -1737,10 +1740,11 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table_changes operation a lakehouse exposes natively, derived
     relationally with a full outer join on the key and an md5 row-hash
     comparison over the non-key columns (value-compare via one hash, not
-    N column comparisons). The "old" snapshot is simulated
-    deterministically from the same base (keys %97 missing = inserts,
-    keys %89 price-perturbed = updates), so both engines derive identical
-    snapshots; row hashes use the catalog's md5 rule.
+    N column comparisons). Both snapshots are simulated deterministically
+    from the same base — old lacks keys %97 (-> inserts) and perturbs
+    prices on keys %89 (-> updates); new lacks keys %101 (-> deletes) —
+    so both engines derive identical snapshots, all three change kinds
+    actually occur, and row hashes use the catalog's md5 rule.
 
     The VARCHAR cast feeding md5 is engine-sensitive for doubles in
     general; here o_totalprice is 2-dp data and the %89 perturbation is
@@ -1756,6 +1760,7 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+    new_snap = orders.filter(F.col("o_orderkey") % 101 != 0)
     old_snap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
         "o_orderkey",
         F.when(
@@ -1775,7 +1780,7 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    o, n = old_snap.alias("o"), orders.alias("n")
+    o, n = old_snap.alias("o"), new_snap.alias("n")
     hashed = o.join(
         n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
     ).select(
@@ -1800,25 +1805,43 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_checks",
     "DQ1,A7,U4,P5,P15",
     """
+    WITH orders_f AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 991 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 1009 = 0
+    ),
+    orders_ref AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 499 <> 0),
+    li_f AS (
+        SELECT l_orderkey,
+               CASE WHEN l_orderkey % 997 = 0 THEN -l_quantity ELSE l_quantity END
+                   AS l_quantity,
+               CASE WHEN l_orderkey % 983 = 0 THEN NULL ELSE l_shipdate END
+                   AS l_shipdate
+        FROM lineitem
+    )
     SELECT 'orders_pk_unique' AS check_name,
            CAST((SELECT COUNT(*) FROM (
-               SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+               SELECT o_orderkey FROM orders_f GROUP BY o_orderkey HAVING COUNT(*) > 1
            )) AS BIGINT) AS n_violations
     UNION ALL
     SELECT 'lineitem_orderkey_fk',
-           CAST((SELECT COUNT(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           CAST((SELECT COUNT(*) FROM li_f l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders_ref o
+                                   WHERE o.o_orderkey = l.l_orderkey))
                AS BIGINT)
     UNION ALL
     SELECT 'lineitem_qty_positive',
-           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM li_f WHERE l_quantity <= 0) AS BIGINT)
     UNION ALL
     SELECT 'orders_status_domain',
-           CAST((SELECT COUNT(*) FROM orders
+           CAST((SELECT COUNT(*) FROM orders_f
                  WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
     UNION ALL
     SELECT 'lineitem_shipdate_not_null',
-           CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM li_f WHERE l_shipdate IS NULL) AS BIGINT)
     """,
 )
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1852,14 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (check_name, n_violations) table so a scheduler can gate on
     max(n_violations) == 0.
 
+    The checked relations carry DETERMINISTIC INJECTED FAULTS (duplicated
+    %1009 keys, a reference set missing %499 keys, negated %997
+    quantities, 'X' statuses on %991, nulled %983 ship dates): the clean
+    base tables would make every count 0, and an all-zero result cannot
+    distinguish working checks from broken ones — each rule must
+    demonstrably COUNT what it claims to count for the oracle to mean
+    anything.
+
     Scale: each check is a count aggregate; uniqueness is a combining
     groupBy on the key, the FK check is a left-anti join (broadcast or
     shuffled by size), and the scans share columns the reader prunes to.
@@ -1837,6 +1868,26 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    orders_f = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 991 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    ).unionAll(
+        orders.filter(F.col("o_orderkey") % 1009 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+    )
+    orders_ref = orders.filter(F.col("o_orderkey") % 499 != 0).select("o_orderkey")
+    li_f = li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 997 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 983 == 0, F.lit(None))
+        .otherwise(F.col("l_shipdate"))
+        .alias("l_shipdate"),
+    )
 
     def one(name, cnt_df):
         return cnt_df.select(
@@ -1845,23 +1896,23 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pk_dupes = (
-        orders.groupBy("o_orderkey")
+        orders_f.groupBy("o_orderkey")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > 1)
         .agg(F.count("*").alias("n"))
     )
     fk_orphans = (
-        li.join(
-            orders.select("o_orderkey").withColumnRenamed("o_orderkey", "l_orderkey"),
+        li_f.join(
+            orders_ref.withColumnRenamed("o_orderkey", "l_orderkey"),
             "l_orderkey",
             "left_anti",
         ).agg(F.count("*").alias("n"))
     )
-    qty = li.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n"))
-    dom = orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+    qty = li_f.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n"))
+    dom = orders_f.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
         F.count("*").alias("n")
     )
-    nulls = li.filter(F.col("l_shipdate").isNull()).agg(F.count("*").alias("n"))
+    nulls = li_f.filter(F.col("l_shipdate").isNull()).agg(F.count("*").alias("n"))
     return (
         one("orders_pk_unique", pk_dupes)
         .unionAll(one("lineitem_orderkey_fk", fk_orphans))

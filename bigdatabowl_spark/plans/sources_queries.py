@@ -321,6 +321,39 @@ def s15_rollup_reuse(spark: SparkSession, sf_dir: str):
     )
 
 
+def _flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag (decimal-exact revenue, count) — the shared artifact
+    payload of the S16/ST9/S17 round-trip queries."""
+    from bigdatabowl_spark.functions.scalar import dec
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+
+
+def _build_npy_artifacts(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Driver-side artifact build shared by the S16 batch scan and the ST9
+    stream scan: one [revenue, n_items] .npy per returnflag in a scratch
+    dir (cleared first so reruns are idempotent). Bounded: |groups| tiny
+    files — the S4 contract."""
+    import numpy as np
+
+    out_dir = _scratch(sf_dir, name)
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".npy"):
+            os.remove(os.path.join(out_dir, f))
+    for row in _flag_stats(spark, sf_dir).collect():
+        np.save(
+            os.path.join(out_dir, f"{row['l_returnflag']}.npy"),
+            np.array([row["revenue"], row["n_items"]], dtype=np.float64),
+        )
+    return out_dir
+
+
+
 @register(
     "s16_npy_datasource",
     "S4,S11,A1",
@@ -353,30 +386,9 @@ def s16_npy_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (bounded, the S4 contract); the READ side is the part that
     scales — one task per artifact file, no driver materialization.
     """
-    import numpy as np
-
-    from bigdatabowl_spark.functions.scalar import dec
     from bigdatabowl_spark.sources.npy_source import NpyArtifactDataSource
 
-    out_dir = _scratch(sf_dir, "npy_artifacts")
-    os.makedirs(out_dir, exist_ok=True)
-    for f in os.listdir(out_dir):
-        if f.endswith(".npy"):
-            os.remove(os.path.join(out_dir, f))
-    li = t(spark, sf_dir, "lineitem")
-    stats = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
-            F.count("*").cast("double").alias("n_items"),
-        )
-        .collect()
-    )
-    for row in stats:
-        np.save(
-            os.path.join(out_dir, f"{row['l_returnflag']}.npy"),
-            np.array([row["revenue"], row["n_items"]], dtype=np.float64),
-        )
+    out_dir = _build_npy_artifacts(spark, sf_dir, "npy_artifacts")
     spark.dataSource.register(NpyArtifactDataSource)
     return (
         spark.read.format("npy_artifact")
@@ -415,30 +427,9 @@ def stream_npy_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch is bounded by artifact sizes (model tables, not fact
     tables). Fact-scale streams stay on the native file/Kafka sources.
     """
-    import numpy as np
-
-    from bigdatabowl_spark.functions.scalar import dec
     from bigdatabowl_spark.sources.npy_source import NpyArtifactStreamSource
 
-    out_dir = _scratch(sf_dir, "npy_stream_artifacts")
-    os.makedirs(out_dir, exist_ok=True)
-    for f in os.listdir(out_dir):
-        if f.endswith(".npy"):
-            os.remove(os.path.join(out_dir, f))
-    li = t(spark, sf_dir, "lineitem")
-    stats = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
-            F.count("*").cast("double").alias("n_items"),
-        )
-        .collect()
-    )
-    for row in stats:
-        np.save(
-            os.path.join(out_dir, f"{row['l_returnflag']}.npy"),
-            np.array([row["revenue"], row["n_items"]], dtype=np.float64),
-        )
+    out_dir = _build_npy_artifacts(spark, sf_dir, "npy_stream_artifacts")
     spark.dataSource.register(NpyArtifactStreamSource)
     name = f"npy_stream_{os.path.basename(out_dir)}_{abs(hash(sf_dir)) % 10000}"
     q = (
@@ -491,7 +482,6 @@ def s17_npy_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism. This is how model/prior tables leave the cluster for
     kernel consumers without a driver bottleneck.
     """
-    from bigdatabowl_spark.functions.scalar import dec
     from bigdatabowl_spark.sources.npy_source import (
         NpyArtifactDataSource,
         NpyArtifactSink,
@@ -502,11 +492,7 @@ def s17_npy_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in os.listdir(out_dir):
         if f.endswith(".npy"):
             os.remove(os.path.join(out_dir, f))
-    li = t(spark, sf_dir, "lineitem")
-    stats = li.groupBy("l_returnflag").agg(
-        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
-        F.count("*").cast("double").alias("n_items"),
-    )
+    stats = _flag_stats(spark, sf_dir)
     rows = stats.select(
         F.col("l_returnflag").alias("file"),
         F.lit(0).cast("long").alias("idx"),

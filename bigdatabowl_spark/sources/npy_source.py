@@ -68,20 +68,24 @@ class NpyArtifactDataSource(DataSource):
 class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
     """Offset-tracked streaming reader over an append-only artifact dir.
 
-    The offset is a count into the sorted file listing ({"n": k}), which is
-    exact for the append-only artifact contract here (a production source
-    would watermark on (mtime, name) to tolerate non-monotonic arrivals).
-    ``read`` returns a fresh iterator over a MATERIALIZED row list — the
-    runner caches prefetched rows driver-side and replays committed ranges
-    through ``readBetweenOffsets``, which re-loads the same files, so a
-    restarted query re-emits identical rows (exactly-once at the source).
+    The offset is {"n": count, "last": name} over the sorted file listing —
+    exact for the append-only, name-monotonic artifact contract here (a
+    production source would watermark on (mtime, name) to tolerate
+    non-monotonic arrivals). The contract is ENFORCED, not assumed: if a
+    new file sorts at or before the committed frontier (the listing's n-th
+    name changed), ``read`` raises instead of silently re-emitting old
+    files and dropping the newcomer. ``read`` returns a fresh iterator over
+    a MATERIALIZED row list — the runner caches prefetched rows driver-side
+    and replays committed ranges through ``readBetweenOffsets``, which
+    re-loads the same files, so a restarted query re-emits identical rows
+    (exactly-once at the source).
     """
 
     def __init__(self, options: dict):
         self.path = options["path"]
 
     def initialOffset(self):
-        return {"n": 0}
+        return {"n": 0, "last": ""}
 
     def _files(self) -> list:
         # dotfiles are the writer's uncommitted stage — never read them
@@ -103,7 +107,16 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         files = self._files()
-        return iter(self._rows(files[start["n"] :])), {"n": len(files)}
+        n = start["n"]
+        if n > 0 and (len(files) < n or files[n - 1] != start.get("last", "")):
+            raise ValueError(
+                f"npy_artifact_stream: non-monotonic arrival in {self.path} — "
+                f"a file sorting at or before the committed frontier "
+                f"({start.get('last', '')!r}) appeared; this source requires "
+                "append-only, name-ascending artifact arrival"
+            )
+        last = files[-1] if files else start.get("last", "")
+        return iter(self._rows(files[n:])), {"n": len(files), "last": last}
 
     def readBetweenOffsets(self, start, end):
         return iter(self._rows(self._files()[start["n"] : end["n"]]))
@@ -144,6 +157,18 @@ class NpyArtifactWriter(DataSourceWriter):
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
+
+    def _sweep_stage(self) -> None:
+        """Remove ALL stage files, not just those with commit messages — a
+        task that dies after staging never reports its paths, so the
+        message-driven cleanup alone would leak orphans forever."""
+        for f in os.listdir(self.path):
+            if f.startswith(".") and ".tmp-" in f and f.endswith(".npy"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
 
     def write(self, rows) -> "NpyCommitMessage":
         import numpy as np
@@ -164,17 +189,28 @@ class NpyArtifactWriter(DataSourceWriter):
         return NpyCommitMessage(tmp_paths=staged)
 
     def commit(self, messages) -> None:
+        # honor SaveMode: append must not clobber an existing artifact —
+        # fail the job BEFORE publishing anything (all-or-nothing commit)
+        if not self.overwrite:
+            clashes = [
+                stem
+                for m in messages
+                for stem, _ in m.tmp_paths
+                if os.path.exists(os.path.join(self.path, f"{stem}.npy"))
+            ]
+            if clashes:
+                self._sweep_stage()
+                raise ValueError(
+                    f"npy_sink: artifacts already exist for stems {clashes!r} "
+                    "and mode is append; use mode('overwrite') to replace"
+                )
         for m in messages:
             for stem, tmp in m.tmp_paths:
                 os.replace(tmp, os.path.join(self.path, f"{stem}.npy"))
+        self._sweep_stage()
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for _, tmp in m.tmp_paths:
-                if os.path.exists(tmp):
-                    os.remove(tmp)
+        self._sweep_stage()
 
 
 class NpyArtifactSink(DataSource):

@@ -280,3 +280,68 @@ def test_edge_time_weighted_semantics(spark, edge_sf_dir):
     assert roll[(0, 2)]["n_1h"] == 3 and roll[(0, 2)]["sum_1h"] == 60.0
     # 45 min later the two 0:30 events have aged out
     assert roll[(0, 3)]["n_1h"] == 2 and roll[(0, 3)]["sum_1h"] == 70.0
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    """Crafted embeddings with KNOWN near-duplicates — the shipped random
+    vectors never reach cosine 0.96 inside a cluster, so without this
+    fixture semantic_dedup's drop logic would only ever be tested against
+    an all-zeros answer."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    src = "/root/testdata/sf0.001"
+    for name in os.listdir(src):
+        if name != "embeddings.parquet":
+            os.symlink(os.path.join(src, name), os.path.join(d, name))
+    vecs = []
+    for i in range(16):  # orthogonal centroids (vec_id < K are the seeds)
+        v = np.zeros(64, dtype=np.float32)
+        v[i] = 1.0
+        vecs.append((i, v))
+    dup3 = np.zeros(64, dtype=np.float32); dup3[3] = 0.9
+    vecs.append((16, dup3))          # scaled copy of centroid 3 → dropped
+    neg3 = np.zeros(64, dtype=np.float32); neg3[3] = -1.0
+    vecs.append((17, neg3))          # anti-parallel → NOT similar (dot<0)
+    big3 = np.zeros(64, dtype=np.float32); big3[3] = 2.0
+    vecs.append((18, big3))          # another copy of 3 → dropped
+    near7 = np.zeros(64, dtype=np.float32); near7[7] = 1.0; near7[40] = 0.1
+    vecs.append((19, near7))         # cos ≈ 0.995 with centroid 7 → dropped
+    far8 = np.zeros(64, dtype=np.float32); far8[8] = 1.0; far8[41] = 0.6
+    vecs.append((20, far8))          # cos ≈ 0.857 with centroid 8 → kept
+    table = pa.table(
+        {
+            "vec_id": pa.array([i for i, _ in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for _, v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def test_semantic_dedup_drops_known_near_dups(spark, edge_emb_dir):
+    """Pin DD12's threshold semantics on crafted vectors: scaled copies and
+    a cos≈0.995 neighbor drop; anti-parallel (negative dot) and cos≈0.857
+    vectors survive — and the crafted corpus still hash-matches the
+    oracle (a non-vacuous cross-engine check of the drop logic)."""
+    from tests.oracle_harness import run_all
+
+    failures = {
+        n: p for n, p in run_all(spark, edge_emb_dir, names=["semantic_dedup"]).items() if p
+    }
+    assert not failures, failures
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = {
+        r["vec_id"]: r
+        for r in CATALOG["semantic_dedup"].builder(spark, edge_emb_dir).collect()
+    }
+    assert {v for v, r in rows.items() if r["dropped"] == 1} == {16, 18, 19}
+    assert rows[17]["dropped"] == 0 and rows[20]["dropped"] == 0
+    assert rows[16]["cid"] == 3 and rows[18]["cid"] == 3
