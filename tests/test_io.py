@@ -192,3 +192,35 @@ def test_npy_datasource_shapes_and_empty(spark, tmp_path):
     df = spark.read.format("npy_artifact").option("path", str(empty)).load()
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["file", "idx", "value"]
+
+
+def test_npy_sink_save_mode_semantics(spark, tmp_path):
+    """S17 sink: append refuses to clobber an existing artifact (job fails
+    before publishing), overwrite replaces it, and no tmp stage files
+    survive either path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatabowl_spark.sources.npy_source import (
+        NpyArtifactDataSource,
+        NpyArtifactSink,
+    )
+
+    spark.dataSource.register(NpyArtifactSink)
+    spark.dataSource.register(NpyArtifactDataSource)
+    d = tmp_path / "sink"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [("a", 0, 1.5), ("a", 1, 2.5)], "file string, idx long, value double"
+    ).repartition("file")
+    df.write.format("npy_sink").option("path", str(d)).mode("append").save()
+    assert np.load(d / "a.npy").tolist() == [1.5, 2.5]
+    with _pytest.raises(Exception, match="already exist|append"):
+        df.write.format("npy_sink").option("path", str(d)).mode("append").save()
+    assert np.load(d / "a.npy").tolist() == [1.5, 2.5]  # unchanged
+    df2 = spark.createDataFrame(
+        [("a", 0, 9.0)], "file string, idx long, value double"
+    ).repartition("file")
+    df2.write.format("npy_sink").option("path", str(d)).mode("overwrite").save()
+    assert np.load(d / "a.npy").tolist() == [9.0]
+    assert not [f for f in os.listdir(d) if ".tmp-" in f]  # stage swept
