@@ -5,6 +5,8 @@ Operators a 100 TB corpus/feature pipeline needs beyond the round-1..3
 surface, each a (Spark plan, DuckDB oracle) pair per the catalog contract:
 
 - DD10  exact repeated n-gram spans + per-doc dup-span coverage (apply side)
+- DD11  prefix-filtered exact set-similarity join (AllPairs/ppjoin)
+- DD12  semantic dedup over embeddings (SemDeDup, per-cluster cosine)
 - SKX1  KMV distinct-count sketch (mergeable, bounded-size)
 - BF1   bloom-filter semi-join pruning (shuffle reduction before exact join)
 - SCD1  slowly-changing-dimension type-2 history build
@@ -16,6 +18,15 @@ surface, each a (Spark plan, DuckDB oracle) pair per the catalog contract:
 - ST3'  batch sessionization twin (cumulative-flag idiom, one shuffle)
 - ER1   entity-resolution blocking pairs (bounded-block candidate join)
 - RB1   robust median+MAD per group (two exact-percentile passes)
+- TR1/2 time-range rolling frame; time-weighted (step-integral) average
+- GR1/2 triangle count + clustering coefficient; integer PageRank
+- SIM4  product quantization codes (per-subspace lattice codebooks)
+- CO1   cohort retention matrix (integer week buckets)
+- CDC1  snapshot diff / change-data-feed derivation (row-hash compare)
+- DQ1   data-quality contract checks (fault-injected, non-vacuous)
+
+(The companion round-4 entries ST8/ST9 live in streaming/events.py and
+S16/S17 in plans/sources_queries.py + sources/npy_source.py.)
 
 All follow the catalog's cross-engine determinism rules (catalog.py module
 doc): integer arithmetic end-to-end where possible, md5 for hashing, a single
