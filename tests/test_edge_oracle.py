@@ -345,3 +345,76 @@ def test_semantic_dedup_drops_known_near_dups(spark, edge_emb_dir):
     assert {v for v, r in rows.items() if r["dropped"] == 1} == {16, 18, 19}
     assert rows[17]["dropped"] == 0 and rows[20]["dropped"] == 0
     assert rows[16]["cid"] == 3 and rows[18]["cid"] == 3
+
+
+@pytest.fixture(scope="module")
+def edge_graph_dir(tmp_path_factory):
+    """Crafted lineitem forming a KNOWN co-purchase graph:
+    orders 1:{10,20,30}, 2:{20,30,40}, 3:{10,30} → edges
+    {10-20,10-30,20-30,20-40,30-40}, exactly 2 triangles
+    ({10,20,30},{20,30,40}) and 8 wedges → clustering 6/8 = 0.75.
+    A duplicate (order,part) line pins the DISTINCT edge build."""
+    d = tmp_path_factory.mktemp("edge_graph")
+    src = "/root/testdata/sf0.001"
+    for name in os.listdir(src):
+        if name != "lineitem.parquet":
+            os.symlink(os.path.join(src, name), os.path.join(d, name))
+    lines = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 20), (2, 30), (2, 40),
+        (3, 10), (3, 30),
+        (3, 10),  # duplicate (order, part) — must not duplicate the edge
+    ]
+    n = len(lines)
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in lines], pa.int64()),
+            "l_partkey": pa.array([p for _, p in lines], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "lineitem.parquet"))
+    return str(d)
+
+
+def test_edge_graph_semantics(spark, edge_graph_dir):
+    """Pin GR1/GR2 on the hand-computable graph: exact triangle and wedge
+    counts, the 0.75 clustering coefficient, rank mass conservation — and
+    both queries still hash-match their oracles on the crafted graph."""
+    failures = {
+        n: p
+        for n, p in run_all(
+            spark, edge_graph_dir, names=["triangle_count", "pagerank_fixed"]
+        ).items()
+        if p
+    }
+    assert not failures, failures
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    tri = CATALOG["triangle_count"].builder(spark, edge_graph_dir).collect()[0]
+    assert tri["n_edges"] == 5
+    assert tri["n_nodes"] == 4
+    assert tri["n_triangles"] == 2
+    assert tri["n_wedges"] == 8
+    assert tri["clustering_coeff"] == 0.75
+
+    ranks = CATALOG["pagerank_fixed"].builder(spark, edge_graph_dir).collect()
+    assert len(ranks) == 4
+    # damping conserves scaled mass approximately: every rank stays within
+    # the (150000, 850000 + 850000) envelope and the two degree-3 hubs
+    # (20, 30) outrank the degree-2 leaves (10, 40)
+    by_node = {r["node"]: r["rank_ppm"] for r in ranks}
+    assert min(by_node.values()) >= 150000
+    assert by_node[20] > by_node[10] and by_node[30] > by_node[40]
+    # symmetric roles: {20,30} tie and {10,40} tie on this graph
+    assert by_node[20] == by_node[30] and by_node[10] == by_node[40]
