@@ -418,3 +418,71 @@ def test_edge_graph_semantics(spark, edge_graph_dir):
     assert by_node[20] > by_node[10] and by_node[30] > by_node[40]
     # symmetric roles: {20,30} tie and {10,40} tie on this graph
     assert by_node[20] == by_node[30] and by_node[10] == by_node[40]
+
+
+def test_edge_emb_sketch_family_matches_oracle(spark, edge_emb_dir):
+    """The crafted near-dup embeddings also exercise the quantization
+    family: PQ codes, lattice k-means, and brute cosine top-k all
+    hash-match their oracles on vectors with exact-zero components and
+    scaled copies (degenerate norms the random corpus never produces)."""
+    failures = {
+        n: p
+        for n, p in run_all(
+            spark, edge_emb_dir, names=["pq_codes", "kmeans_lloyd", "embed_knn_brute"]
+        ).items()
+        if p
+    }
+    assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def edge_cust_dir(tmp_path_factory):
+    """Crafted customers pinning ER1's block and proximity boundaries:
+    same block with |diff| exactly 1000 cents (inclusive), 1001 cents
+    (exclusive), and an identical-balance pair split across blocks."""
+    d = tmp_path_factory.mktemp("edge_cust")
+    src = "/root/testdata/sf0.001"
+    for name in os.listdir(src):
+        if name != "customer.parquet":
+            os.symlink(os.path.join(src, name), os.path.join(d, name))
+    rows = [
+        # block (1, AUTO): boundary pairs
+        (0, "c0", 1, 100.00, "AUTO"),
+        (1, "c1", 1, 110.00, "AUTO"),   # diff exactly 1000 cents → pair
+        (2, "c2", 1, 120.01, "AUTO"),   # diff to c1 = 1001 cents → no pair
+        # same balances, different blocks → never a pair
+        (3, "c3", 2, 100.00, "AUTO"),
+        (4, "c4", 1, 100.00, "BUILDING"),
+    ]
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "customer.parquet"))
+    return str(d)
+
+
+def test_edge_blocking_boundary_semantics(spark, edge_cust_dir):
+    """Pin ER1's inclusive $10 boundary and block isolation on crafted
+    customers, with the oracle agreeing on the crafted rows."""
+    failures = {
+        n: p
+        for n, p in run_all(spark, edge_cust_dir, names=["blocking_pairs"]).items()
+        if p
+    }
+    assert not failures, failures
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    pairs = {
+        (r["cust1"], r["cust2"]): r["diff_cents"]
+        for r in CATALOG["blocking_pairs"].builder(spark, edge_cust_dir).collect()
+    }
+    assert pairs == {(0, 1): 1000}  # inclusive boundary in, 1001 out,
+    #                                 cross-block identical balances out
