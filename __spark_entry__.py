@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 driver-run ordering. The driver caps each round at 50 queries, so
 # emit first the queries with no driver verdict yet:
 # (a) mixture_temperature — added late in round 3, past that round's cap —
-#     and the 27 round-4 additions (round4.py + ST8/ST9 + S16/S17), all
+#     and the 28 round-4 additions (round4.py + ST8/ST9 + S16/S17), all
 #     never driver-run;
 # (b) insurance re-runs in case the round-3 driver pass was lost (no
 #     CORRECTNESS_r03 is present in the repo): the exact round-3 priority
@@ -49,6 +49,7 @@ _RUN_FIRST = (
     "cohort_retention", "stream_foreach_merge", "pq_codes",
     "s16_npy_datasource", "stream_npy_artifacts", "semantic_dedup",
     "table_diff", "dq_checks", "s17_npy_writer_roundtrip",
+    "cms_heavyhitters",
     # (b) round-3 priority order, kept as insurance
     "pack_sequences",
     "pii_redact", "url_host_agg", "stream_static_enrich",
@@ -57,8 +58,9 @@ _RUN_FIRST = (
     "dedup_incremental", "skew_salted_join",
     "tfidf_topterms", "containment_pairs", "skew_salted_agg", "stream_dedup",
     "stream_interval_join", "s14_upsert_merge", "s15_rollup_reuse",
-    "o6_zorder_layout", "w8_zscore_anomaly", "quality_percentile_filter",
+    "o6_zorder_layout", "w8_zscore_anomaly",
     # ---- 50-query cap lands here; below is the documented queue ----
+    "quality_percentile_filter",
     "m10_quality_logit",
     "mixture_sample", "token_topk",
     "bpe_pair_counts",

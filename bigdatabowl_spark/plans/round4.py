@@ -1931,3 +1931,98 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders_status_domain", dom))
         .unionAll(one("lineitem_shipdate_not_null", nulls))
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_hash(d: int, x: str = "tok") -> str:
+    return (
+        f"CAST(('0x' || substr(md5({x} || ':cms{d}'), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "cms_heavyhitters",
+    "CMS1,SKX1,A7,O2,J1",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_hash(d)} AS cell, COUNT(*) AS c "
+            f"FROM toks GROUP BY 2" for d in range(_CMS_D)
+        )}
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS true_n FROM toks GROUP BY tok
+        ORDER BY true_n DESC, tok LIMIT 20
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT tok, true_n, {d} AS d, {_cms_hash(d)} AS cell FROM top"
+            for d in range(_CMS_D)
+        )}
+    )
+    SELECT p.tok, MAX(p.true_n) AS true_n,
+           MIN(c.c) AS cms_est,
+           MIN(c.c) - MAX(p.true_n) AS overcount
+    FROM probes p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+    GROUP BY p.tok
+    """,
+)
+def cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with an exact relational twin (CMS1): the sketch
+    state is a d x w integer count matrix (d=4 md5 hash rows, w=256
+    cells), built as d combining aggregations; a token's
+    estimate is the MIN over its d cells, probed here for the true top-20
+    tokens next to their exact counts — the emitted `overcount` column is
+    the sketch's signature one-sided error (always >= 0), visible and
+    oracle-checked rather than asserted.
+
+    Like KMV (and unlike HLL's register internals), CMS state is plain
+    integer arithmetic, so the whole sketch family pipeline — build,
+    merge, probe — is hash-exact across engines.
+
+    Scale: the sketch build is d map-side-combining aggregations whose
+    SHUFFLED state is d*w cells regardless of corpus size — this is the
+    mergeable-summary pattern streaming top-k uses (state bounded, merge =
+    cell-wise add). The probe side broadcasts the 1024-cell table onto the
+    top-k rows. At 100 TB, widen w to keep overcount ~ corpus/w small and
+    feed the same cells into applyInPandasWithState for the streaming
+    heavy-hitter twin.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+
+    def cell(d):
+        return (
+            dedup.md5_long(F.concat(F.col("tok"), F.lit(f":cms{d}"))) % _CMS_W
+        )
+
+    cells = None
+    for d in range(_CMS_D):
+        cd = toks.groupBy(cell(d).alias("cell")).agg(F.count("*").alias("c")).select(
+            F.lit(d).alias("d"), "cell", "c"
+        )
+        cells = cd if cells is None else cells.unionAll(cd)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    probes = None
+    for d in range(_CMS_D):
+        pd_ = top.select("tok", "true_n", F.lit(d).alias("d"), cell(d).alias("cell"))
+        probes = pd_ if probes is None else probes.unionAll(pd_)
+    return (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("tok")
+        .agg(
+            F.max("true_n").alias("true_n"),
+            F.min("c").alias("cms_est"),
+            (F.min("c") - F.max("true_n")).alias("overcount"),
+        )
+    )

@@ -136,6 +136,7 @@ def main() -> None:
         "CDC1": "snapshot diff / change-data-feed derivation (row-hash compare)",
         "DQ1": "data-quality contract checks (pk/fk/domain/not-null suite)",
         "S17": "custom Python DataSource writer (.npy sink, 2-phase commit)",
+        "CMS1": "Count-Min sketch heavy hitters (exact integer twin)",
     }
     for i in extra:
         qs = ", ".join(f"`{n}`" for n in sorted(by_id[i]))

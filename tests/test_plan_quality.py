@@ -511,3 +511,12 @@ def test_dq_fk_check_is_anti_join(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "dq_checks")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_probe_broadcasts_cells(spark, sf_dir):
+    """CMS1's 1024-cell sketch table must broadcast onto the top-k probe
+    rows; the build side is combining aggregations with no join at all."""
+    plan = _catalog_plan(spark, sf_dir, "cms_heavyhitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
