@@ -26,60 +26,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-4 driver-run ordering. The driver caps each round at 50 queries, so
-# emit first the queries with no driver verdict yet:
-# (a) mixture_temperature — added late in round 3, past that round's cap —
-#     and the 28 round-4 additions (round4.py + ST8/ST9 + S16/S17), all
-#     never driver-run;
-# (b) insurance re-runs in case the round-3 driver pass was lost (no
-#     CORRECTNESS_r03 is present in the repo): the exact round-3 priority
-#     order — pack_sequences (r2 hash-FAIL, oracle type since fixed), the 11
-#     round-3 additions, the 30 queries never run in r1/r2, then the 8
-#     rows-only self-certifying kernel queries. Entries past position 50 are
-#     the documented queue (all in-repo-oracle green at sf0.001/0.01).
+# Round-5 driver-run ordering. The driver caps each round at 50 queries, so
+# emit first the queries with no driver verdict in any round (VERDICT r4
+# item 1), then the kernel chains paired with their new oracle-checked
+# *_readside twins (VERDICT r4 item 2 — each kernel query materializes its
+# output table, the readside that FOLLOWS it aggregates that same parquet in
+# both engines, so the kernel entry must stay immediately before its
+# readside), then insurance re-runs of every query whose implementation
+# changed this round. Entries past position 50 are the documented queue
+# (all driver-green in r1/r2/r4 and in-repo-oracle green at sf0.001/0.01).
 _RUN_FIRST = (
-    # (a) no driver verdict in any round
+    # (a) the 22 queries with no driver verdict in r1/r2/r4
+    "quality_percentile_filter", "m10_quality_logit",
+    "mixture_sample", "token_topk", "bpe_pair_counts",
+    "chunk_documents", "text_repetition", "f_json_props",
+    "p11_masked_update", "p15_existence_guard", "j6_rejoin_computed",
+    "j11_selfjoin_compare", "j14_label_join", "a27_axis_reduce",
+    "o4_deterministic_order", "f13_flat_index", "f14_meshgrid",
+    "f15_xor_flags", "f17_dot_projection",
+    "analytics_player_rankings", "analytics_throw_calibration",
+    "a20b_gamma_mle_fit",
+    # (b) kernel chains, each immediately followed by its oracle-checked
+    #     read side (the kernel's builder stages the parquet the readside's
+    #     oracle reads)
+    "eppa_field_surface", "eppa_surface_readside",
+    "eppa_pass_summary", "eppa_pass_readside",
+    "eppa_player_stats", "eppa_player_readside",
+    "m2_value_model_width", "m2_width_readside",
+    "m6_optimize_defense", "m6_defense_readside",
+    "s4_prior_artifact_lifecycle", "s4_lifecycle_readside",
+    "a7b_approx_sketches", "a7c_sketch_certify",
+    # (c) new / implementation-touched this round
+    "pagerank_bucketed",
+    "tfidf_topterms", "stream_interval_join", "table_diff",
+    "s16_npy_datasource", "s17_npy_writer_roundtrip",
+    "stream_npy_artifacts",
+    "skew_salted_join", "pagerank_fixed",
+    # ---- 50-query cap lands here; below is the documented queue ----
     "mixture_temperature",
     "repeated_ngram_spans", "kmv_distinct_sketch", "bloom_semi_prune",
     "scd2_history", "psi_drift", "markov_transitions",
     "simhash_hamming_pairs", "zonemap_prune_stats", "oov_rate",
     "dup_span_coverage", "sessionize_batch", "blocking_pairs",
     "mad_robust_stats", "time_range_rolling", "time_weighted_avg",
-    "triangle_count", "pagerank_fixed", "prefix_filter_jaccard",
+    "triangle_count", "prefix_filter_jaccard",
     "cohort_retention", "stream_foreach_merge", "pq_codes",
-    "s16_npy_datasource", "stream_npy_artifacts", "semantic_dedup",
-    "table_diff", "dq_checks", "s17_npy_writer_roundtrip",
-    "cms_heavyhitters",
-    # (b) round-3 priority order, kept as insurance
-    "pack_sequences",
-    "pii_redact", "url_host_agg", "stream_static_enrich",
+    "semantic_dedup", "dq_checks", "cms_heavyhitters",
+    "pack_sequences", "pii_redact", "url_host_agg", "stream_static_enrich",
     "rollup_hierarchy", "unpivot_features", "ntile_stratify",
     "resample_interpolate", "o7_global_rank", "funnel_steps",
-    "dedup_incremental", "skew_salted_join",
-    "tfidf_topterms", "containment_pairs", "skew_salted_agg", "stream_dedup",
-    "stream_interval_join", "s14_upsert_merge", "s15_rollup_reuse",
+    "dedup_incremental", "containment_pairs", "skew_salted_agg",
+    "stream_dedup", "s14_upsert_merge", "s15_rollup_reuse",
     "o6_zorder_layout", "w8_zscore_anomaly",
-    # ---- 50-query cap lands here; below is the documented queue ----
-    "quality_percentile_filter",
-    "m10_quality_logit",
-    "mixture_sample", "token_topk",
-    "bpe_pair_counts",
-    "chunk_documents",
-    "text_repetition",
-    "f_json_props",
-    "p11_masked_update",
-    "p15_existence_guard", "j6_rejoin_computed",
-    "j11_selfjoin_compare",
-    "j14_label_join",
-    "a27_axis_reduce",
-    "o4_deterministic_order",
-    "f13_flat_index", "f14_meshgrid",
-    "f15_xor_flags", "f17_dot_projection",
-    "analytics_player_rankings", "analytics_throw_calibration",
-    "a20b_gamma_mle_fit",
-    "a7b_approx_sketches", "s4_prior_artifact_lifecycle",
-    "eppa_field_surface", "eppa_pass_summary", "eppa_player_stats",
-    "m2_value_model_width", "m6_optimize_defense",
 )
 
 

@@ -80,13 +80,21 @@ def run_all(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, lis
             continue
         if q.oracle is None:
             continue
+        # Builder first: kernel-chain readside queries stage their source
+        # parquet from inside the builder, and the oracle reads that same
+        # staged file (plans/round5.py) — so the Spark side must run before
+        # the DuckDB side on a cold staging dir.
+        try:
+            spark_df = q.builder(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"SPARK ERROR: {type(e).__name__}: {str(e)[:500]}"]
+            continue
         try:
             duck_df = con.execute(q.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             results[name] = [f"ORACLE SQL ERROR: {e}"]
             continue
         try:
-            spark_df = q.builder(spark, sf_dir)
             results[name] = compare(spark_df, duck_df)
         except Exception as e:  # noqa: BLE001
             results[name] = [f"SPARK ERROR: {type(e).__name__}: {str(e)[:500]}"]

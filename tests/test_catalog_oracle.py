@@ -22,7 +22,7 @@ def test_every_query_has_oracle_or_doc():
         assert q.doc or q.builder.__doc__, f"{name} missing docstring"
 
 
-def test_no_oracle_emits_hugeint(sf_dir):
+def test_no_oracle_emits_hugeint(spark, sf_dir):
     """Driver-hash-safety gate: DuckDB HUGEINT/UBIGINT columns convert to a
     different pandas kind (float/object) than Spark's BIGINT (int64), so a
     type-tagged hash mismatches even when every value is identical — the
@@ -31,8 +31,12 @@ def test_no_oracle_emits_hugeint(sf_dir):
     """
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
+    from bigdatabowl_spark.plans.round5 import ensure_kernel_staged
     from tests.oracle_harness import duck_connection
 
+    # The round-5 readside oracles DESCRIBE staged kernel parquet — make
+    # sure it exists before asking DuckDB for schemas on a cold machine.
+    ensure_kernel_staged(spark, sf_dir)
     con = duck_connection(sf_dir)
     offenders = []
     for name, q in CATALOG.items():
