@@ -370,15 +370,17 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency table is vocabulary-sized and broadcasts onto tf; the global
     doc count is a 1-row broadcast (J4).
 
-    Deliberate recompute-over-cache: the tf lineage is consumed twice (the
-    document-frequency branch and the scored branch), so tokenize→explode→
-    agg runs twice per job. Caching tf would trade that recompute for
-    materializing a corpus-sized (doc_id, tok, c) intermediate — at 100 TB
-    that spills and evicts far more than the cheap narrow tokenize costs,
-    so the engine recomputes (a consumer pinning many downstream jobs can
-    still `.persist()` the returned plan's parent explicitly).
+    Single-execution of the tf lineage: the (doc_id, tok, c) table feeds
+    BOTH the document-frequency branch and the scored branch, so without a
+    persist the tokenize→explode→shuffle-agg pass — the most expensive scan
+    in the query — runs twice per job. tf is persisted MEMORY_AND_DISK
+    (spill-safe: partitions that don't fit in executor memory go to local
+    disk rather than evicting or OOMing, so the plan survives a 100×
+    corpus), the broadcast-side df job populates the cache, and the main
+    job's scored branch reads it back instead of re-tokenizing.
     """
     docs = t(spark, sf_dir, "documents")
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -388,7 +390,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below shares that same partitioning — one exchange serves both.
     tf = tf.withColumn(
         "n_tok", F.sum("c").over(Window.partitionBy("doc_id"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df = tf.groupBy("tok").agg(F.count("*").alias("n_docs"))
     n = docs.agg(F.count("*").alias("n_total"))
     idf_micro = F.round(

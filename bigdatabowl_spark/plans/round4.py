@@ -1733,8 +1733,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hashed AS (
         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-               md5(CAST(o.o_totalprice AS VARCHAR) || '|' || o.o_orderstatus) AS h_old,
-               md5(CAST(n.o_totalprice AS VARCHAR) || '|' || n.o_orderstatus) AS h_new
+               md5(CAST(CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS VARCHAR)
+                   || '|' || o.o_orderstatus) AS h_old,
+               md5(CAST(CAST(round(n.o_totalprice * 100.0) AS BIGINT) AS VARCHAR)
+                   || '|' || n.o_orderstatus) AS h_new
         FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
     )
     SELECT o_orderkey,
@@ -1757,10 +1759,11 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines derive identical snapshots, all three change kinds
     actually occur, and row hashes use the catalog's md5 rule.
 
-    The VARCHAR cast feeding md5 is engine-sensitive for doubles in
-    general; here o_totalprice is 2-dp data and the %89 perturbation is
-    round(x*0.9, 2), so both engines print identical shortest-form
-    decimals (same class of contract as the catalog's decimal-exact sums).
+    The row hash feeds md5 with INTEGER CENTS (round(x*100) as BIGINT),
+    never the double's string form: Spark prints scientific notation for
+    |x| >= 1e7 while DuckDB prints plain decimals, so a raw VARCHAR cast
+    is only safe in narrow value ranges — integer cents make the hashed
+    token identical across engines for any 2-dp monetary value.
 
     Scale: one full outer join on the table key (co-partitioned shuffle,
     AQE-mergeable) and a map-side hash per row; the changes output is
@@ -1783,12 +1786,9 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def row_hash(side):
+        cents = F.round(F.col(f"{side}.o_totalprice") * 100.0).cast("long")
         return F.md5(
-            F.concat(
-                F.col(f"{side}.o_totalprice").cast("string"),
-                F.lit("|"),
-                F.col(f"{side}.o_orderstatus"),
-            )
+            F.concat(cents.cast("string"), F.lit("|"), F.col(f"{side}.o_orderstatus"))
         )
 
     o, n = old_snap.alias("o"), new_snap.alias("n")

@@ -79,6 +79,12 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
     and replays committed ranges through ``readBetweenOffsets``, which
     re-loads the same files, so a restarted query re-emits identical rows
     (exactly-once at the source).
+
+    A violated frontier (a file recreated, renamed, or deleted at or before
+    the committed position) poisons the query BY DESIGN — both ``read`` and
+    ``readBetweenOffsets`` raise rather than emit wrong rows. Recovery
+    requires clearing the checkpoint: the committed offsets name files that
+    no longer exist in the committed order, so no automatic resume is sound.
     """
 
     def __init__(self, options: dict):
@@ -119,7 +125,23 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(files[n:])), {"n": len(files), "last": last}
 
     def readBetweenOffsets(self, start, end):
-        return iter(self._rows(self._files()[start["n"] : end["n"]]))
+        # Replay path (query restart): validate the committed range against
+        # the live listing with the same frontier check as ``read`` — a
+        # deleted or renamed committed file would otherwise silently shift
+        # the slice and replay WRONG rows. Recovery from a violated frontier
+        # requires clearing the checkpoint (the committed offsets name files
+        # that no longer exist in order).
+        files = self._files()
+        for off in (start, end):
+            n = off["n"]
+            if n > 0 and (len(files) < n or files[n - 1] != off.get("last", "")):
+                raise ValueError(
+                    f"npy_artifact_stream: committed offset {off!r} no longer "
+                    f"matches the listing in {self.path} (file deleted or "
+                    "renamed past the frontier); clear the checkpoint to "
+                    "restart from a fresh offset"
+                )
+        return iter(self._rows(files[start["n"] : end["n"]]))
 
 
 class NpyArtifactStreamSource(DataSource):
@@ -189,6 +211,27 @@ class NpyArtifactWriter(DataSourceWriter):
         return NpyCommitMessage(tmp_paths=staged)
 
     def commit(self, messages) -> None:
+        # Enforce the one-task-one-artifact contract BEFORE any rename: if
+        # rows for one stem spanned multiple tasks (caller forgot
+        # repartition("file")), each task staged a complete-LOOKING .npy
+        # holding only its subset and the last rename would silently win,
+        # publishing a partial artifact. All-or-nothing: fail the job with
+        # nothing published.
+        seen: dict = {}
+        dupes = set()
+        for m in messages:
+            for stem, _ in m.tmp_paths:
+                if stem in seen:
+                    dupes.add(stem)
+                seen[stem] = True
+        if dupes:
+            self._sweep_stage()
+            raise ValueError(
+                f"npy_sink: rows for stems {sorted(dupes)!r} were written by "
+                "more than one task — each artifact would hold only one "
+                "task's subset; repartition the input by 'file' so one task "
+                "owns one artifact"
+            )
         # honor SaveMode: append must not clobber an existing artifact —
         # fail the job BEFORE publishing anything (all-or-nothing commit)
         if not self.overwrite:
@@ -207,6 +250,14 @@ class NpyArtifactWriter(DataSourceWriter):
         for m in messages:
             for stem, tmp in m.tmp_paths:
                 os.replace(tmp, os.path.join(self.path, f"{stem}.npy"))
+        # SaveMode.Overwrite truncates the target: artifacts from prior runs
+        # whose stems are NOT in this write are stale and must not survive
+        # to pollute a later directory scan.
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".npy") and not f.startswith("."):
+                    if f[: -len(".npy")] not in seen:
+                        os.remove(os.path.join(self.path, f))
         self._sweep_stage()
 
     def abort(self, messages) -> None:

@@ -224,3 +224,72 @@ def test_npy_sink_save_mode_semantics(spark, tmp_path):
     df2.write.format("npy_sink").option("path", str(d)).mode("overwrite").save()
     assert np.load(d / "a.npy").tolist() == [9.0]
     assert not [f for f in os.listdir(d) if ".tmp-" in f]  # stage swept
+
+
+def test_npy_sink_overwrite_truncates_stale_stems(spark, tmp_path):
+    """SaveMode.Overwrite truncates the target dir: a stem written by a
+    prior run but absent from this write must not survive to pollute a
+    later directory scan."""
+    import numpy as np
+
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactSink
+
+    spark.dataSource.register(NpyArtifactSink)
+    d = tmp_path / "sink"
+    d.mkdir()
+    both = spark.createDataFrame(
+        [("a", 0, 1.0), ("b", 0, 2.0)], "file string, idx long, value double"
+    ).repartition("file")
+    both.write.format("npy_sink").option("path", str(d)).mode("append").save()
+    assert sorted(f for f in os.listdir(d) if f.endswith(".npy")) == ["a.npy", "b.npy"]
+    only_a = spark.createDataFrame(
+        [("a", 0, 9.0)], "file string, idx long, value double"
+    ).repartition("file")
+    only_a.write.format("npy_sink").option("path", str(d)).mode("overwrite").save()
+    assert sorted(f for f in os.listdir(d) if f.endswith(".npy")) == ["a.npy"]
+    assert np.load(d / "a.npy").tolist() == [9.0]
+
+
+def test_npy_sink_rejects_multi_task_stem(spark, tmp_path):
+    """Two-phase-commit enforcement: rows for one stem spanning multiple
+    tasks (caller forgot repartition('file')) must fail the job with
+    nothing published — each task's staged file holds only its subset."""
+    import pytest as _pytest
+
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactSink
+
+    spark.dataSource.register(NpyArtifactSink)
+    d = tmp_path / "sink"
+    d.mkdir()
+    sc = spark.sparkContext
+    # two single-row partitions carrying the SAME stem
+    rdd = sc.parallelize([("a", 0, 1.0)], 1).union(sc.parallelize([("a", 1, 2.0)], 1))
+    df = spark.createDataFrame(rdd, "file string, idx long, value double")
+    assert df.rdd.getNumPartitions() == 2
+    with _pytest.raises(Exception, match="more than one task"):
+        df.write.format("npy_sink").option("path", str(d)).mode("append").save()
+    assert not [f for f in os.listdir(d) if f.endswith(".npy")]  # nothing published
+    assert not [f for f in os.listdir(d) if ".tmp-" in f]  # stage swept
+
+
+def test_npy_stream_replay_validates_frontier(tmp_path):
+    """A committed file deleted before a replay must raise (wrong-rows
+    guard), not silently shift the slice; recovery is checkpoint reset."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactStreamReader
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    np.save(d / "a.npy", np.array([1.0]))
+    np.save(d / "b.npy", np.array([2.0]))
+    rdr = NpyArtifactStreamReader({"path": str(d)})
+    start = rdr.initialOffset()
+    rows, end = rdr.read(start)
+    assert len(list(rows)) == 2 and end == {"n": 2, "last": "b.npy"}
+    # replay of the committed range is exact while the listing is intact
+    assert len(list(rdr.readBetweenOffsets(start, end))) == 2
+    (d / "a.npy").unlink()
+    with _pytest.raises(ValueError, match="clear the checkpoint"):
+        rdr.readBetweenOffsets(start, end)
