@@ -44,8 +44,9 @@ _RUN_FIRST = (
     "j11_selfjoin_compare", "j14_label_join", "a27_axis_reduce",
     "o4_deterministic_order", "f13_flat_index", "f14_meshgrid",
     "f15_xor_flags", "f17_dot_projection",
-    "analytics_player_rankings", "analytics_throw_calibration",
-    "a20b_gamma_mle_fit",
+    "analytics_player_rankings", "rankings_readside",
+    "analytics_throw_calibration", "calibration_readside",
+    "a20b_gamma_mle_fit", "a20b_mle_readside",
     # (b) kernel chains, each immediately followed by its oracle-checked
     #     read side (the kernel's builder stages the parquet the readside's
     #     oracle reads)

@@ -139,7 +139,11 @@ def a20b_gamma_mle_fit(spark: SparkSession, sf_dir: str):
             ]
         )
 
-    return ev.groupBy("event_type").applyInPandas(fit, schema)
+    from bigdatabowl_spark.plans.eppa_queries import materialize_kernel
+
+    return materialize_kernel(
+        ev.groupBy("event_type").applyInPandas(fit, schema), "a20b_gamma_mle_fit"
+    )
 
 
 @register(

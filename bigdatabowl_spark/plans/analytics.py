@@ -137,11 +137,15 @@ def throw_calibration(
 def q_player_rankings(spark: SparkSession, sf_dir: str):
     """Full chain: tracking → EPPA kernel → p(t)-weighted player ranking."""
     from bigdatabowl_spark.kernels.eppa import eppa_pass_summary, eppa_player_stats
-    from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
+    from bigdatabowl_spark.plans.eppa_queries import (
+        materialize_kernel,
+        tracking_from_events,
+    )
 
     norm = tracking_from_events(spark, sf_dir)
-    return player_eppa_rankings(
-        eppa_player_stats(norm), eppa_pass_summary(norm), spark
+    return materialize_kernel(
+        player_eppa_rankings(eppa_player_stats(norm), eppa_pass_summary(norm), spark),
+        "analytics_player_rankings",
     )
 
 
@@ -151,7 +155,13 @@ def q_throw_calibration(spark: SparkSession, sf_dir: str):
     against the tuning dataset's realized completions."""
     from bigdatabowl_spark.kernels.eppa import eppa_pass_summary
     from bigdatabowl_spark.kernels.tuning import pass_dataset
-    from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
+    from bigdatabowl_spark.plans.eppa_queries import (
+        materialize_kernel,
+        tracking_from_events,
+    )
 
     norm = tracking_from_events(spark, sf_dir)
-    return throw_calibration(eppa_pass_summary(norm), pass_dataset(norm))
+    return materialize_kernel(
+        throw_calibration(eppa_pass_summary(norm), pass_dataset(norm)),
+        "analytics_throw_calibration",
+    )

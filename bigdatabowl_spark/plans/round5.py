@@ -1,8 +1,9 @@
 """Round-5 queries: driver-checkable read-sides for the kernel chains.
 
-The seven rows-only kernel entries (eppa_*, m2_value_model_width,
-m6_optimize_defense, s4_prior_artifact_lifecycle, a7b_approx_sketches) pair
-a non-SQL-expressible Arrow kernel with a pure-SQL analytics read side —
+The ten rows-only kernel entries (eppa_*, m2_value_model_width,
+m6_optimize_defense, s4_prior_artifact_lifecycle, a7b_approx_sketches,
+a20b_gamma_mle_fit, analytics_player_rankings, analytics_throw_calibration)
+pair a non-SQL-expressible Arrow kernel with a pure-SQL analytics read side —
 exactly the split the reference has between play_eppa_cpu.py (kernel) and
 eppa_analysis_all_plays.ipynb · cells 2-5 (pandas reads over the per-play
 pickle dirs). Each kernel query now persists its output table to the fixed
@@ -41,6 +42,9 @@ STAGED_KERNELS = (
     "m2_value_model_width",
     "m6_optimize_defense",
     "s4_prior_artifact_lifecycle",
+    "a20b_gamma_mle_fit",
+    "analytics_player_rankings",
+    "analytics_throw_calibration",
 )
 
 
@@ -351,4 +355,90 @@ def a7c_sketch_certify(spark: SparkSession, sf_dir: str):
         (rel(F.col("_approx_orders"), F.col("exact_orders")) <= 0.05).alias("hll_ok"),
         (rel(F.col("_q")[0], F.col("p50_disc")) <= 0.05).alias("p50_ok"),
         (rel(F.col("_q")[1], F.col("p95_disc")) <= 0.05).alias("p95_ok"),
+    )
+
+
+@register(
+    "a20b_mle_readside",
+    "A20,A21,M8",
+    f"""
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           {_qsql('shape_mle')} AS q_shape_mle,
+           {_qsql('scale_mle')} AS q_scale_mle,
+           (loglik_mle >= loglik_mom - 0.000001 * abs(loglik_mom)) AS mle_dominates,
+           CAST(invariant_violations AS BIGINT) AS viol
+    FROM {_kparquet('a20b_gamma_mle_fit')}
+    """,
+)
+def a20b_mle_readside(spark: SparkSession, sf_dir: str):
+    """Gamma-MLE read side: the fitted (shape, scale) per event_type,
+    quantized, plus the recomputed MLE-optimality certificate
+    (loglik_mle >= loglik_mom — the estimator's defining property,
+    historical-L-T.ipynb · cell 12's fit table) over the staged fit
+    table. Both engines evaluate the certificate on identical float64
+    bytes, so the boolean is deterministic."""
+    s = _kread(spark, sf_dir, "a20b_gamma_mle_fit")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _q("shape_mle").alias("q_shape_mle"),
+        _q("scale_mle").alias("q_scale_mle"),
+        (
+            F.col("loglik_mle")
+            >= F.col("loglik_mom") - F.lit(0.000001) * F.abs(F.col("loglik_mom"))
+        ).alias("mle_dominates"),
+        F.col("invariant_violations").cast("long").alias("viol"),
+    )
+
+
+@register(
+    "rankings_readside",
+    "A1,A9,O2,M3",
+    f"""
+    SELECT team_pos,
+           COUNT(*) AS n_players,
+           CAST(SUM(n_plays) AS BIGINT) AS total_plays,
+           CAST(SUM({_qsql('weighted_eppa')}) AS BIGINT) AS q_eppa_sum,
+           CAST(SUM(invariant_violations) AS BIGINT) AS viol
+    FROM {_kparquet('analytics_player_rankings')}
+    GROUP BY team_pos
+    """,
+)
+def rankings_readside(spark: SparkSession, sf_dir: str):
+    """Player-ranking read side: per-side roster size and quantized
+    p(t)-weighted EPPA mass over the staged ranking table
+    (eppa_analysis_all_plays.ipynb · cell 4's leaderboard rollup)."""
+    s = _kread(spark, sf_dir, "analytics_player_rankings")
+    return s.groupBy("team_pos").agg(
+        F.count("*").alias("n_players"),
+        F.sum("n_plays").alias("total_plays"),
+        F.sum(_q("weighted_eppa")).alias("q_eppa_sum"),
+        F.sum("invariant_violations").alias("viol"),
+    )
+
+
+@register(
+    "calibration_readside",
+    "A19,A14,M3",
+    f"""
+    SELECT COUNT(*) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS total_passes,
+           CAST(SUM({_qsql('mean_predicted')}) AS BIGINT) AS q_pred_sum,
+           CAST(SUM({_qsql('empirical_rate')}) AS BIGINT) AS q_emp_sum,
+           CAST(SUM(invariant_violations) AS BIGINT) AS viol
+    FROM {_kparquet('analytics_throw_calibration')}
+    """,
+)
+def calibration_readside(spark: SparkSession, sf_dir: str):
+    """Calibration read side: bin count, pass mass, and quantized
+    predicted/empirical rate totals over the staged calibration table
+    (Calibration Viz.ipynb · cell 5's summary view)."""
+    s = _kread(spark, sf_dir, "analytics_throw_calibration")
+    return s.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n").alias("total_passes"),
+        F.sum(_q("mean_predicted")).alias("q_pred_sum"),
+        F.sum(_q("empirical_rate")).alias("q_emp_sum"),
+        F.sum("invariant_violations").alias("viol"),
     )
