@@ -88,6 +88,14 @@ SINGLE_RUN = {
     "eppa_player_stats",
     "s4_prior_artifact_lifecycle",
     "m5_tuning_dataset",
+    # materializing kernel chains added in round 5: a second timed run
+    # would just redo the full staging write
+    "a20b_gamma_mle_fit",
+    "analytics_player_rankings",
+    "analytics_throw_calibration",
+    # iterative superstep query with per-round checkpoints — one run is
+    # representative, and pagerank_fixed keeps the min-of-2 twin
+    "pagerank_bucketed",
 }
 
 
