@@ -72,7 +72,11 @@ def ensemble_to_xgb_json(ens: TreeEnsemble) -> dict:
                 "categories_sizes": [],
                 "tree_param": {
                     "num_nodes": "7",
-                    "num_feature": str(int(ens.feat_a.max()) + 1 if n_trees else 0),
+                    "num_feature": str(
+                        int(max(ens.feat_a.max(), ens.feat_b.max())) + 1
+                        if n_trees
+                        else 0
+                    ),
                     "size_leaf_vector": "1",
                 },
             }
