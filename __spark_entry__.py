@@ -51,7 +51,7 @@ _RUN_FIRST = (
     #     read side (the kernel's builder stages the parquet the readside's
     #     oracle reads)
     "eppa_field_surface", "eppa_surface_readside",
-    "eppa_pass_summary", "eppa_pass_readside",
+    "eppa_pass_summary", "eppa_pass_readside", "stream_eppa_kernel",
     "eppa_player_stats", "eppa_player_readside",
     "m2_value_model_width", "m2_width_readside",
     "m6_optimize_defense", "m6_defense_readside",

@@ -174,8 +174,12 @@ def fit_completion_params(
 # ---------------------------------------------------------------------------
 
 MAX_PLAYERS = 17  # the reference 0-pads every frame's player tensor to a
-# fixed row count before batching (completion_probability_torch.py:205-216);
-# 17 covers the eligible non-QB skill players both sides field.
+# fixed row count before batching (completion_probability_torch.py:205-216).
+# When a play fields MORE than MAX_PLAYERS non-QB players, the tensor keeps
+# the MAX_PLAYERS CLOSEST to the ball-end point (deterministic nflId
+# tiebreak) — the arrival contest is distance-driven, so the far tail is
+# the right thing to drop, and the policy is explicit rather than an
+# accidental lowest-id slice.
 
 _PLAYER_TENSOR_SCHEMA = (
     "gameId long, playId long, row int, dist double, tof double, "
@@ -221,8 +225,13 @@ def play_player_tensors(norm: DataFrame) -> DataFrame:
         ].sort_values("nflId")
         dx = players["x"].to_numpy(np.float64) - ex
         dy = players["y"].to_numpy(np.float64) - ey
-        dist = np.sqrt(dx * dx + dy * dy)[:MAX_PLAYERS]
-        is_off = (players["team_pos"].to_numpy() == "OFF").astype(np.float64)[:MAX_PLAYERS]
+        dist_all = np.sqrt(dx * dx + dy * dy)
+        # keep the MAX_PLAYERS closest contestants (stable sort preserves
+        # the nflId order as the tiebreak) — see the MAX_PLAYERS comment
+        keep = np.argsort(dist_all, kind="stable")[:MAX_PLAYERS]
+        keep.sort()  # back to nflId order within the kept set
+        dist = dist_all[keep]
+        is_off = (players["team_pos"].to_numpy() == "OFF").astype(np.float64)[keep]
         n = len(dist)
         pad = MAX_PLAYERS - n
         return pd.DataFrame(
@@ -297,12 +306,15 @@ def fit_player_completion_params(
     Gradients are central differences over the 3 physics parameters (6
     forward passes per step — exact enough at h=1e-6 and free of autograd
     machinery), the update is textbook Adam with fixed init and iteration
-    count, so the fit is bit-reproducible. The collect is bounded and
-    deterministically ordered like fit_completion_params.
+    count, so the fit is bit-reproducible. The collect is bounded by
+    max_rows TOTAL rows (floored to a whole-play multiple so the reshape
+    stays rectangular) and deterministically ordered like
+    fit_completion_params — same ~50 MB driver budget, not per-play.
     """
+    lim = (max_rows // MAX_PLAYERS) * MAX_PLAYERS
     rows = (
         dataset.orderBy("gameId", "playId", "row")
-        .limit(max_rows * MAX_PLAYERS)
+        .limit(lim)
         .select("gameId", "playId", "row", "dist", "tof", "is_off", "is_pad", "completed")
         .toPandas()
     )

@@ -142,7 +142,7 @@ def a20b_gamma_mle_fit(spark: SparkSession, sf_dir: str):
     from bigdatabowl_spark.plans.eppa_queries import materialize_kernel
 
     return materialize_kernel(
-        ev.groupBy("event_type").applyInPandas(fit, schema), "a20b_gamma_mle_fit"
+        ev.groupBy("event_type").applyInPandas(fit, schema), "a20b_gamma_mle_fit", sf_dir
     )
 
 

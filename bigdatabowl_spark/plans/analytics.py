@@ -146,6 +146,7 @@ def q_player_rankings(spark: SparkSession, sf_dir: str):
     return materialize_kernel(
         player_eppa_rankings(eppa_player_stats(norm), eppa_pass_summary(norm), spark),
         "analytics_player_rankings",
+        sf_dir,
     )
 
 
@@ -164,4 +165,5 @@ def q_throw_calibration(spark: SparkSession, sf_dir: str):
     return materialize_kernel(
         throw_calibration(eppa_pass_summary(norm), pass_dataset(norm)),
         "analytics_throw_calibration",
+        sf_dir,
     )

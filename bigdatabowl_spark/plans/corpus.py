@@ -372,15 +372,18 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-execution of the tf lineage: the (doc_id, tok, c) table feeds
     BOTH the document-frequency branch and the scored branch, so without a
-    persist the tokenize→explode→shuffle-agg pass — the most expensive scan
-    in the query — runs twice per job. tf is persisted MEMORY_AND_DISK
-    (spill-safe: partitions that don't fit in executor memory go to local
-    disk rather than evicting or OOMing, so the plan survives a 100×
-    corpus), the broadcast-side df job populates the cache, and the main
-    job's scored branch reads it back instead of re-tokenizing.
+    materialization boundary the tokenize→explode→shuffle-agg pass — the
+    most expensive scan in the query — runs twice per job. tf is
+    localCheckpoint'ed lazily (MEMORY_AND_DISK under the hood, so
+    partitions that don't fit in executor memory spill to local disk
+    rather than OOMing): the first consumer computes each partition once,
+    the second reads the materialized blocks, and — unlike .persist(),
+    whose CacheManager entry outlives the query for the whole session —
+    the blocks are released by the ContextCleaner as soon as the plan is
+    garbage-collected (same lifecycle as o7_global_rank's dual-consumer
+    checkpoint, relational.py).
     """
     docs = t(spark, sf_dir, "documents")
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -390,7 +393,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below shares that same partitioning — one exchange serves both.
     tf = tf.withColumn(
         "n_tok", F.sum("c").over(Window.partitionBy("doc_id"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("tok").agg(F.count("*").alias("n_docs"))
     n = docs.agg(F.count("*").alias("n_total"))
     idf_micro = F.round(

@@ -31,24 +31,36 @@ from bigdatabowl_spark.kernels.eppa import (
 )
 from bigdatabowl_spark.plans.catalog import register, t
 
-# Fixed (non-sf-keyed) kernel-output staging dir. Each kernel-chain query
-# overwrites its table here as a side effect; the matching *_readside query
-# later in catalog order aggregates this SAME parquet on both engines (Spark
-# and the DuckDB oracle), so the analytics half of every kernel chain gets a
-# real cross-engine hash check (VERDICT r4 item 2) while the kernel numerics
-# stay pinned by tests/test_kernels.py. Both readers consume identical bytes,
-# so the check is order-robust: whichever sf last materialized, the two
-# engines agree or the aggregation is wrong.
-KERNEL_OUT = "/tmp/bigdatabowl_kernel"
+# Kernel-output staging dir. Each kernel-chain query overwrites its table
+# here as a side effect; the matching *_readside query later in catalog
+# order aggregates this SAME parquet on both engines (Spark and the DuckDB
+# oracle), so the analytics half of every kernel chain gets a real
+# cross-engine hash check (VERDICT r4 item 2) while the kernel numerics
+# stay pinned by tests/test_kernels.py. The path must be one static string
+# per process (the DuckDB oracle SQL templates bake it in at import time),
+# so concurrent sessions sharing one machine must each set
+# SPARK_GRAFT_KERNEL_OUT — two sessions on the default dir would overwrite
+# each other's staging mid-read. Every staged table carries a _STAGED_FROM
+# marker naming the sf_dir it was built from, and the readside self-heal
+# re-runs the owning kernel whenever the marker doesn't match the requested
+# sf — a readside check is never satisfied by another scale's bytes.
+KERNEL_OUT = os.environ.get("SPARK_GRAFT_KERNEL_OUT", "/tmp/bigdatabowl_kernel")
+
+_SF_MARKER = "_STAGED_FROM"  # underscore prefix: invisible to Spark's
+#                              parquet listing and to the oracle's *.parquet glob
 
 
-def materialize_kernel(df: DataFrame, name: str) -> DataFrame:
-    """Persist a kernel output table to the fixed staging dir and hand back
-    the re-read — the caller returns disk-backed rows, so its own result and
+def materialize_kernel(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Persist a kernel output table to the staging dir and hand back the
+    re-read — the caller returns disk-backed rows, so its own result and
     the readside queries see byte-identical float64 values (S11 artifact
-    persistence; the reference's per-play pickle dirs, play_eppa_cpu.py:670)."""
+    persistence; the reference's per-play pickle dirs, play_eppa_cpu.py:670).
+    The _STAGED_FROM marker (written AFTER the parquet, since overwrite
+    truncates the dir) records which sf_dir produced the table."""
     path = os.path.join(KERNEL_OUT, name)
     df.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, _SF_MARKER), "w") as f:
+        f.write(sf_dir.rstrip("/"))
     return df.sparkSession.read.parquet(path)
 
 
@@ -142,7 +154,9 @@ def q_eppa_field_surface(spark: SparkSession, sf_dir: str):
     """field_df viz surface: 6,600 cells × eligible frames — the per-frame
     EPPA hot path (play_eppa_cpu.py:222-641) as applyInPandas over plays."""
     return materialize_kernel(
-        eppa_field_surface(tracking_from_events(spark, sf_dir)), "eppa_field_surface"
+        eppa_field_surface(tracking_from_events(spark, sf_dir)),
+        "eppa_field_surface",
+        sf_dir,
     )
 
 
@@ -151,7 +165,9 @@ def q_eppa_pass_summary(spark: SparkSession, sf_dir: str):
     """passes_df: per-frame argmax — best hypothetical pass via
     unravel_index(argmax) (play_eppa_cpu.py:564-614,621-637)."""
     return materialize_kernel(
-        eppa_pass_summary(tracking_from_events(spark, sf_dir)), "eppa_pass_summary"
+        eppa_pass_summary(tracking_from_events(spark, sf_dir)),
+        "eppa_pass_summary",
+        sf_dir,
     )
 
 
@@ -160,7 +176,9 @@ def q_eppa_player_stats(spark: SparkSession, sf_dir: str):
     """player_stats_df: per-player EPPA attribution shares
     (play_eppa_cpu.py:553-559)."""
     return materialize_kernel(
-        eppa_player_stats(tracking_from_events(spark, sf_dir)), "eppa_player_stats"
+        eppa_player_stats(tracking_from_events(spark, sf_dir)),
+        "eppa_player_stats",
+        sf_dir,
     )
 
 
@@ -281,7 +299,7 @@ def q_s4_prior_artifact_lifecycle(spark: SparkSession, sf_dir: str):
         (F.col("eppa1_tot") == F.col("eppa1_tot_base")).alias("bitexact"),
         "invariant_violations",
     )
-    return materialize_kernel(out, "s4_prior_artifact_lifecycle")
+    return materialize_kernel(out, "s4_prior_artifact_lifecycle", sf_dir)
 
 
 _ENSEMBLE_LOADED = None  # per-process model cache (S6: load once at startup)
@@ -317,6 +335,7 @@ def q_m2_value_model_width(spark: SparkSession, sf_dir: str):
             tracking_from_events(spark, sf_dir), value_ensemble=_ENSEMBLE_LOADED
         ),
         "m2_value_model_width",
+        sf_dir,
     )
 
 
@@ -328,5 +347,7 @@ def q_m6_optimize_defense(spark: SparkSession, sf_dir: str):
     from bigdatabowl_spark.kernels.defense import optimize_defense
 
     return materialize_kernel(
-        optimize_defense(tracking_from_events(spark, sf_dir)), "m6_optimize_defense"
+        optimize_defense(tracking_from_events(spark, sf_dir)),
+        "m6_optimize_defense",
+        sf_dir,
     )

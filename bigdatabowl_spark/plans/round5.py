@@ -53,23 +53,36 @@ def _kparquet(name: str) -> str:
     return f"read_parquet('{KERNEL_OUT}/{name}/*.parquet')"
 
 
-def _staged(name: str) -> bool:
+def _staged(name: str, sf_dir: str) -> bool:
+    """True iff the staged table exists AND was built from this sf_dir —
+    the _STAGED_FROM marker keeps a readside check from being silently
+    satisfied by another scale factor's bytes."""
+    from bigdatabowl_spark.plans.eppa_queries import _SF_MARKER
+
     path = os.path.join(KERNEL_OUT, name)
-    return os.path.isdir(path) and any(
+    if not os.path.isdir(path) or not any(
         f.endswith(".parquet") for f in os.listdir(path)
-    )
+    ):
+        return False
+    marker = os.path.join(path, _SF_MARKER)
+    try:
+        with open(marker) as f:
+            return f.read().strip() == sf_dir.rstrip("/")
+    except OSError:
+        return False
 
 
 def ensure_kernel_staged(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAGED_KERNELS
 ) -> None:
-    """Run any kernel-chain query whose staged output is missing (the
-    builders write eagerly via materialize_kernel). Idempotent and cheap
-    when everything is already on disk."""
+    """Run any kernel-chain query whose staged output is missing or was
+    built from a DIFFERENT sf_dir (the builders write eagerly via
+    materialize_kernel, stamping the marker). Idempotent and cheap when
+    everything is already staged from this scale."""
     from bigdatabowl_spark.plans.catalog import CATALOG
 
     for qname in names:
-        if not _staged(qname):
+        if not _staged(qname, sf_dir):
             CATALOG[qname].builder(spark, sf_dir)
 
 
@@ -441,4 +454,88 @@ def calibration_readside(spark: SparkSession, sf_dir: str):
         F.sum(_q("mean_predicted")).alias("q_pred_sum"),
         F.sum(_q("empirical_rate")).alias("q_emp_sum"),
         F.sum("invariant_violations").alias("viol"),
+    )
+
+
+@register(
+    "stream_eppa_kernel",
+    "ST1,ST8,M3,S8",
+    f"""
+    SELECT gameId, playId, frameId, frames_after_snap,
+           eppa1_tot, max_eppa1_x, max_eppa1_y, max_eppa1_T,
+           max_eppa1_ppc_off, max_eppa1_trans, max_eppa1,
+           CAST(invariant_violations AS BIGINT) AS invariant_violations
+    FROM {_kparquet('eppa_pass_summary')}
+    """,
+)
+def stream_eppa_kernel(spark: SparkSession, sf_dir: str):
+    """The EPPA kernel lifted to Structured Streaming, certified bit-exact
+    against the batch kernel CROSS-ENGINE: tracking arrives as a file
+    stream (one parquet file per play — `partitionBy(gameId, playId)` after
+    a key repartition guarantees a play never splits across files, so every
+    micro-batch carries only whole plays), foreachBatch runs the SAME
+    applyInPandas kernel per micro-batch and appends the pass summaries to
+    a parquet sink. The Spark side returns the STREAM-accumulated table;
+    the DuckDB oracle reads the BATCH-staged eppa_pass_summary parquet —
+    equality of every float64 proves micro-batching changed nothing.
+
+    This is the reference's offline per-play loop (play_eppa_cpu.py:
+    621-670, one pickle dir per play) as a live ingestion path: plays
+    stream in as the tracking system emits them, each is scored once, and
+    the summary table grows incrementally (ST8 foreachBatch idempotent
+    append + checkpoint).
+
+    Scale: the kernel is per-play (applyInPandas groups), so micro-batch
+    composition cannot change numerics; state is only the file-source
+    offset log; the sink append is one small parquet per batch. At real
+    scale the play partitioning comes from the tracking producer (one
+    object per play), exactly this layout.
+    """
+    import shutil
+
+    from bigdatabowl_spark.kernels.eppa import eppa_pass_summary
+    from bigdatabowl_spark.plans.eppa_queries import N_PLAYS, tracking_from_events
+
+    # batch truth for the oracle (sf-marker-checked, restages on mismatch)
+    ensure_kernel_staged(spark, sf_dir, ("eppa_pass_summary",))
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"/tmp/bigdatabowl_io/{tag}/stream_eppa"
+    track_dir, out_dir, ckpt = f"{root}/tracking", f"{root}/out", f"{root}/_ckpt"
+    for d in (track_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    norm = tracking_from_events(spark, sf_dir)
+    # one play per partition, then partition dirs by play: exactly one
+    # data file per play, so maxFilesPerTrigger=1 = one whole play per
+    # micro-batch and the multi-batch path is actually exercised
+    (
+        norm.repartition(N_PLAYS, "gameId", "playId")
+        .write.partitionBy("gameId", "playId")
+        .parquet(track_dir)
+    )
+
+    stream = (
+        spark.readStream.schema(norm.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(track_dir)
+    )
+
+    def score_batch(batch_df, batch_id: int) -> None:
+        eppa_pass_summary(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "gameId", "playId", "frameId", "frames_after_snap",
+        "eppa1_tot", "max_eppa1_x", "max_eppa1_y", "max_eppa1_T",
+        "max_eppa1_ppc_off", "max_eppa1_trans", "max_eppa1",
+        F.col("invariant_violations").cast("long").alias("invariant_violations"),
     )

@@ -91,7 +91,31 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
         self.path = options["path"]
 
     def initialOffset(self):
-        return {"n": 0, "last": ""}
+        return {"n": 0, "last": "", "sig": self._sig([])}
+
+    @staticmethod
+    def _sig(names) -> str:
+        """Digest of the whole filename prefix: the count+last check alone
+        cannot see a MID-range rename (b.npy → bb.npy keeps the count and
+        the n-th name stable while the slice contents change), so every
+        offset carries a prefix signature and validation compares it."""
+        import hashlib
+
+        return hashlib.md5("\n".join(names).encode()).hexdigest()
+
+    def _check_frontier(self, files, off, what: str) -> None:
+        n = off["n"]
+        prefix_ok = len(files) >= n and (n == 0 or files[n - 1] == off.get("last", ""))
+        if prefix_ok and "sig" in off:
+            prefix_ok = self._sig(files[:n]) == off["sig"]
+        if not prefix_ok:
+            raise ValueError(
+                f"npy_artifact_stream: {what} offset {off!r} no longer matches "
+                f"the listing in {self.path} (a file was added, deleted, or "
+                "renamed at or before the committed frontier); this source "
+                "requires append-only, name-ascending artifact arrival — "
+                "clear the checkpoint to restart from a fresh offset"
+            )
 
     def _files(self) -> list:
         # dotfiles are the writer's uncommitted stage — never read them
@@ -113,34 +137,22 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         files = self._files()
-        n = start["n"]
-        if n > 0 and (len(files) < n or files[n - 1] != start.get("last", "")):
-            raise ValueError(
-                f"npy_artifact_stream: non-monotonic arrival in {self.path} — "
-                f"a file sorting at or before the committed frontier "
-                f"({start.get('last', '')!r}) appeared; this source requires "
-                "append-only, name-ascending artifact arrival"
-            )
+        self._check_frontier(files, start, "start")
         last = files[-1] if files else start.get("last", "")
-        return iter(self._rows(files[n:])), {"n": len(files), "last": last}
+        end = {"n": len(files), "last": last, "sig": self._sig(files)}
+        return iter(self._rows(files[start["n"]:])), end
 
     def readBetweenOffsets(self, start, end):
-        # Replay path (query restart): validate the committed range against
-        # the live listing with the same frontier check as ``read`` — a
-        # deleted or renamed committed file would otherwise silently shift
-        # the slice and replay WRONG rows. Recovery from a violated frontier
-        # requires clearing the checkpoint (the committed offsets name files
-        # that no longer exist in order).
+        # Replay path (query restart): validate BOTH committed offsets
+        # (count + n-th name + full prefix signature) against the live
+        # listing — a deleted, renamed, or recreated committed file would
+        # otherwise silently shift the slice and replay WRONG rows.
+        # Recovery from a violated frontier requires clearing the
+        # checkpoint (the committed offsets name files that no longer
+        # exist in the committed order).
         files = self._files()
-        for off in (start, end):
-            n = off["n"]
-            if n > 0 and (len(files) < n or files[n - 1] != off.get("last", "")):
-                raise ValueError(
-                    f"npy_artifact_stream: committed offset {off!r} no longer "
-                    f"matches the listing in {self.path} (file deleted or "
-                    "renamed past the frontier); clear the checkpoint to "
-                    "restart from a fresh offset"
-                )
+        for what, off in (("start", start), ("end", end)):
+            self._check_frontier(files, off, what)
         return iter(self._rows(files[start["n"] : end["n"]]))
 
 

@@ -22,6 +22,23 @@ def test_every_query_has_oracle_or_doc():
         assert q.doc or q.builder.__doc__, f"{name} missing docstring"
 
 
+def test_kernel_staging_is_sf_keyed(spark, sf_dir):
+    """A staged kernel table carries a _STAGED_FROM marker and only
+    satisfies readside checks for the sf_dir that built it — a readside
+    sweep at another scale must re-stage, never silently validate stale
+    bytes (the round-5 review's staleness hole)."""
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from bigdatabowl_spark.plans.round5 import _staged
+
+    import bigdatabowl_spark.plans  # noqa: F401
+
+    name = "a20b_gamma_mle_fit"  # cheapest staging kernel
+    CATALOG[name].builder(spark, sf_dir)
+    assert _staged(name, sf_dir)
+    assert _staged(name, sf_dir + "/")  # trailing slash is normalized
+    assert not _staged(name, "/root/testdata/sf-other")
+
+
 def test_no_oracle_emits_hugeint(spark, sf_dir):
     """Driver-hash-safety gate: DuckDB HUGEINT/UBIGINT columns convert to a
     different pandas kind (float/object) than Spark's BIGINT (int64), so a

@@ -287,9 +287,36 @@ def test_npy_stream_replay_validates_frontier(tmp_path):
     rdr = NpyArtifactStreamReader({"path": str(d)})
     start = rdr.initialOffset()
     rows, end = rdr.read(start)
-    assert len(list(rows)) == 2 and end == {"n": 2, "last": "b.npy"}
+    assert len(list(rows)) == 2 and (end["n"], end["last"]) == (2, "b.npy")
     # replay of the committed range is exact while the listing is intact
     assert len(list(rdr.readBetweenOffsets(start, end))) == 2
     (d / "a.npy").unlink()
     with _pytest.raises(ValueError, match="clear the checkpoint"):
         rdr.readBetweenOffsets(start, end)
+
+
+def test_npy_stream_replay_detects_midrange_rename(tmp_path):
+    """A MID-range rename keeps the count AND the n-th filename stable —
+    only the offset's prefix signature can see it. Replaying after
+    aa.npy → ab.npy must raise, not silently substitute ab's rows; the
+    same violated frontier must also poison the forward read path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatabowl_spark.sources.npy_source import NpyArtifactStreamReader
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    for name, v in [("aa.npy", 1.0), ("bb.npy", 2.0), ("cc.npy", 3.0)]:
+        np.save(d / name, np.array([v]))
+    rdr = NpyArtifactStreamReader({"path": str(d)})
+    start = rdr.initialOffset()
+    rows, end = rdr.read(start)
+    assert len(list(rows)) == 3 and (end["n"], end["last"]) == (3, "cc.npy")
+    # rename a committed MID-range file: listing is still 3 files ending
+    # in cc.npy, so count+last alone would pass and replay wrong rows
+    os.rename(d / "bb.npy", d / "ab.npy")
+    with _pytest.raises(ValueError, match="clear the checkpoint"):
+        rdr.readBetweenOffsets(start, end)
+    with _pytest.raises(ValueError, match="clear the checkpoint"):
+        rdr.read(end)

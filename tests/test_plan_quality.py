@@ -265,16 +265,22 @@ def test_runtime_bloom_filter_engages_for_fact_fact_join(spark, sf_dir):
 def test_tfidf_shares_doc_partitioning(spark, sf_dir):
     """Doc-length window and top-k window must share one doc_id exchange
     (doclen as a separate agg+join costs 2 more exchanges — the regression
-    this guards against), and the tf lineage must be cached so the
-    tokenize→explode→agg pass executes once, not once per consuming
-    branch (ADVICE r4 item 1)."""
+    this guards against), and the tf lineage must sit behind a
+    materialization boundary (lazy localCheckpoint) so the tokenize→
+    explode→agg pass executes once, not once per consuming branch
+    (ADVICE r4 item 1). localCheckpoint over persist: no session-lived
+    CacheManager entry — blocks are freed when the plan is GC'd."""
     plan = _catalog_plan(spark, sf_dir, "tfidf_topterms")
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-    # 6 = the cached tf build's exchanges (shown inline under the
-    # InMemoryRelation) + the downstream df/top-k consumers; a doclen
-    # agg+join regression would show 8+.
+    # downstream of the checkpointed tf both consumers + top-k window; the
+    # tf build's own exchanges sit behind the checkpoint boundary. A
+    # doclen agg+join regression would add 2+.
     assert n_exchange <= 6, plan
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert (
+        "ExistingRDD" in plan
+        or "LogicalRDD" in plan
+        or "InMemoryTableScan" in plan
+    ), plan
 
 
 def test_pagerank_bucketed_never_broadcasts_ranks(spark, sf_dir):

@@ -225,6 +225,36 @@ def test_play_player_tensors_padded_contract(spark, pass_norm):
         assert (grp["tof"] > 0).all()
 
 
+def test_play_player_tensors_overflow_keeps_closest(spark):
+    """A play fielding MORE than MAX_PLAYERS non-QB players must keep the
+    MAX_PLAYERS CLOSEST to the ball-end point — an explicit contest-driven
+    truncation, not a silent lowest-nflId slice (the engine's own
+    tracking_from_events fixture fields 20 non-QB players)."""
+    from bigdatabowl_spark.kernels.tuning import MAX_PLAYERS, play_player_tensors
+
+    n_players = MAX_PLAYERS + 3
+    rows = []
+    for fid, event in [(1, "pass_forward"), (3, "pass_arrived"), (4, "pass_outcome_caught")]:
+        rows.append((1, 1, fid, event, 0, "Football", None, "FTBL", 50.0, 26.5, 0.0, 0.0))
+        for j in range(n_players):
+            # player j sits exactly j yards from the ball-end point
+            rows.append(
+                (1, 1, fid, event, 100 + j, f"P{j}", "WR",
+                 "OFF" if j % 2 == 0 else "DEF", 50.0 + j, 26.5, 0.0, 0.0)
+            )
+    norm = spark.createDataFrame(
+        rows,
+        "gameId long, playId long, frameId int, event string, nflId long, "
+        "displayName string, position string, team_pos string, x double, "
+        "y double, v_x double, v_y double",
+    )
+    pdf = play_player_tensors(norm).toPandas().sort_values("row")
+    assert len(pdf) == MAX_PLAYERS
+    assert (pdf["is_pad"] == 0).all()  # overflow play: no pad rows
+    # kept distances are exactly the MAX_PLAYERS smallest (0..MAX_PLAYERS-1)
+    assert sorted(pdf["dist"].tolist()) == pytest.approx(list(range(MAX_PLAYERS)))
+
+
 def test_fit_player_completion_recovers_planted_params(spark):
     """Planted-parameter recovery on a synthetic play set: soft labels are
     generated from the model at (sigma*, lambda_off*, lambda_def*); the
