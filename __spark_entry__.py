@@ -58,7 +58,7 @@ _RUN_FIRST = (
     "s4_prior_artifact_lifecycle", "s4_lifecycle_readside",
     "a7b_approx_sketches", "a7c_sketch_certify",
     # (c) new / implementation-touched this round
-    "pagerank_bucketed",
+    "corpus_pipeline", "pagerank_bucketed",
     "tfidf_topterms", "stream_interval_join", "table_diff",
     "s16_npy_datasource", "s17_npy_writer_roundtrip",
     "stream_npy_artifacts",

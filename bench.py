@@ -96,6 +96,8 @@ SINGLE_RUN = {
     # iterative superstep query with per-round checkpoints — one run is
     # representative, and pagerank_fixed keeps the min-of-2 twin
     "pagerank_bucketed",
+    # runs a full availableNow stream (kernel per micro-batch) per build
+    "stream_eppa_kernel",
 }
 
 
@@ -152,7 +154,7 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
     Shape: lineitem with ~1/3 of rows remapped onto one hot key, joined to
     a dim carrying 2,000 variant rows for that key (so the hot reducer must
     materialize a ~400M-row fan-out at sf0.1 — the single-reducer critical
-    path salting exists to break; measured 0.69 s salted vs 1.45 s plain). Both paths force a shuffle
+    path salting exists to break; measured 0.73 s salted vs 2.09 s plain). Both paths force a shuffle
     join (merge hint): the bench models the beyond-broadcast dim of a real
     100 TB join — a broadcastable dim would sidestep skew entirely. AQE is
     disabled for BOTH runs: explicit salting is the remedy for contexts

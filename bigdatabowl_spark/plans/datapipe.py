@@ -835,3 +835,115 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str):
     determinism contract and per-iteration scale shape)."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.kmeans_quantized(emb, k=8, n_iter=2)
+
+
+@register(
+    "corpus_pipeline",
+    "TQ1,DD1,TD1,TS1,P12,A1,U4",
+    f"""
+    WITH quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 5 AND {_hits(_EN)} >= 1
+    ),
+    kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   MIN(doc_id) OVER (
+                       PARTITION BY md5(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                           ' +', ' ', 'g')))
+                   ) AS keep_id
+            FROM quality
+        ) WHERE doc_id = keep_id
+    ),
+    assigned AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+        FROM kept
+    ),
+    corpus AS (SELECT doc_id, text, bucket FROM assigned WHERE bucket < 90),
+    bench AS (
+        SELECT doc_id, text FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+                  % 100 >= 90
+    ),
+    sh_corpus AS ({_SHINGLES.replace("FROM documents", "FROM corpus")}),
+    sh_bench AS (SELECT DISTINCT shingle
+                 FROM ({_SHINGLES.replace("FROM documents", "FROM bench")})),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM sh_corpus JOIN sh_bench USING (shingle)
+    ),
+    final AS (
+        SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'val' END AS split,
+               doc_id, text
+        FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM final GROUP BY split
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str):
+    """End-to-end training-corpus build — the four pipeline stages every
+    100 TB corpus run chains, composed as ONE oracle-checked query:
+
+    1. quality gate (TQ1): integer predicates only (>= 5 tokens, >= 1
+       English stopword hit) — no float thresholds, so the cut is
+       bit-identical in both engines;
+    2. exact dedup (DD1): keep-lowest-id per normalized-text md5 group
+       (window min — one shuffle on the uniformly distributed hash key);
+    3. benchmark decontamination (TD1): drop any surviving train/val doc
+       sharing a 3-gram shingle with the held-out test-bucket docs; the
+       benchmark shingle set is broadcast (real benchmark suites are tiny
+       next to the corpus — the decontaminate_ngram posture);
+    4. deterministic split (TS1): md5(doc_id||':split') buckets, train/val
+       retained, test held out as the benchmark side.
+
+    Output: per-split doc/word/char totals (all integer sums → exact).
+    Each stage is also oracle-checked standalone elsewhere in the catalog;
+    this entry pins that the COMPOSITION holds end-to-end — the "switch
+    your pipeline to this engine" query.
+
+    Scale: stage 1 is a map-side filter; stage 2 one hash shuffle; stage 3
+    a map-side broadcast semi-join over the exploded shingles; stage 4 a
+    projection. Nothing quadratic, nothing driver-resident beyond the
+    benchmark shingle set.
+    """
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    quality = docs.filter(
+        (F.size(text.tokens(txt)) >= 5) & (text.lang_hits(txt, "en") >= 1)
+    ).select("doc_id", "text")
+
+    h = F.md5(dedup.normalize_text(txt))
+    w = Window.partitionBy(h)
+    kept = (
+        quality.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+
+    bucket = dedup.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))) % 100
+    corpus = kept.withColumn("bucket", bucket).filter(F.col("bucket") < 90)
+    bench = docs.withColumn("bucket", bucket).filter(F.col("bucket") >= 90)
+
+    bench_sh = dedup.shingle_table(bench).select("shingle").distinct()
+    contaminated = (
+        dedup.shingle_table(corpus)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    final = corpus.join(contaminated, "doc_id", "left_anti")
+
+    return final.groupBy(
+        F.when(F.col("bucket") < 80, "train").otherwise("val").alias("split")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(text.tokens(txt)).cast("long")).alias("total_words"),
+        F.sum(F.length(txt).cast("long")).alias("total_chars"),
+    )
