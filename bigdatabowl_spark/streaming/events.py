@@ -505,6 +505,47 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_state_dirs(state_root: str, below: int | None = None) -> list[tuple[int, str]]:
+    """(batch_id, path) for every committed state version under state_root,
+    ascending; `below` restricts to predecessors of a batch id."""
+    import os
+
+    out = []
+    for name in os.listdir(state_root):
+        if name.startswith("state_"):
+            bid = int(name.split("_", 1)[1])
+            if below is None or bid < below:
+                out.append((bid, f"{state_root}/{name}"))
+    return sorted(out)
+
+
+def merge_keyed_batch(state_root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """One foreachBatch merge step: reduce the batch to per-user partials
+    (count + DECIMAL-exact value sum), merge with the predecessor state
+    version, write state_<batch_id>. The predecessor is resolved FROM DISK
+    (largest state_<id> with id < batch_id), NOT driver memory — a batch
+    replayed after a driver restart merges from the same prior state it did
+    the first time, so the rewrite is idempotent under retries
+    (test_streaming.py::test_foreach_merge_replay_idempotent)."""
+    spark = batch_df.sparkSession
+    partial = batch_df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).alias("total_dec"),
+    )
+    prior = merge_state_dirs(state_root, below=batch_id)
+    if prior:
+        prev = spark.read.parquet(prior[-1][1])
+        partial = (
+            prev.unionByName(partial)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_dec").alias("total_dec"),
+            )
+        )
+    partial.write.mode("overwrite").parquet(f"{state_root}/state_{batch_id}")
+
+
 @register(
     "stream_foreach_merge",
     "ST8,S12,S14,A1",
@@ -538,7 +579,6 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     asynchronously). At real scale the state table is bucketed by the
     merge key so the per-batch merge join never shuffles history.
     """
-    import os
     import shutil
     import tempfile
 
@@ -548,13 +588,7 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_root = tempfile.mkdtemp(prefix="bdb_foreach_merge_")
 
     def state_dirs(below: int | None = None) -> list[tuple[int, str]]:
-        out = []
-        for name in os.listdir(state_root):
-            if name.startswith("state_"):
-                bid = int(name.split("_", 1)[1])
-                if below is None or bid < below:
-                    out.append((bid, f"{state_root}/{name}"))
-        return sorted(out)
+        return merge_state_dirs(state_root, below)
 
     batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     stream = (
@@ -564,25 +598,7 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum(dec("value")).alias("total_dec"),
-        )
-        # predecessor from disk, NOT driver memory — a batch replayed after
-        # a driver restart must merge from the same prior state it did the
-        # first time, which is what makes the rewrite idempotent
-        prior = state_dirs(below=batch_id)
-        if prior:
-            prev = spark.read.parquet(prior[-1][1])
-            partial = (
-                prev.unionByName(partial)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("total_dec").alias("total_dec"),
-                )
-            )
-        partial.write.mode("overwrite").parquet(f"{state_root}/state_{batch_id}")
+        merge_keyed_batch(state_root, batch_df, batch_id)
 
     try:
         q = (

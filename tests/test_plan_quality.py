@@ -543,3 +543,14 @@ def test_cms_probe_broadcasts_cells(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_corpus_pipeline_broadcasts_bench_shingles(spark, sf_dir):
+    """The end-to-end corpus build's decontamination stage must broadcast
+    the benchmark shingle set onto the exploded corpus shingles (the corpus
+    side is the 100 TB side), and the anti-join back onto corpus docs must
+    not be a cartesian."""
+    plan = _catalog_plan(spark, sf_dir, "corpus_pipeline")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -285,3 +285,61 @@ def test_interval_join_across_micro_batches(spark, sf_dir, tmp_path):
     )
     assert n_batches >= 2, "join never split into multiple micro-batches"
     assert got == expected
+
+
+def test_foreach_merge_replay_idempotent(spark, sf_dir, tmp_path):
+    """The versioned-dir merge sink's exactly-once claim under retry: a
+    replayed batch (same batch_id, same input — what Spark re-delivers
+    after a driver restart mid-commit) rewrites its state version from the
+    same disk predecessor and leaves the final state bit-identical."""
+    import pyspark.sql.functions as F
+
+    from bigdatabowl_spark.streaming.events import (
+        merge_keyed_batch,
+        merge_state_dirs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b0 = ev.filter(F.col("user_id") % 2 == 0)
+    b1 = ev.filter(F.col("user_id") % 2 == 1)
+    root = str(tmp_path / "state")
+    (tmp_path / "state").mkdir()
+
+    def snapshot():
+        latest = merge_state_dirs(root)[-1][1]
+        rows = (
+            spark.read.parquet(latest)
+            .select("user_id", "n_events", F.col("total_dec").cast("string"))
+            .collect()
+        )
+        return sorted(map(tuple, rows))
+
+    merge_keyed_batch(root, b0, 0)
+    merge_keyed_batch(root, b1, 1)
+    first = snapshot()
+
+    # replay batch 1 (retry after a simulated failed commit)
+    merge_keyed_batch(root, b1, 1)
+    assert snapshot() == first
+
+    # replay batch 0 too: its rewrite must not corrupt the chain — batch 1's
+    # version stays the authoritative latest and is untouched
+    merge_keyed_batch(root, b0, 0)
+    assert snapshot() == first
+    assert [bid for bid, _ in merge_state_dirs(root)] == [0, 1]
+
+    # multi-batch composition: the merged state equals the one-shot global
+    # aggregate (availableNow often delivers a single micro-batch, so the
+    # prior-merge path is pinned here, not by the catalog query)
+    expected = sorted(
+        map(
+            tuple,
+            ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("string"),
+            )
+            .collect(),
+        )
+    )
+    assert snapshot() == expected
