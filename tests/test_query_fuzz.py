@@ -1,0 +1,181 @@
+"""Seeded cross-engine query fuzzing: randomly generated relational
+queries (typed predicates, group-bys, exact-by-construction aggregates)
+run through BOTH Spark and DuckDB from the SAME SQL string, compared with
+the standard harness rules. The catalog pins 156 hand-written queries;
+this pins the long tail the hand-written set can't enumerate — random
+predicate/group/agg combinations over every scalar column type we ship,
+plus FK equi-joins pooling both tables' columns (80 seeded queries:
+~19 joined, ~51 grouped, ~1/8 legitimately empty-result).
+
+The generator only emits constructs that are bit-exact across engines by
+the repo's established cross-engine rules (plans/catalog.py):
+  - integer aggregates CAST to BIGINT (DuckDB widens to HUGEINT),
+  - double sums via DECIMAL(18,2) partials (all double columns in the
+    testdata are 2-decimal money/metric values),
+  - MIN/MAX only for raw doubles (exact bits, no accumulation order),
+  - byte-wise string comparison, no timestamps (covered elsewhere via
+    epoch_us arithmetic).
+
+Seeds are fixed: every failure is reproducible by its printed SQL.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.oracle_harness import compare, duck_connection
+
+# table -> (int cols, 2-decimal double cols, string cols)
+SCHEMAS = {
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ["l_returnflag", "l_linestatus"],
+    ),
+    "orders": (
+        ["o_orderkey", "o_custkey"],
+        ["o_totalprice"],
+        ["o_orderstatus", "o_orderpriority"],
+    ),
+    "customer": (
+        ["c_custkey", "c_nationkey"],
+        ["c_acctbal"],
+        ["c_name", "c_mktsegment"],
+    ),
+    "part": (
+        ["p_partkey", "p_size"],
+        ["p_retailprice"],
+        ["p_name", "p_brand", "p_type"],
+    ),
+    "events": (
+        ["event_id", "user_id"],
+        ["value"],
+        ["event_type"],
+    ),
+    "documents": (
+        ["doc_id", "n_chars"],
+        [],
+        ["lang", "source"],
+    ),
+}
+
+# child table -> (parent table, child fk, parent key)
+FKS = {
+    "lineitem": [("orders", "l_orderkey", "o_orderkey"), ("part", "l_partkey", "p_partkey")],
+    "orders": [("customer", "o_custkey", "c_custkey")],
+    "customer": [("nation", "c_nationkey", "n_nationkey")],
+}
+SCHEMAS["nation"] = (["n_nationkey", "n_regionkey"], [], ["n_name"])
+
+N_QUERIES = 80
+
+
+def _pred(rng: random.Random, ints, dbls, strs) -> str:
+    kind = rng.choice(["mod", "lt", "len", "lex", "like"])
+    if kind == "mod" and ints:
+        c = rng.choice(ints)
+        k = rng.randint(2, 13)
+        return f"{c} % {k} <= {rng.randint(0, k - 1)}"
+    if kind == "lt" and ints:
+        c = rng.choice(ints)
+        # keys are 1-based and dense enough that a small modulus-scaled
+        # threshold keeps selectivity away from 0/100%
+        return f"{c} % 1000 < {rng.randint(50, 950)}"
+    if kind == "len" and strs:
+        return f"length({rng.choice(strs)}) >= {rng.randint(1, 12)}"
+    if kind == "lex" and strs:
+        return f"{rng.choice(strs)} >= '{rng.choice('ABFKMPRSabefmprs')}'"
+    if strs:
+        return f"{rng.choice(strs)} LIKE '%{rng.choice('aeiorstn')}%'"
+    return "1 = 1"
+
+
+def _agg(rng: random.Random, i: int, ints, dbls, strs) -> str:
+    choices = ["count"]
+    if ints:
+        choices += ["sum_int", "min_int", "max_int", "cdist_int"]
+    if dbls:
+        choices += ["sum_dec", "min_dbl", "max_dbl"]
+    if strs:
+        choices += ["min_str", "max_str", "cdist_str"]
+    kind = rng.choice(choices)
+    a = f"a{i}"
+    if kind == "count":
+        return f"COUNT(*) AS {a}"
+    if kind == "sum_int":
+        return f"CAST(SUM({rng.choice(ints)}) AS BIGINT) AS {a}"
+    if kind == "min_int":
+        return f"CAST(MIN({rng.choice(ints)}) AS BIGINT) AS {a}"
+    if kind == "max_int":
+        return f"CAST(MAX({rng.choice(ints)}) AS BIGINT) AS {a}"
+    if kind == "cdist_int":
+        return f"CAST(COUNT(DISTINCT {rng.choice(ints)}) AS BIGINT) AS {a}"
+    if kind == "sum_dec":
+        return (
+            f"CAST(SUM(CAST({rng.choice(dbls)} AS DECIMAL(18,2))) AS DOUBLE) AS {a}"
+        )
+    if kind == "min_dbl":
+        return f"MIN({rng.choice(dbls)}) AS {a}"
+    if kind == "max_dbl":
+        return f"MAX({rng.choice(dbls)}) AS {a}"
+    if kind == "min_str":
+        return f"MIN({rng.choice(strs)}) AS {a}"
+    if kind == "max_str":
+        return f"MAX({rng.choice(strs)}) AS {a}"
+    return f"CAST(COUNT(DISTINCT {rng.choice(strs)}) AS BIGINT) AS {a}"
+
+
+def gen_query(rng: random.Random) -> str:
+    table = rng.choice(sorted(SCHEMAS))
+    ints, dbls, strs = SCHEMAS[table]
+    frm = table
+    # half the time, inner-join a parent over a real FK and pool both
+    # tables' columns — join order/dialect is where engines diverge
+    if table in FKS and rng.random() < 0.5:
+        parent, fk, pk = rng.choice(FKS[table])
+        frm = f"{table} JOIN {parent} ON {table}.{fk} = {parent}.{pk}"
+        p_ints, p_dbls, p_strs = SCHEMAS[parent]
+        ints = ints + p_ints
+        dbls = dbls + p_dbls
+        strs = strs + p_strs
+    # group keys: strings as-is; ints bucketed by modulus to keep group
+    # counts bounded at any sf
+    keys = []
+    for i in range(rng.randint(0, 2)):
+        if strs and rng.random() < 0.6:
+            keys.append((f"k{i}", rng.choice(strs)))
+        elif ints:
+            keys.append((f"k{i}", f"{rng.choice(ints)} % {rng.randint(2, 20)}"))
+    aggs = [_agg(rng, i, ints, dbls, strs) for i in range(rng.randint(1, 3))]
+    preds = [_pred(rng, ints, dbls, strs) for _ in range(rng.randint(0, 2))]
+
+    select = [f"{expr} AS {alias}" for alias, expr in keys] + aggs
+    sql = f"SELECT {', '.join(select)} FROM {frm}"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if keys:
+        sql += " GROUP BY " + ", ".join(expr for _, expr in keys)
+    return sql
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark, sf_dir):
+    for name in SCHEMAS:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+    return duck_connection(sf_dir)
+
+
+def test_random_queries_match_duckdb(spark, sf_dir, fuzz_env):
+    rng = random.Random(0xBDB5)
+    failures = []
+    for n in range(N_QUERIES):
+        sql = gen_query(rng)
+        try:
+            problems = compare(spark.sql(sql), fuzz_env.execute(sql).fetchdf())
+        except Exception as e:  # noqa: BLE001 — record and keep fuzzing
+            problems = [f"{type(e).__name__}: {str(e)[:300]}"]
+        if problems:
+            failures.append(f"[{n}] {sql}\n      {problems}")
+    assert not failures, "\n".join(failures)
