@@ -160,6 +160,74 @@ def gen_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_rollup_query(rng: random.Random) -> str:
+    """Multi-level aggregation: GROUP BY ROLLUP / CUBE / GROUPING SETS.
+
+    Keys are non-null by construction (raw string columns, bucketed
+    ints), so a NULL key in the output unambiguously means "rolled up"
+    — the one place both engines agree without needing GROUPING()
+    disambiguation. Aggregates follow the same exactness rules as
+    gen_query.
+
+    No WHERE clause on purpose: fuzzing found that on an EMPTY input the
+    engines genuinely diverge — DuckDB emits the SQL-standard grand-total
+    row for the () grouping set (an ungrouped aggregate over zero rows is
+    one row), while Spark's Expand-based rewrite turns every set into a
+    keyed group-by and returns zero rows. Predicate selectivity is
+    already fuzzed by gen_query; here the full table keeps the input
+    non-empty so the multi-level semantics themselves are what's pinned.
+    """
+    table = rng.choice(sorted(SCHEMAS))
+    ints, dbls, strs = SCHEMAS[table]
+    keys = []
+    for i in range(2):
+        if strs and rng.random() < 0.5:
+            keys.append((f"k{i}", rng.choice(strs)))
+        else:
+            keys.append((f"k{i}", f"{rng.choice(ints)} % {rng.randint(2, 10)}"))
+    kind = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    exprs = ", ".join(expr for _, expr in keys)
+    if kind == "SETS":
+        grp = (
+            f"GROUPING SETS (({keys[0][1]}), ({keys[1][1]}), "
+            f"({exprs}), ())"
+        )
+    else:
+        grp = f"{kind}({exprs})"
+    aggs = [_agg(rng, i, ints, dbls, strs) for i in range(rng.randint(1, 2))]
+    select = [f"{expr} AS {alias}" for alias, expr in keys] + aggs
+    return f"SELECT {', '.join(select)} FROM {table} GROUP BY {grp}"
+
+
+def gen_setop_query(rng: random.Random) -> str:
+    """Set operations: two predicated projections of the same table
+    combined with UNION / UNION ALL / EXCEPT / INTERSECT, folded through
+    an outer exact aggregate so result sizes stay bounded at any sf.
+    Projections are integer/string only (set membership on doubles would
+    hinge on bit-equality across engines — true for raw columns, but the
+    int/string space already covers the operator semantics)."""
+    table = rng.choice(sorted(SCHEMAS))
+    ints, dbls, strs = SCHEMAS[table]
+    cols = [f"{rng.choice(ints)} % {rng.randint(2, 50)} AS v0"]
+    if strs and rng.random() < 0.5:
+        cols.append(f"{rng.choice(strs)} AS v1")
+    proj = ", ".join(cols)
+
+    def side() -> str:
+        preds = [_pred(rng, ints, dbls, strs) for _ in range(rng.randint(0, 2))]
+        s = f"SELECT {proj} FROM {table}"
+        if preds:
+            s += " WHERE " + " AND ".join(preds)
+        return s
+
+    op = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
+    inner = f"{side()} {op} {side()}"
+    checks = "COUNT(*) AS n_rows, CAST(SUM(v0) AS BIGINT) AS s0"
+    if len(cols) > 1:
+        checks += ", CAST(COUNT(DISTINCT v1) AS BIGINT) AS d1"
+    return f"SELECT {checks} FROM ({inner}) t"
+
+
 @pytest.fixture(scope="module")
 def fuzz_env(spark, sf_dir):
     for name in SCHEMAS:
@@ -167,15 +235,26 @@ def fuzz_env(spark, sf_dir):
     return duck_connection(sf_dir)
 
 
-def test_random_queries_match_duckdb(spark, sf_dir, fuzz_env):
-    rng = random.Random(0xBDB5)
+def _sweep(spark, env, gen, rng, n_queries: int) -> None:
     failures = []
-    for n in range(N_QUERIES):
-        sql = gen_query(rng)
+    for n in range(n_queries):
+        sql = gen(rng)
         try:
-            problems = compare(spark.sql(sql), fuzz_env.execute(sql).fetchdf())
+            problems = compare(spark.sql(sql), env.execute(sql).fetchdf())
         except Exception as e:  # noqa: BLE001 — record and keep fuzzing
             problems = [f"{type(e).__name__}: {str(e)[:300]}"]
         if problems:
             failures.append(f"[{n}] {sql}\n      {problems}")
     assert not failures, "\n".join(failures)
+
+
+def test_random_queries_match_duckdb(spark, sf_dir, fuzz_env):
+    _sweep(spark, fuzz_env, gen_query, random.Random(0xBDB5), N_QUERIES)
+
+
+def test_random_rollup_queries_match_duckdb(spark, sf_dir, fuzz_env):
+    _sweep(spark, fuzz_env, gen_rollup_query, random.Random(0xBDB5 + 2), 40)
+
+
+def test_random_setop_queries_match_duckdb(spark, sf_dir, fuzz_env):
+    _sweep(spark, fuzz_env, gen_setop_query, random.Random(0xBDB5 + 3), 40)
