@@ -65,6 +65,40 @@ def test_no_oracle_emits_hugeint(spark, sf_dir):
     assert not offenders, f"oracle columns need CAST(... AS BIGINT): {offenders}"
 
 
+def test_harness_detects_mutations(spark, sf_dir):
+    """Non-vacuity gate for the harness ITSELF: `compare` must flag every
+    mutation class the cross-engine check exists to catch — dropped rows,
+    renamed columns, perturbed numeric values, perturbed strings. A
+    harness that silently passes corrupted results would make all 156
+    green rows meaningless, so the detector is pinned alongside them."""
+    import pandas as pd
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_dir)
+    q = CATALOG["a1_pricing_summary"]
+    sdf = q.builder(spark, sf_dir)
+    clean = con.execute(q.oracle).fetchdf()
+    assert not compare(sdf, clean), "clean baseline must match"
+
+    assert compare(sdf, clean.iloc[:-1]), "dropped row not detected"
+    assert compare(
+        sdf, clean.rename(columns={clean.columns[0]: "zz_mutated"})
+    ), "renamed column not detected"
+
+    num = [c for c in clean.columns if pd.api.types.is_numeric_dtype(clean[c])]
+    val = clean.copy()
+    val[num[0]] = val[num[0]] + 1
+    assert compare(sdf, val), "numeric perturbation not detected"
+
+    strs = [c for c in clean.columns if clean[c].dtype == object]
+    sv = clean.copy()
+    sv[strs[0]] = sv[strs[0]].astype(str) + "_x"
+    assert compare(sdf, sv), "string perturbation not detected"
+
+
 def test_catalog_matches_duckdb_oracle(spark, sf_dir):
     results = run_all(spark, sf_dir)
     failures = {k: v for k, v in results.items() if v}

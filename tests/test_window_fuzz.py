@@ -14,6 +14,7 @@ Determinism by construction (the generator emits nothing else):
     are row-order-independent;
   - RANK/DENSE_RANK order by a possibly-tied raw int column — fine,
     their output depends only on order-key VALUES, never row order;
+    likewise value-based RANGE frames (all peers included by value);
   - window inputs for SUM-kinds are bucketed (`col % 1009`) so the
     worst-case cumulative × weight × outer-sum product stays far inside
     BIGINT even at sf0.1;
@@ -54,7 +55,8 @@ N_QUERIES = 60
 def _win(rng: random.Random, pp: str, okey: str, ints) -> str:
     """One integer-valued, deterministic-by-construction window expr."""
     kind = rng.choice(
-        ["rn", "rnk", "drnk", "lag", "lead", "cum", "frame", "pagg", "fv"]
+        ["rn", "rnk", "drnk", "lag", "lead", "cum", "frame", "vrange",
+         "pagg", "fv"]
     )
     c = rng.choice(ints)
     small = f"{c} % 1009"  # bounded input for sum-kinds (overflow headroom)
@@ -75,6 +77,15 @@ def _win(rng: random.Random, pp: str, okey: str, ints) -> str:
         return (
             f"SUM({small}) OVER ({pp}ORDER BY {okey} "
             f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW)"
+        )
+    if kind == "vrange":
+        # value-based RANGE frame over a single (possibly tied) int order
+        # key — deterministic even with ties, because the frame is defined
+        # by order-key VALUES (all peers included), never row position
+        n = rng.randint(1, 1000)
+        return (
+            f"SUM({small}) OVER ({pp}ORDER BY {c} "
+            f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW)"
         )
     if kind == "pagg":
         fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
