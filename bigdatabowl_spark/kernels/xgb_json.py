@@ -1,28 +1,29 @@
-"""XGBoost JSON-model codec for the kernel's TreeEnsemble.
+"""XGBoost JSON-model codec for the kernel's forest scorers.
 
 The reference version-pins compiled xgboost/treelite binaries and loads
-them at startup (play_eppa_cpu.py:80-87). xgboost itself is not installed
-in this environment, so the kernel scores through the NumPy TreeEnsemble —
-this module proves the ARTIFACT pluggability: the stand-in ensemble is
-emitted in xgboost's native ``save_model(...json)`` schema (learner /
+them at startup (play_eppa_cpu.py:80-87); its value models are standard
+xgboost trained at default depth (Rishav's xyac.ipynb · cells 5-11).
+xgboost itself is not installed in this environment, so the kernel scores
+through the NumPy ``FlatForest`` — this module proves the ARTIFACT
+pluggability for ANY depth: the loader reconstructs a ``FlatForest`` from
+any multiclass xgboost ``save_model(...json)`` document (learner /
 gradient_booster / model / trees with flat node arrays, leaf values held in
 ``split_conditions`` at leaf positions, per-tree class ids in
-``tree_info``), and the loader reconstructs a TreeEnsemble from ANY
-depth-<=2 multiclass xgboost JSON model:
+``tree_info``), preserving node order verbatim so load → save is
+byte-for-byte, and scoring bit-identically to single-row traversal of the
+source trees (same comparisons, one leaf add per tree in tree order).
 
-- a tree whose left and right children split on the same (feature,
-  threshold) maps to one TreeEnsemble row (byte-for-byte round trip for
-  our own artifacts);
-- a tree with ASYMMETRIC child splits — the general real-model case —
-  decomposes into two TreeEnsemble rows (left-branch leaves with the
-  right side zeroed, and vice versa). Adding the zero contribution is
-  IEEE-exact, so the decomposed ensemble scores bit-identically to direct
-  traversal of the source tree;
-- depth-1 and leaf-only trees embed as constant-leaf rows.
+Fidelity knobs a real trained artifact exercises, both honored:
 
-Depth > 2 raises: the vectorized kernel's two-level contract is documented
-(kernels/ensemble.py) and the reference's value models are shallow; a
-deeper model needs a kernel widening, not silent truncation.
+- ``learner_model_param.base_score`` — applied as the uniform per-class
+  margin offset (softprob-invariant, but margins match xgboost's
+  ``output_margin=True``);
+- per-node ``default_left`` — NaN features route to the flagged child
+  exactly as xgboost's missing-value handling does, instead of falling
+  through the ``< thr`` comparison (which would always send NaN right).
+
+The legacy depth-2 ``TreeEnsemble`` serializes through the same schema via
+``TreeEnsemble.to_forest()``.
 """
 
 from __future__ import annotations
@@ -31,57 +32,56 @@ import json
 
 import numpy as np
 
-from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+from bigdatabowl_spark.kernels.ensemble import EPVALS, FlatForest, TreeEnsemble
 
 _INT_MAX = 2147483647  # xgboost's "no parent" sentinel
 
 
-def ensemble_to_xgb_json(ens: TreeEnsemble) -> dict:
-    """Serialize a TreeEnsemble as an xgboost ``save_model`` JSON document.
+def forest_to_xgb_json(forest: FlatForest) -> dict:
+    """Serialize a FlatForest as an xgboost ``save_model`` JSON document.
 
-    Each depth-2 tree becomes the 7-node layout (root, two internal
-    children, four leaves); leaf values ride in ``split_conditions`` at
-    leaf node positions, exactly as xgboost's JSON schema stores them.
+    Per-tree node arrays come straight from ``FlatForest.tree_nodes`` (the
+    stored node order), so ``forest_from_xgb_json(forest_to_xgb_json(f))``
+    reproduces ``f``'s arrays exactly.
     """
-    n_trees = len(ens.feat_a)
     trees = []
-    for t in range(n_trees):
-        l0, l1, l2, l3 = (float(v) for v in ens.leaves[t])
+    num_feature = 0
+    for t in range(forest.n_trees):
+        nodes = forest.tree_nodes(t)
+        n = len(nodes["left_children"])
+        parents = [_INT_MAX] * n
+        for i, (l, r) in enumerate(
+            zip(nodes["left_children"], nodes["right_children"])
+        ):
+            if l != -1:
+                parents[l] = i
+                parents[r] = i
+                num_feature = max(num_feature, nodes["split_indices"][i] + 1)
         trees.append(
             {
                 "id": t,
-                "left_children": [1, 3, 5, -1, -1, -1, -1],
-                "right_children": [2, 4, 6, -1, -1, -1, -1],
-                "parents": [_INT_MAX, 0, 0, 1, 1, 2, 2],
-                "split_indices": [
-                    int(ens.feat_a[t]), int(ens.feat_b[t]), int(ens.feat_b[t]),
-                    0, 0, 0, 0,
-                ],
-                "split_conditions": [
-                    float(ens.thr_a[t]), float(ens.thr_b[t]), float(ens.thr_b[t]),
-                    l0, l1, l2, l3,
-                ],
-                "default_left": [1, 1, 1, 0, 0, 0, 0],
-                "split_type": [0] * 7,
-                "base_weights": [0.0] * 7,
-                "loss_changes": [0.0] * 7,
-                "sum_hessian": [0.0] * 7,
+                "left_children": nodes["left_children"],
+                "right_children": nodes["right_children"],
+                "parents": parents,
+                "split_indices": nodes["split_indices"],
+                "split_conditions": nodes["split_conditions"],
+                "default_left": nodes["default_left"],
+                "split_type": [0] * n,
+                "base_weights": [0.0] * n,
+                "loss_changes": [0.0] * n,
+                "sum_hessian": [0.0] * n,
                 "categories": [],
                 "categories_nodes": [],
                 "categories_segments": [],
                 "categories_sizes": [],
                 "tree_param": {
-                    "num_nodes": "7",
-                    "num_feature": str(
-                        int(max(ens.feat_a.max(), ens.feat_b.max())) + 1
-                        if n_trees
-                        else 0
-                    ),
+                    "num_nodes": str(n),
+                    "num_feature": str(num_feature),
                     "size_leaf_vector": "1",
                 },
             }
         )
-    n_class = ens.n_classes
+    n_class = forest.n_classes
     return {
         "version": [1, 7, 6],
         "learner": {
@@ -89,7 +89,7 @@ def ensemble_to_xgb_json(ens: TreeEnsemble) -> dict:
             "feature_names": [],
             "feature_types": [],
             "learner_model_param": {
-                "base_score": "0",
+                "base_score": repr(forest.base_score),
                 "boost_from_average": "1",
                 "num_class": str(n_class),
                 "num_feature": "26",
@@ -103,10 +103,10 @@ def ensemble_to_xgb_json(ens: TreeEnsemble) -> dict:
                 "name": "gbtree",
                 "model": {
                     "gbtree_model_param": {
-                        "num_trees": str(n_trees),
+                        "num_trees": str(forest.n_trees),
                         "num_parallel_tree": "1",
                     },
-                    "tree_info": [int(c) for c in ens.tree_class],
+                    "tree_info": [int(c) for c in forest.tree_class],
                     "trees": trees,
                 },
             },
@@ -114,102 +114,48 @@ def ensemble_to_xgb_json(ens: TreeEnsemble) -> dict:
     }
 
 
-def _emit_side(tree: dict, node: int, fa: int, ta: float, side: str, rows: list):
-    """Append TreeEnsemble rows for one child branch of a depth-2 root.
+def ensemble_to_xgb_json(ens: TreeEnsemble) -> dict:
+    """Serialize the depth-2 TreeEnsemble through the general schema."""
+    return forest_to_xgb_json(ens.to_forest())
 
-    ``side='L'`` fills leaves[0:2] (reached when the root test is true) and
-    zeroes leaves[2:4]; ``side='R'`` the reverse. A leaf child embeds as a
-    constant pair so the second-level test is irrelevant.
+
+def forest_from_xgb_json(doc: dict) -> FlatForest:
+    """Reconstruct a FlatForest from any xgboost JSON model document.
+
+    Arbitrary depth, arbitrary (including degenerate leaf-only) tree
+    shapes; node order is kept verbatim. Class-value vector: the engine's
+    EPVALS when the class count fits (the reference's 8-class EP chart,
+    play_eppa_cpu.py:136-149), else 0..C-1.
     """
-    lc, rc = tree["left_children"], tree["right_children"]
-    si, scond = tree["split_indices"], tree["split_conditions"]
-    if lc[node] == -1:  # leaf child: constant contribution on this side
-        v = float(scond[node])
-        pair = (v, v)
-    else:
-        ll, rr = lc[node], rc[node]
-        if lc[ll] != -1 or lc[rr] != -1:
-            raise NotImplementedError(
-                "xgb_json: tree deeper than 2 levels — the vectorized "
-                "TreeEnsemble kernel's depth-2 contract does not cover it"
-            )
-        pair = None
-    if pair is not None:
-        fb, tb = 0, np.inf  # X[:,0] < inf is always true; both leaves equal
-        l_yes, l_no = pair
-    else:
-        fb, tb = int(si[node]), float(scond[node])
-        l_yes, l_no = float(scond[lc[node]]), float(scond[rc[node]])
-    if side == "L":
-        rows.append((fa, ta, fb, tb, (l_yes, l_no, 0.0, 0.0)))
-    else:
-        rows.append((fa, ta, fb, tb, (0.0, 0.0, l_yes, l_no)))
-
-
-def ensemble_from_xgb_json(doc: dict) -> TreeEnsemble:
-    """Reconstruct a TreeEnsemble from an xgboost JSON model document."""
     learner = doc["learner"]
     model = learner["gradient_booster"]["model"]
-    n_class = int(learner["learner_model_param"]["num_class"]) or 1
-    tree_info = model["tree_info"]
-    rows: list = []  # (fa, ta, fb, tb, (l0, l1, l2, l3))
-    classes: list = []
-
-    for tree, cls in zip(model["trees"], tree_info):
-        lc, rc = tree["left_children"], tree["right_children"]
-        si, scond = tree["split_indices"], tree["split_conditions"]
-        before = len(rows)
-        if lc[0] == -1:  # root is a leaf: constant margin for the class
-            v = float(scond[0])
-            rows.append((0, np.inf, 0, np.inf, (v, v, v, v)))
-        else:
-            fa, ta = int(si[0]), float(scond[0])
-            left, right = lc[0], rc[0]
-            both_internal = lc[left] != -1 and lc[right] != -1
-            if (
-                both_internal
-                and si[left] == si[right]
-                and scond[left] == scond[right]
-                and lc[lc[left]] == -1 and lc[rc[left]] == -1
-                and lc[lc[right]] == -1 and lc[rc[right]] == -1
-            ):
-                # symmetric second level (our own artifacts): one row,
-                # byte-for-byte with the source ensemble
-                rows.append(
-                    (
-                        fa, ta, int(si[left]), float(scond[left]),
-                        (
-                            float(scond[lc[left]]), float(scond[rc[left]]),
-                            float(scond[lc[right]]), float(scond[rc[right]]),
-                        ),
-                    )
-                )
-            else:
-                _emit_side(tree, left, fa, ta, "L", rows)
-                _emit_side(tree, right, fa, ta, "R", rows)
-        classes.extend([int(cls)] * (len(rows) - before))
-
-    from bigdatabowl_spark.kernels.ensemble import EPVALS
-
-    epvals = EPVALS[:n_class].copy() if n_class <= len(EPVALS) else np.arange(
-        n_class, dtype=np.float64
+    lmp = learner.get("learner_model_param", {})
+    n_class = int(lmp.get("num_class", "1") or "1") or 1
+    base_score = float(lmp.get("base_score", "0") or "0")
+    epvals = (
+        EPVALS[:n_class].copy()
+        if n_class <= len(EPVALS)
+        else np.arange(n_class, dtype=np.float64)
     )
-    return TreeEnsemble(
-        feat_a=np.array([r[0] for r in rows], dtype=np.int64),
-        thr_a=np.array([r[1] for r in rows], dtype=np.float64),
-        feat_b=np.array([r[2] for r in rows], dtype=np.int64),
-        thr_b=np.array([r[3] for r in rows], dtype=np.float64),
-        leaves=np.array([r[4] for r in rows], dtype=np.float64),
-        tree_class=np.array(classes, dtype=np.int64),
-        epvals=epvals,
+    return FlatForest.from_node_arrays(
+        model["trees"], model["tree_info"], epvals, base_score=base_score
     )
 
 
-def save_xgb_json(ens: TreeEnsemble, path: str) -> None:
+# Kept name: pre-r6 callers loaded depth-2 models through this symbol.
+ensemble_from_xgb_json = forest_from_xgb_json
+
+
+def save_xgb_json(model: FlatForest | TreeEnsemble, path: str) -> None:
+    doc = (
+        forest_to_xgb_json(model)
+        if isinstance(model, FlatForest)
+        else ensemble_to_xgb_json(model)
+    )
     with open(path, "w") as f:
-        json.dump(ensemble_to_xgb_json(ens), f)
+        json.dump(doc, f)
 
 
-def load_xgb_json(path: str) -> TreeEnsemble:
+def load_xgb_json(path: str) -> FlatForest:
     with open(path) as f:
-        return ensemble_from_xgb_json(json.load(f))
+        return forest_from_xgb_json(json.load(f))

@@ -318,18 +318,30 @@ def q_m2_value_model_width(spark: SparkSession, sf_dir: str):
     (play_eppa_cpu.py:424-459). Same applyInPandas plan as
     eppa_pass_summary; only the value-model stage widens.
 
-    The ensemble rides the full S6 model-binary lifecycle: the spec is
-    persisted as a parquet artifact and reloaded from disk before inference
-    (mirroring the reference's version-pinned treelite/xgboost binaries,
-    play_eppa_cpu.py:80-87); parquet round-trips float64 bit-exactly, so
-    the reloaded model scores bit-identically to the in-memory spec. Loaded
-    once per process (the reference loads binaries at startup, not per
-    query); repeat builds reuse the reloaded model."""
-    from bigdatabowl_spark.sources.artifacts import roundtrip_ensemble
+    The model rides the full S6 model-binary lifecycle at the reference's
+    real artifact fidelity: a DEPTH-4 forest (deeper than any special-cased
+    path — the reference's value models train at xgboost's default depth,
+    Rishav's xyac.ipynb · cells 5-11) is emitted as an xgboost
+    ``save_model`` JSON document, reloaded through the generic any-depth
+    loader (kernels/xgb_json.py), persisted as parquet node relations, and
+    reloaded again before inference (mirroring the version-pinned
+    treelite/xgboost binary load, play_eppa_cpu.py:80-87). JSON repr and
+    parquet both round-trip float64 bit-exactly, so the reloaded model
+    scores bit-identically to the in-memory spec. Loaded once per process
+    (the reference loads binaries at startup, not per query)."""
+    import tempfile
+
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.kernels.xgb_json import load_xgb_json, save_xgb_json
+    from bigdatabowl_spark.sources.artifacts import roundtrip_forest
 
     global _ENSEMBLE_LOADED
     if _ENSEMBLE_LOADED is None:
-        _ENSEMBLE_LOADED = roundtrip_ensemble(spark)
+        with tempfile.TemporaryDirectory() as td:
+            json_path = os.path.join(td, "model.json")
+            save_xgb_json(FlatForest.default_deep(depth=4), json_path)
+            from_json = load_xgb_json(json_path)
+        _ENSEMBLE_LOADED = roundtrip_forest(spark, from_json)
     return materialize_kernel(
         eppa_pass_summary(
             tracking_from_events(spark, sf_dir), value_ensemble=_ENSEMBLE_LOADED

@@ -19,7 +19,7 @@ import os
 import numpy as np
 from pyspark.sql import SparkSession
 
-from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+from bigdatabowl_spark.kernels.ensemble import FlatForest, TreeEnsemble
 from bigdatabowl_spark.kernels.eppa import EppaPriors
 from bigdatabowl_spark.kernels.priors import (
     T_given_L_prior,
@@ -166,6 +166,130 @@ def roundtrip_ensemble(
     return load_ensemble(spark, out_dir)
 
 
+# --------------------------------------------------------------------------
+# Arbitrary-depth forest lifecycle (S6): xgboost-shape model → parquet →
+# reload. The node relation is one row per tree node in xgboost's local
+# layout (leaf children -1, leaf values in leaf_val), so a real model.json
+# of ANY depth persists losslessly — the r6 generalization of the depth-2
+# ensemble artifact above (reference: play_eppa_cpu.py:80-87 loads
+# default-depth xgboost, Rishav's xyac.ipynb · cells 5-11).
+# --------------------------------------------------------------------------
+
+DEFAULT_FOREST_DIR = os.path.join(_REPO_ROOT, "spark-warehouse", "artifacts", "forest")
+
+_NODE_SCHEMA = (
+    "tree_id int, node_id int, feat int, thr double, "
+    "lc int, rc int, default_left boolean, leaf_val double"
+)
+
+
+def save_forest(
+    spark: SparkSession,
+    forest: FlatForest | None = None,
+    out_dir: str = DEFAULT_FOREST_DIR,
+) -> dict[str, str]:
+    """Persist a FlatForest as parquet model artifacts (S6/S11; overwrite →
+    idempotent resume, the S12 property). float64 round-trips bit-exactly,
+    so the reloaded forest scores bit-identically."""
+    forest = forest if forest is not None else FlatForest.default_deep()
+    node_rows = []
+    for t in range(forest.n_trees):
+        nodes = forest.tree_nodes(t)
+        for i in range(len(nodes["left_children"])):
+            node_rows.append(
+                (
+                    t,
+                    i,
+                    int(nodes["split_indices"][i]),
+                    float(nodes["split_conditions"][i])
+                    if nodes["left_children"][i] != -1
+                    else 0.0,
+                    int(nodes["left_children"][i]),
+                    int(nodes["right_children"][i]),
+                    bool(nodes["default_left"][i]),
+                    float(nodes["split_conditions"][i])
+                    if nodes["left_children"][i] == -1
+                    else 0.0,
+                )
+            )
+    tree_rows = [(t, int(c)) for t, c in enumerate(forest.tree_class)]
+    ep_rows = [(c, float(v)) for c, v in enumerate(forest.epvals)]
+    meta_rows = [("base_score", float(forest.base_score))]
+    paths = {
+        "nodes": os.path.join(out_dir, "nodes"),
+        "trees": os.path.join(out_dir, "trees"),
+        "epvals": os.path.join(out_dir, "epvals"),
+        "meta": os.path.join(out_dir, "meta"),
+    }
+    # coalesce(1): a few-hundred-row artifact is one file, one read task
+    spark.createDataFrame(node_rows, _NODE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(paths["nodes"])
+    spark.createDataFrame(tree_rows, "tree_id int, tree_class int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(paths["trees"])
+    spark.createDataFrame(ep_rows, "class_id int, epval double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(paths["epvals"])
+    spark.createDataFrame(meta_rows, "key string, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(paths["meta"])
+    return paths
+
+
+def load_forest(spark: SparkSession, out_dir: str = DEFAULT_FOREST_DIR) -> FlatForest:
+    """Reload parquet model artifacts into a FlatForest (S6: binary → model).
+
+    Row order is restored from the explicit tree_id/node_id columns, so the
+    rebuild is deterministic regardless of file/task read order."""
+    node_rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "nodes")).collect(),
+        key=lambda r: (r["tree_id"], r["node_id"]),
+    )
+    tree_rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "trees")).collect(),
+        key=lambda r: r["tree_id"],
+    )
+    ep_rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "epvals")).collect(),
+        key=lambda r: r["class_id"],
+    )
+    meta = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(os.path.join(out_dir, "meta")).collect()
+    }
+    trees = []
+    for t in range(len(tree_rows)):
+        rows = [r for r in node_rows if r["tree_id"] == t]
+        trees.append(
+            {
+                "left_children": [r["lc"] for r in rows],
+                "right_children": [r["rc"] for r in rows],
+                "split_indices": [r["feat"] for r in rows],
+                "split_conditions": [
+                    r["leaf_val"] if r["lc"] == -1 else r["thr"] for r in rows
+                ],
+                "default_left": [int(r["default_left"]) for r in rows],
+            }
+        )
+    return FlatForest.from_node_arrays(
+        trees,
+        [r["tree_class"] for r in tree_rows],
+        np.array([r["epval"] for r in ep_rows], dtype=np.float64),
+        base_score=float(meta.get("base_score", 0.0)),
+    )
+
+
+def roundtrip_forest(
+    spark: SparkSession,
+    forest: FlatForest | None = None,
+    out_dir: str = DEFAULT_FOREST_DIR,
+) -> FlatForest:
+    """Full save→reload cycle returning the reloaded forest."""
+    save_forest(spark, forest, out_dir)
+    return load_forest(spark, out_dir)
+
+
 # The relational twin (m1_tree_ensemble_score) compiles its spec to SQL; its
 # artifact is the same 16-row tree table with feature *indices* into the
 # query's static feature-expression list. The loaded rows regenerate the CASE
@@ -240,6 +364,10 @@ __all__ = [
     "save_ensemble",
     "load_ensemble",
     "roundtrip_ensemble",
+    "DEFAULT_FOREST_DIR",
+    "save_forest",
+    "load_forest",
+    "roundtrip_forest",
     "save_relational_spec",
     "load_relational_spec",
     "roundtrip_relational_spec",

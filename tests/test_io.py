@@ -135,6 +135,33 @@ def test_ensemble_artifact_roundtrip(spark, tmp):
     assert np.array_equal(again.leaves, ref.leaves)
 
 
+def test_forest_artifact_roundtrip(spark, tmp):
+    """S6 r6: the ARBITRARY-depth forest model binary (xgboost-JSON node
+    relations as parquet) reloads with identical arrays and scores a batch
+    bit-identically — the depth-4 generalization of the depth-2 artifact."""
+    import numpy as np
+
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.sources.artifacts import load_forest, save_forest
+
+    d = f"{tmp}/forest"
+    ref = FlatForest.default_deep(depth=4)
+    save_forest(spark, ref, d)
+    got = load_forest(spark, d)
+    for field in (
+        "feat", "thr", "left", "right", "default_left", "leaf_val",
+        "offsets", "depth", "tree_class", "epvals",
+    ):
+        assert np.array_equal(getattr(got, field), getattr(ref, field)), field
+    assert got.base_score == ref.base_score
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(257, 26))
+    assert np.array_equal(got.expectation(X), ref.expectation(X))
+    save_forest(spark, ref, d)  # resume: overwrite converges (S12)
+    again = load_forest(spark, d)
+    assert np.array_equal(again.leaf_val, ref.leaf_val)
+
+
 def test_relational_spec_artifact_regenerates_identical_sql(spark, tmp):
     """S6 for the relational twin: the m1 spec rows round-trip through
     parquet and regenerate a CASE cascade string-identical to the static

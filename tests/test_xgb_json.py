@@ -1,36 +1,63 @@
-"""Model-artifact pluggability: TreeEnsemble <-> xgboost JSON (VERDICT r4
-item 5). The reference loads version-pinned xgboost/treelite binaries
-(play_eppa_cpu.py:80-87); these tests prove a real xgboost JSON artifact
+"""Model-artifact pluggability: FlatForest <-> xgboost JSON (VERDICT r5
+item 1). The reference loads version-pinned xgboost/treelite binaries
+(play_eppa_cpu.py:80-87) trained at default depth (Rishav's xyac.ipynb ·
+cells 5-11); these tests prove a real xgboost JSON artifact of ANY depth
 drops into the kernel's scorer without touching kernel code."""
 
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
-from bigdatabowl_spark.kernels.ensemble import TreeEnsemble
+from bigdatabowl_spark.kernels.ensemble import FlatForest, TreeEnsemble
 from bigdatabowl_spark.kernels.xgb_json import (
-    ensemble_from_xgb_json,
     ensemble_to_xgb_json,
+    forest_from_xgb_json,
+    forest_to_xgb_json,
     load_xgb_json,
     save_xgb_json,
 )
 
+_FOREST_FIELDS = (
+    "feat", "thr", "left", "right", "default_left", "leaf_val",
+    "offsets", "depth", "tree_class", "epvals",
+)
 
-def test_roundtrip_byte_for_byte(tmp_path):
-    """Our own artifact emitted in xgboost's schema reconstructs with
-    identical field arrays — same trees, same thresholds, same leaves."""
+
+def _assert_forests_identical(a: FlatForest, b: FlatForest):
+    for f in _FOREST_FIELDS:
+        x, y = getattr(a, f), getattr(b, f)
+        assert x.dtype == y.dtype and x.shape == y.shape, f
+        assert (x == y).all(), f
+    assert a.base_score == b.base_score
+
+
+def test_depth2_roundtrip_byte_for_byte(tmp_path):
+    """The legacy depth-2 artifact emitted in xgboost's schema reconstructs
+    with identical node arrays and scores bit-identically."""
     ens = TreeEnsemble.default()
     path = str(tmp_path / "model.json")
     save_xgb_json(ens, path)
     back = load_xgb_json(path)
-    for f in ("feat_a", "thr_a", "feat_b", "thr_b", "leaves", "tree_class"):
-        a, b = getattr(ens, f), getattr(back, f)
-        assert a.dtype == b.dtype and a.shape == b.shape, f
-        assert (a == b).all(), f
+    _assert_forests_identical(ens.to_forest(), back)
     rng = np.random.default_rng(7)
     X = rng.standard_normal((500, 26))
+    assert (ens.margins(X) == back.margins(X)).all()
     assert (ens.expectation(X) == back.expectation(X)).all()
+
+
+def test_depth4_roundtrip_byte_for_byte(tmp_path):
+    """A depth-4 forest — deeper than any hand path — survives
+    save_model-JSON round trip with every array identical (VERDICT r5 #1
+    'done' criterion)."""
+    forest = FlatForest.default_deep(depth=4)
+    assert int(forest.depth.max()) == 4
+    path = str(tmp_path / "deep.json")
+    save_xgb_json(forest, path)
+    back = load_xgb_json(path)
+    _assert_forests_identical(forest, back)
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((400, 26))
+    assert (forest.expectation(X) == back.expectation(X)).all()
 
 
 def _leaf(v):
@@ -95,54 +122,98 @@ def _asymmetric_model() -> dict:
 
 
 def _traverse(tree: dict, x: np.ndarray) -> float:
-    """Reference single-row traversal of an xgboost JSON tree."""
+    """Reference single-row traversal of an xgboost JSON tree (NaN routes
+    per default_left, like xgboost's missing-value handling)."""
     i = 0
     while tree["left_children"][i] != -1:
         f, t = tree["split_indices"][i], tree["split_conditions"][i]
-        i = tree["left_children"][i] if x[f] < t else tree["right_children"][i]
+        if np.isnan(x[f]):
+            go_left = bool(tree["default_left"][i])
+        else:
+            go_left = x[f] < t
+        i = tree["left_children"][i] if go_left else tree["right_children"][i]
     return tree["split_conditions"][i]
+
+
+def _margins_by_traversal(doc: dict, X: np.ndarray) -> np.ndarray:
+    trees = doc["learner"]["gradient_booster"]["model"]["trees"]
+    info = doc["learner"]["gradient_booster"]["model"]["tree_info"]
+    n_class = int(doc["learner"]["learner_model_param"]["num_class"])
+    base = float(doc["learner"].get("learner_model_param", {}).get("base_score", 0))
+    want = np.full((len(X), n_class), base)
+    for i in range(len(X)):
+        for tree, cls in zip(trees, info):
+            want[i, cls] += _traverse(tree, X[i])
+    return want
 
 
 def test_asymmetric_model_scores_like_direct_traversal():
     doc = _asymmetric_model()
-    ens = ensemble_from_xgb_json(doc)
+    forest = forest_from_xgb_json(doc)
     rng = np.random.default_rng(11)
     X = rng.standard_normal((200, 26))
-    got = ens.margins(X)
-    trees = doc["learner"]["gradient_booster"]["model"]["trees"]
-    info = doc["learner"]["gradient_booster"]["model"]["tree_info"]
-    want = np.zeros((200, 2))
-    for i in range(200):
-        for tree, cls in zip(trees, info):
-            want[i, cls] += _traverse(tree, X[i])
+    got = forest.margins(X)
+    want = _margins_by_traversal(doc, X)
     assert got.shape == want.shape
-    assert (got == want).all()  # bit-exact: zero-add decomposition is IEEE-safe
+    assert (got == want).all()  # bit-exact: same adds in the same order
 
 
-def test_depth_three_raises():
+def test_deeper_trees_score_like_direct_traversal():
+    """Depth-3 graft (the case the pre-r6 loader REJECTED) plus unbalanced
+    branches now score bit-identically to traversal."""
     doc = _asymmetric_model()
-    # graft a third level under node 3 of the first tree
     t = doc["learner"]["gradient_booster"]["model"]["trees"][0]
+    # graft a third level under node 3 of the first tree
     t["left_children"] = [1, 3, 5, 7, -1, -1, -1, -1, -1]
     t["right_children"] = [2, 4, 6, 8, -1, -1, -1, -1, -1]
-    t["split_indices"] += [0, 0]
-    t["split_conditions"] += [0.0, 0.0]
-    with pytest.raises(NotImplementedError, match="depth-2"):
-        ensemble_from_xgb_json(doc)
+    t["parents"] = [2147483647, 0, 0, 1, 1, 2, 2, 3, 3]
+    t["split_indices"] = [3, 5, 9, 12, 0, 0, 0, 0, 0]
+    t["split_conditions"] = [0.1, -0.2, 0.4, 0.7, -0.07, 0.23, -0.19, 0.31, -0.44]
+    t["default_left"] = [1, 0, 1, 0, 0, 0, 0, 0, 0]
+    forest = forest_from_xgb_json(doc)
+    assert int(forest.depth.max()) == 3
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((300, 26))
+    assert (forest.margins(X) == _margins_by_traversal(doc, X)).all()
+    # and the emitted schema is self-consistent: save -> load is identical
+    _assert_forests_identical(forest, forest_from_xgb_json(forest_to_xgb_json(forest)))
+
+
+def test_nan_routes_per_default_left():
+    """Missing features route per node default_left, not through < thr
+    (ADVICE r5: NaN would otherwise always go right)."""
+    doc = _asymmetric_model()
+    forest = forest_from_xgb_json(doc)
+    rng = np.random.default_rng(23)
+    X = rng.standard_normal((120, 26))
+    X[X < -0.8] = np.nan  # scatter NaNs over split features
+    assert np.isnan(X).any()
+    assert (forest.margins(X) == _margins_by_traversal(doc, X)).all()
+
+
+def test_base_score_is_margin_offset():
+    """learner base_score shifts every class margin (softprob-invariant)
+    — ADVICE r5: previously ignored."""
+    doc = _asymmetric_model()
+    doc["learner"]["learner_model_param"]["base_score"] = "0.5"
+    forest = forest_from_xgb_json(doc)
+    assert forest.base_score == 0.5
+    rng = np.random.default_rng(29)
+    X = rng.standard_normal((50, 26))
+    assert (forest.margins(X) == _margins_by_traversal(doc, X)).all()
+    doc["learner"]["learner_model_param"]["base_score"] = "0"
+    flat = forest_from_xgb_json(doc)
+    assert np.allclose(forest.margins(X), flat.margins(X) + 0.5)
+    assert (forest.softprob(X) == flat.softprob(X)).all() or np.allclose(
+        forest.softprob(X), flat.softprob(X)
+    )
 
 
 def test_roundtrip_through_emitted_schema_matches_traversal():
-    """to_json -> from_json of the default ensemble also agrees with direct
-    traversal of the EMITTED document (schema is self-consistent, not just
-    invertible)."""
+    """to_json -> traversal of the EMITTED document agrees with the source
+    depth-2 ensemble (schema is self-consistent, not just invertible)."""
     ens = TreeEnsemble.default()
     doc = ensemble_to_xgb_json(ens)
     rng = np.random.default_rng(3)
     X = rng.standard_normal((100, 26))
-    trees = doc["learner"]["gradient_booster"]["model"]["trees"]
-    info = doc["learner"]["gradient_booster"]["model"]["tree_info"]
-    want = np.zeros((100, ens.n_classes))
-    for i in range(100):
-        for tree, cls in zip(trees, info):
-            want[i, cls] += _traverse(tree, X[i])
-    assert (ens.margins(X) == want).all()
+    assert (ens.margins(X) == _margins_by_traversal(doc, X)).all()
