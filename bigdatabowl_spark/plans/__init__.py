@@ -14,4 +14,5 @@ from bigdatabowl_spark.plans import etl_queries  # noqa: F401,E402
 from bigdatabowl_spark.plans import corpus  # noqa: F401,E402
 from bigdatabowl_spark.plans import round4  # noqa: F401,E402
 from bigdatabowl_spark.plans import round5  # noqa: F401,E402
+from bigdatabowl_spark.plans import round6  # noqa: F401,E402
 from bigdatabowl_spark.streaming import events as _streaming_events  # noqa: F401,E402

@@ -1,0 +1,158 @@
+"""Round-6 queries: the M4 transition-prior surface as an oracle relation.
+
+VERDICT r5 item 2: the historical (F,T) transition prior
+(play_eppa_cpu.py:301-334) was certified only indirectly — inside the EPPA
+kernel (kernels/eppa.py:303-316) and by unit tests. `m4_prior_surface`
+exposes the full mask → scale → renormalize chain as an exploded
+(flat, T, hq, p_ppm) relation whose DuckDB twin recomputes it from the SAME
+staged prior parquet, closing the last unit-test-only reference component
+with a direct cross-engine hash.
+
+Cross-engine determinism: both engines read identical float64 prior bytes;
+the per-cell product `P(T|L) · p(t)` is one IEEE multiply, the quantization
+`floor(h·1e15)` one multiply + floor — bit-identical. The renormalization
+is integer: parts-per-million via BIGINT floor division against the exact
+integer total, so the order-sensitive double sum never crosses engines.
+`floor(L + 0.5)` stands in for the kernel's np.rint: with the ball at a
+cell center the cell offsets are integers, L = sqrt(integer) is never an
+exact .5 tie, so half-to-even and half-up agree everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatabowl_spark.plans.catalog import register
+from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT, _SF_MARKER
+
+# Fixed surface configuration: ball at a cell center (integer offsets →
+# no rounding ties), throw frame 15 of the p(t) table — mid-dropback, the
+# regime the reference plots (historical-L-T.ipynb · cell 7).
+_BALL_X = 30.5
+_BALL_Y = 26.5
+_FRAME_TO_PASS = 15
+
+_PRIOR_STAGE = os.path.join(KERNEL_OUT, "m4_priors")
+
+
+def _stage_priors(spark: SparkSession, sf_dir: str) -> str:
+    """Write the fitted prior tables under KERNEL_OUT so the DuckDB twin
+    reads byte-identical float64 (the S11 artifact pattern; priors are
+    sf-independent but the marker keeps harness staging semantics)."""
+    from bigdatabowl_spark.kernels.priors import (
+        T_given_L_prior,
+        p_t_prior,
+        priors_to_tables,
+    )
+
+    marker = os.path.join(_PRIOR_STAGE, _SF_MARKER)
+    try:
+        with open(marker) as f:
+            if f.read().strip() == sf_dir.rstrip("/"):
+                return _PRIOR_STAGE
+    except OSError:
+        pass
+    p_t_df, t_l_df = priors_to_tables(spark, p_t_prior(), T_given_L_prior())
+    p_t_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_PRIOR_STAGE, "p_t")
+    )
+    t_l_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_PRIOR_STAGE, "T_given_L")
+    )
+    with open(marker, "w") as f:
+        f.write(sf_dir.rstrip("/"))
+    return _PRIOR_STAGE
+
+
+@register(
+    "m4_prior_surface",
+    "M4,F13,F14,J9,A6,W5",
+    f"""
+    WITH grid AS (
+        SELECT CAST(y * 120 + x AS BIGINT) AS flat,
+               sqrt((0.5 + CAST(x AS DOUBLE) - {_BALL_X}) * (0.5 + CAST(x AS DOUBLE) - {_BALL_X})
+                    + (0.5 + CAST(y AS DOUBLE) - {_BALL_Y}) * (0.5 + CAST(y AS DOUBLE) - {_BALL_Y})) AS L
+        FROM (SELECT unnest(generate_series(0, 119)) AS x)
+        CROSS JOIN (SELECT unnest(generate_series(0, 54)) AS y)
+    ), binned AS (
+        SELECT flat,
+               CAST(LEAST(GREATEST(floor(L + 0.5), 1), 60) AS INT) AS dist,
+               (L > 1.0 AND L <= 60.0) AS in_range
+        FROM grid
+    ), h AS (
+        SELECT b.flat, CAST(tl.T AS BIGINT) AS T,
+               CAST(floor(CASE WHEN b.in_range THEN tl.p * pt.p ELSE 0.0 END * 1e15)
+                    AS BIGINT) AS hq
+        FROM binned b
+        JOIN read_parquet('{_PRIOR_STAGE}/T_given_L/*.parquet') tl ON tl.dist = b.dist
+        CROSS JOIN (SELECT p FROM read_parquet('{_PRIOR_STAGE}/p_t/*.parquet')
+                    WHERE frame_to_pass = {_FRAME_TO_PASS}) pt
+    )
+    SELECT flat, T, hq,
+           hq * 1000000 // CAST(SUM(hq) OVER () AS BIGINT) AS p_ppm
+    FROM h
+    """,
+)
+def m4_prior_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical transition-prior surface (M4, play_eppa_cpu.py:301-334):
+    per hypothetical pass (cell, time-of-flight), the renormalized prior
+    P(T|L(cell)) · p(t) masked to throwable range (1 < L <= 60), exploded
+    to (flat, T) rows with parts-per-million integer mass.
+
+    Spark-first shape: the 6,600-cell grid is sequence+explode, the 2,400-row
+    P(T|L) table and the single p(t) row are broadcast joins, and the exact
+    integer total rides a 1-row broadcast crossJoin — map-only end to end,
+    no shuffle at any scale (the kernel's per-frame np.take gather,
+    kernels/eppa.py:303-316, re-expressed relationally)."""
+    stage = _stage_priors(spark, sf_dir)
+    xs = spark.range(1).select(F.explode(F.sequence(F.lit(0), F.lit(119))).alias("x"))
+    ys = spark.range(1).select(F.explode(F.sequence(F.lit(0), F.lit(54))).alias("y"))
+    L = F.sqrt(
+        (0.5 + F.col("x").cast("double") - _BALL_X)
+        * (0.5 + F.col("x").cast("double") - _BALL_X)
+        + (0.5 + F.col("y").cast("double") - _BALL_Y)
+        * (0.5 + F.col("y").cast("double") - _BALL_Y)
+    )
+    grid = xs.crossJoin(F.broadcast(ys)).select(
+        (F.col("y") * 120 + F.col("x")).cast("bigint").alias("flat"), L.alias("L")
+    )
+    binned = grid.select(
+        "flat",
+        F.least(F.greatest(F.floor(F.col("L") + 0.5), F.lit(1)), F.lit(60))
+        .cast("int")
+        .alias("dist"),
+        ((F.col("L") > 1.0) & (F.col("L") <= 60.0)).alias("in_range"),
+    )
+    t_l = spark.read.parquet(os.path.join(stage, "T_given_L")).select(
+        "dist", F.col("T").cast("bigint").alias("T"), F.col("p").alias("tl_p")
+    )
+    p_t = (
+        spark.read.parquet(os.path.join(stage, "p_t"))
+        .filter(F.col("frame_to_pass") == _FRAME_TO_PASS)
+        .select(F.col("p").alias("pt_p"))
+    )
+    h = (
+        binned.join(F.broadcast(t_l), "dist")
+        .crossJoin(F.broadcast(p_t))
+        .select(
+            "flat",
+            "T",
+            F.floor(
+                F.when(F.col("in_range"), F.col("tl_p") * F.col("pt_p"))
+                .otherwise(F.lit(0.0))
+                * 1e15
+            )
+            .cast("bigint")
+            .alias("hq"),
+        )
+    )
+    total = h.agg(F.sum("hq").cast("bigint").alias("total"))
+    return h.crossJoin(F.broadcast(total)).select(
+        "flat",
+        "T",
+        "hq",
+        F.expr("hq * 1000000 div total").alias("p_ppm"),
+    )

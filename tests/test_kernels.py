@@ -265,3 +265,41 @@ def test_frame_surfaces_full_width_value_model():
         EppaPriors.default(),
     )
     assert not np.array_equal(s["eppa_ft"], s0["eppa_ft"])
+
+
+# ----------------------------------------------- M4 prior surface parity
+
+
+def test_m4_prior_surface_matches_kernel_formula(spark):
+    """The oracle-checked m4_prior_surface relation reproduces the kernel's
+    in-frame transition prior (kernels/eppa.py:303-316 — np.take gather,
+    mask, renormalize; play_eppa_cpu.py:301-334) at its config to ppm
+    resolution, so the driver's hash verdict certifies the SAME math the
+    EPPA kernel runs."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.kernels.params import field_grid
+    from bigdatabowl_spark.kernels.priors import T_given_L_prior, p_t_prior
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from bigdatabowl_spark.plans.round6 import _BALL_X, _BALL_Y, _FRAME_TO_PASS
+
+    # kernel-side formula at the query's fixed config
+    grid = field_grid()
+    ball = np.array([_BALL_X, _BALL_Y])
+    L = np.sqrt(((grid - ball[None, :]) ** 2).sum(-1))
+    Lbin = np.clip(np.rint(L).astype(np.int64), 1, 60) - 1
+    mask = (L > 1.0) & (L <= 60.0)
+    h = T_given_L_prior()[Lbin] * p_t_prior()[_FRAME_TO_PASS - 1]
+    h *= mask[:, None]
+    trans_prior = h / h.sum()
+
+    rows = CATALOG["m4_prior_surface"].builder(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 6600 * 40
+    got = np.zeros((6600, 40))
+    for r in rows:
+        got[r["flat"], r["T"] - 1] = r["p_ppm"] / 1e6
+    # floor-quantized ppm: each cell within 1 ppm below the true mass
+    assert np.all(got <= trans_prior + 1e-12)
+    assert np.all(trans_prior - got <= 2e-6)
+    # total mass: floor quantization only loses, at most 1 ppm per cell
+    assert got.sum() <= 1.0 + 1e-12
+    assert 1.0 - got.sum() <= 264000 * 1e-6
