@@ -206,7 +206,9 @@ def play_player_tensors(norm: DataFrame) -> DataFrame:
     def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
         game, play = int(pdf["gameId"].iloc[0]), int(pdf["playId"].iloc[0])
         ball = pdf[pdf["nflId"] == 0]
-        throw = ball[ball["event"] == "pass_forward"]
+        # sort like `arrive` below: with multiple pass_forward events the
+        # first THROW frame must not depend on Arrow row order (ADVICE r5)
+        throw = ball[ball["event"] == "pass_forward"].sort_values("frameId")
         arrive = ball[ball["event"].isin(
             ["pass_arrived", "pass_outcome_caught", "pass_outcome_incomplete"]
         )].sort_values("frameId")

@@ -382,6 +382,7 @@ def a7c_sketch_certify(spark: SparkSession, sf_dir: str):
            (loglik_mle >= loglik_mom - 0.000001 * abs(loglik_mom)) AS mle_dominates,
            CAST(invariant_violations AS BIGINT) AS viol
     FROM {_kparquet('a20b_gamma_mle_fit')}
+    WHERE NOT isnan(shape_mle)
     """,
 )
 def a20b_mle_readside(spark: SparkSession, sf_dir: str):
@@ -390,9 +391,12 @@ def a20b_mle_readside(spark: SparkSession, sf_dir: str):
     (loglik_mle >= loglik_mom — the estimator's defining property,
     historical-L-T.ipynb · cell 12's fit table) over the staged fit
     table. Both engines evaluate the certificate on identical float64
-    bytes, so the boolean is deterministic."""
+    bytes, so the boolean is deterministic. Degenerate groups (fewer than
+    2 positive samples fit to NaN, kernels/priors.py:73) are filtered in
+    BOTH engines — DuckDB would otherwise error on CAST(NaN AS BIGINT)
+    where Spark yields null (ADVICE r5)."""
     s = _kread(spark, sf_dir, "a20b_gamma_mle_fit")
-    return s.select(
+    return s.filter(~F.isnan("shape_mle")).select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         _q("shape_mle").alias("q_shape_mle"),
@@ -482,8 +486,12 @@ def stream_eppa_kernel(spark: SparkSession, sf_dir: str):
     This is the reference's offline per-play loop (play_eppa_cpu.py:
     621-670, one pickle dir per play) as a live ingestion path: plays
     stream in as the tracking system emits them, each is scored once, and
-    the summary table grows incrementally (ST8 foreachBatch idempotent
-    append + checkpoint).
+    the summary table grows incrementally. The foreachBatch sink is
+    EXACTLY-ONCE under replay: each micro-batch overwrites its own
+    deterministic `batch=<id>` directory, so a batch retried after a crash
+    between sink write and offset commit replaces its previous attempt
+    instead of duplicating rows (ST8; ADVICE r5 — a plain append here is
+    only at-least-once).
 
     Scale: the kernel is per-play (applyInPandas groups), so micro-batch
     composition cannot change numerics; state is only the file-source
@@ -499,8 +507,11 @@ def stream_eppa_kernel(spark: SparkSession, sf_dir: str):
     # batch truth for the oracle (sf-marker-checked, restages on mismatch)
     ensure_kernel_staged(spark, sf_dir, ("eppa_pass_summary",))
 
+    # staging rides KERNEL_OUT (SPARK_GRAFT_KERNEL_OUT-overridable), so the
+    # documented multi-session isolation covers this query too (ADVICE r5 —
+    # a fixed /tmp path let concurrent sessions rmtree each other mid-run)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    root = f"/tmp/bigdatabowl_io/{tag}/stream_eppa"
+    root = os.path.join(KERNEL_OUT, "stream_eppa", tag)
     track_dir, out_dir, ckpt = f"{root}/tracking", f"{root}/out", f"{root}/_ckpt"
     for d in (track_dir, out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
@@ -522,7 +533,11 @@ def stream_eppa_kernel(spark: SparkSession, sf_dir: str):
     )
 
     def score_batch(batch_df, batch_id: int) -> None:
-        eppa_pass_summary(batch_df).write.mode("append").parquet(out_dir)
+        # deterministic per-batch path + overwrite = idempotent replay:
+        # a crash-retried batch replaces its own output, never duplicates
+        eppa_pass_summary(batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(score_batch)
