@@ -26,59 +26,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-5 driver-run ordering. The driver caps each round at 50 queries, so
-# emit first the queries with no driver verdict in any round (VERDICT r4
-# item 1), then the kernel chains paired with their new oracle-checked
-# *_readside twins (VERDICT r4 item 2 — each kernel query materializes its
-# output table, the readside that FOLLOWS it aggregates that same parquet in
-# both engines, so the kernel entry must stay immediately before its
-# readside), then insurance re-runs of every query whose implementation
-# changed this round. Entries past position 50 are the documented queue
-# (all driver-green in r1/r2/r4 and in-repo-oracle green at sf0.001/0.01).
+# Round-6 driver-run ordering. The driver caps each round at 50 queries, so
+# emit first (a) the one never-driver-run query (the new m4_prior_surface),
+# then (b) every implementation-touched chain this round — the three eppa
+# tables now come from one shared staged kernel pass, m2 scores a depth-4
+# forest, a20b gained a NaN guard, m5's throw frame is now sorted — each
+# kernel entry immediately before its oracle-checked *_readside twin (the
+# kernel's builder stages the parquet the readside's oracle reads), then
+# (c) re-verification of the r1-green queries whose last driver run was
+# round 1 (VERDICT r5 item 6 — shared helpers refactored since). Entries
+# past position 50 are the documented queue (driver-green r2+ and
+# in-repo-oracle green at sf0.001/0.01).
 _RUN_FIRST = (
-    # (a) the 22 queries with no driver verdict in r1/r2/r4
-    "quality_percentile_filter", "m10_quality_logit",
-    "mixture_sample", "token_topk", "bpe_pair_counts",
-    "chunk_documents", "text_repetition", "f_json_props",
-    "p11_masked_update", "p15_existence_guard", "j6_rejoin_computed",
-    "j11_selfjoin_compare", "j14_label_join", "a27_axis_reduce",
-    "o4_deterministic_order", "f13_flat_index", "f14_meshgrid",
-    "f15_xor_flags", "f17_dot_projection",
-    "analytics_player_rankings", "rankings_readside",
-    "analytics_throw_calibration", "calibration_readside",
-    "a20b_gamma_mle_fit", "a20b_mle_readside",
-    # (b) kernel chains, each immediately followed by its oracle-checked
-    #     read side (the kernel's builder stages the parquet the readside's
-    #     oracle reads)
+    # (a) never driver-run
+    "m4_prior_surface",
+    # (b) implementation-touched kernel chains (kernel before readside)
     "eppa_field_surface", "eppa_surface_readside",
     "eppa_pass_summary", "eppa_pass_readside", "stream_eppa_kernel",
     "eppa_player_stats", "eppa_player_readside",
     "m2_value_model_width", "m2_width_readside",
-    "m6_optimize_defense", "m6_defense_readside",
+    "analytics_player_rankings", "rankings_readside",
+    "analytics_throw_calibration", "calibration_readside",
+    "a20b_gamma_mle_fit", "a20b_mle_readside",
+    "m5_tuning_dataset",
     "s4_prior_artifact_lifecycle", "s4_lifecycle_readside",
-    "a7b_approx_sketches", "a7c_sketch_certify",
-    # (c) new / implementation-touched this round
-    "corpus_pipeline", "pagerank_bucketed",
-    "tfidf_topterms", "stream_interval_join", "table_diff",
-    "s16_npy_datasource", "s17_npy_writer_roundtrip",
-    "stream_npy_artifacts",
-    "skew_salted_join", "pagerank_fixed",
+    "m6_optimize_defense", "m6_defense_readside",
+    # (c) r1-green queries with no driver run since round 1
+    "a10_quantiles", "a12_two_level_agg", "a16_corr_moments",
+    "a19_calibration", "a1_pricing_summary", "dedup_apply",
+    "dedup_clusters", "dedup_embed_cosine", "dedup_exact",
+    "embed_ivf_knn", "embed_knn_brute", "embed_lsh_buckets",
+    "f12_time_parts", "f_strings_keys", "j1_broadcast_enrich",
+    "j3_region_rollup", "j4_derived_scalar", "j5_derived_key_join",
+    "minhash_lsh_pairs", "multimodal_decode", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "ngram_jaccard_pairs",
+    "o2_global_topn", "simhash_docs", "text_langid", "text_quality",
+    "text_tokens_fingerprint",
     # ---- 50-query cap lands here; below is the documented queue ----
-    "mixture_temperature",
-    "repeated_ngram_spans", "kmv_distinct_sketch", "bloom_semi_prune",
-    "scd2_history", "psi_drift", "markov_transitions",
-    "simhash_hamming_pairs", "zonemap_prune_stats", "oov_rate",
-    "dup_span_coverage", "sessionize_batch", "blocking_pairs",
-    "mad_robust_stats", "time_range_rolling", "time_weighted_avg",
-    "triangle_count", "prefix_filter_jaccard",
-    "cohort_retention", "stream_foreach_merge", "pq_codes",
-    "semantic_dedup", "dq_checks", "cms_heavyhitters",
-    "pack_sequences", "pii_redact", "url_host_agg", "stream_static_enrich",
-    "rollup_hierarchy", "unpivot_features", "ntile_stratify",
-    "resample_interpolate", "o7_global_rank", "funnel_steps",
-    "dedup_incremental", "containment_pairs", "skew_salted_agg",
-    "stream_dedup", "s14_upsert_merge", "s15_rollup_reuse",
-    "o6_zorder_layout", "w8_zscore_anomaly",
+    # r1 remainder, then the r2-green tier (oldest first), then r4/r5 greens
+    "u4_semi_anti", "u5_except_intersect", "w4_topk_per_group",
+    "a15_event_sets", "a17_autocorr", "a18_histogram_2d",
+    "a20_gamma_moments_fit", "a21_adaptive_window_fit",
+    "a22_histogram_smooth", "a23_group_product", "a24_masked_pivot",
+    "a25_cumulative", "a26_argmax_per_group", "a28_weighted_expectation",
+    "a7_distinct_counts", "a8_relative_freq", "decontaminate_ngram",
+    "etl_normalize_tracking", "f_kinematics", "j10_prior_weighted_rank",
+    "j13_range_join", "j15_asof_join", "j16_full_outer", "j7_event_span",
+    "kmeans_lloyd", "m1_tree_ensemble_score", "m7_grouped_matrix",
+    "o5_deterministic_shuffle", "p1_conjunctive_lookup", "p5_null_handling",
+    "p9_conditional_tiers", "s10_partitioned_resume", "s13_error_channel",
+    "s1_csv_roundtrip", "s3_multi_scan_union", "split_assign",
+    "stream_session_windows", "stream_sliding_counts",
+    "stream_stateful_totals", "stream_tumbling_counts", "w1_lag_gaps",
+    "w2_first_event_offset", "w3_rolling_mean", "w5_share_of_total",
+    "a7b_approx_sketches", "a7c_sketch_certify",
+    "corpus_pipeline", "pagerank_bucketed", "pagerank_fixed",
 )
 
 

@@ -214,6 +214,59 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
     return round(salted_sec, 3), round(unsalted_sec, 3)
 
 
+def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
+    """Superstep scaling for the no-broadcast pagerank plan on a synthetic
+    ~10M-edge graph (VERDICT r5 item 7 — the sf fixture's co-purchase graph
+    never stresses the rank join, so the broadcast-free posture was gated
+    but unmeasured at size).
+
+    Graph: directed edges (id % N, hash-mixed id % N) from spark.range —
+    generated distributed, nothing driver-side. Same superstep shape as
+    pagerank_bucketed (plans/round4.py): degree-annotated edges
+    hash-partitioned + localCheckpoint'ed once, then per superstep one
+    shuffle_hash rank join + one dst aggregation, integer-exact arithmetic.
+
+    Returns (graph_build_sec, supersteps_sec, sec_per_superstep) for 3
+    supersteps.
+    """
+    import pyspark.sql.functions as F
+
+    edges = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        F.pmod(F.hash((F.col("id") * 2654435761).cast("long")), F.lit(n_nodes))
+        .cast("long")
+        .alias("dst"),
+    )
+    t0 = time.perf_counter()
+    degs = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    graph = (
+        edges.repartition("src")
+        .join(
+            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    graph_sec = time.perf_counter() - t0
+    ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        contribs = graph.join(
+            ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+            "src",
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150000) + F.expr("(85 * sum(rank div deg_src)) div 100")).alias(
+                "rank"
+            )
+        ).localCheckpoint()  # materialize each superstep: timed work is real
+    steps_sec = time.perf_counter() - t0
+    return round(graph_sec, 3), round(steps_sec, 3), round(steps_sec / 3, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -235,6 +288,12 @@ def main() -> None:
     spark.range(0, 64, 1, 32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+
+    # Isolated kernel measurement BEFORE the catalog sweep (VERDICT r5
+    # item 5): nothing else has touched the executors or page cache, so a
+    # round-over-round fps change here is a kernel regression, not staging
+    # contention; the in-suite measurement at the end keeps continuity.
+    eppa_iso_sec, eppa_iso_fps = bench_eppa_kernel(spark)
 
     # Full-catalog sweep: headline queries first (stable ordering for
     # round-over-round diffs), then every remaining catalog entry so a
@@ -259,6 +318,9 @@ def main() -> None:
     timings["skew_join_unsalted_hotkey"] = unsalted_sec
     eppa_sec, eppa_fps = bench_eppa_kernel(spark)
     timings["eppa_kernel_play"] = eppa_sec
+    pr_graph_sec, pr_steps_sec, pr_step_sec = bench_pagerank_scale(spark)
+    timings["pagerank_10m_graph_build"] = pr_graph_sec
+    timings["pagerank_10m_3_supersteps"] = pr_steps_sec
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -268,6 +330,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "eppa_frames_per_sec": eppa_fps,
+                "eppa_frames_per_sec_isolated": eppa_iso_fps,
+                "eppa_kernel_play_isolated": eppa_iso_sec,
+                "pagerank_10m_sec_per_superstep": pr_step_sec,
                 "sf": sf,
             }
         )

@@ -624,6 +624,76 @@ def _make_kernel(
     return kernel
 
 
+def _emit_field(key, fas, s) -> pd.DataFrame:
+    """field_df block: one row per cell (play_eppa_cpu.py:616-639)."""
+    gid, pid, fid = key
+    grid = field_grid()
+    best_T = s["eppa_ft"].argmax(axis=1)  # per-cell best ToF
+    rng = np.arange(N_CELLS)
+    return pd.DataFrame(
+        {
+            "gameId": gid,
+            "playId": pid,
+            "frameId": fid,
+            "ball_end_x": grid[:, 0],
+            "ball_end_y": grid[:, 1],
+            "eppa1": s["eppa_ft"].sum(axis=1),
+            "eppa1m": s["eppa_ft"].max(axis=1),
+            "p_int_off": s["p_off"][rng, best_T],
+            "p_int_def": s["p_def"][rng, best_T],
+            "ppc_off": s["ppc_off"][rng, best_T],
+            "ppc_def": s["ppc_def"][rng, best_T],
+            "trans": s["trans"].sum(axis=1),
+            "xyac": s["xyac"],
+            "xepa_comp": s["xepa_comp"],
+            "invariant_violations": int(s["invariant_violations"]),
+        }
+    )
+
+
+def _emit_pass(key, fas, s) -> pd.DataFrame:
+    """passes_df block: per-frame argmax (play_eppa_cpu.py:564-614)."""
+    gid, pid, fid = key
+    grid = field_grid()
+    tof = tof_values()
+    flat = int(s["eppa_ft"].argmax())
+    f_i, T_i = np.unravel_index(flat, s["eppa_ft"].shape)
+    return pd.DataFrame(
+        [
+            {
+                "gameId": gid,
+                "playId": pid,
+                "frameId": fid,
+                "frames_after_snap": fas,
+                "eppa1_tot": float(s["eppa_ft"].sum()),
+                "max_eppa1_x": float(grid[f_i, 0]),
+                "max_eppa1_y": float(grid[f_i, 1]),
+                "max_eppa1_T": float(tof[T_i]),
+                "max_eppa1_ppc_off": float(s["ppc_off"][f_i, T_i]),
+                "max_eppa1_trans": float(s["trans"][f_i, T_i]),
+                "max_eppa1": float(s["eppa_ft"][f_i, T_i]),
+                "invariant_violations": int(s["invariant_violations"]),
+            }
+        ]
+    )
+
+
+def _emit_player(key, fas, s) -> pd.DataFrame:
+    """player_stats_df block: per-player attribution (play_eppa_cpu.py:553-559)."""
+    gid, pid, fid = key
+    return pd.DataFrame(
+        {
+            "gameId": gid,
+            "playId": pid,
+            "frameId": fid,
+            "nflId": s["nflId"],
+            "team_pos": s["team_pos_players"],
+            "ind_eppa1": s["ind_eppa"],
+            "invariant_violations": int(s["invariant_violations"]),
+        }
+    )
+
+
 def eppa_field_surface(
     norm: DataFrame,
     params: EppaParams | None = None,
@@ -632,35 +702,10 @@ def eppa_field_surface(
 ) -> DataFrame:
     """field_df: one row per field cell per eligible frame (viz surface,
     play_eppa_cpu.py:616-639)."""
-    grid = field_grid()
-
-    def emit(key, fas, s):
-        gid, pid, fid = key
-        best_T = s["eppa_ft"].argmax(axis=1)  # per-cell best ToF
-        rng = np.arange(N_CELLS)
-        return pd.DataFrame(
-            {
-                "gameId": gid,
-                "playId": pid,
-                "frameId": fid,
-                "ball_end_x": grid[:, 0],
-                "ball_end_y": grid[:, 1],
-                "eppa1": s["eppa_ft"].sum(axis=1),
-                "eppa1m": s["eppa_ft"].max(axis=1),
-                "p_int_off": s["p_off"][rng, best_T],
-                "p_int_def": s["p_def"][rng, best_T],
-                "ppc_off": s["ppc_off"][rng, best_T],
-                "ppc_def": s["ppc_def"][rng, best_T],
-                "trans": s["trans"].sum(axis=1),
-                "xyac": s["xyac"],
-                "xepa_comp": s["xepa_comp"],
-                "invariant_violations": int(s["invariant_violations"]),
-            }
-        )
-
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(
-        _make_kernel(FIELD_SCHEMA, emit, params, priors, value_ensemble), FIELD_SCHEMA
+        _make_kernel(FIELD_SCHEMA, _emit_field, params, priors, value_ensemble),
+        FIELD_SCHEMA,
     )
 
 
@@ -672,35 +717,10 @@ def eppa_pass_summary(
 ) -> DataFrame:
     """passes_df: per-frame argmax summary — the best hypothetical pass
     (unravel_index(argmax), play_eppa_cpu.py:564-614,621-637)."""
-    grid = field_grid()
-    tof = tof_values()
-
-    def emit(key, fas, s):
-        gid, pid, fid = key
-        flat = int(s["eppa_ft"].argmax())
-        f_i, T_i = np.unravel_index(flat, s["eppa_ft"].shape)
-        return pd.DataFrame(
-            [
-                {
-                    "gameId": gid,
-                    "playId": pid,
-                    "frameId": fid,
-                    "frames_after_snap": fas,
-                    "eppa1_tot": float(s["eppa_ft"].sum()),
-                    "max_eppa1_x": float(grid[f_i, 0]),
-                    "max_eppa1_y": float(grid[f_i, 1]),
-                    "max_eppa1_T": float(tof[T_i]),
-                    "max_eppa1_ppc_off": float(s["ppc_off"][f_i, T_i]),
-                    "max_eppa1_trans": float(s["trans"][f_i, T_i]),
-                    "max_eppa1": float(s["eppa_ft"][f_i, T_i]),
-                    "invariant_violations": int(s["invariant_violations"]),
-                }
-            ]
-        )
-
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(
-        _make_kernel(PASS_SCHEMA, emit, params, priors, value_ensemble), PASS_SCHEMA
+        _make_kernel(PASS_SCHEMA, _emit_pass, params, priors, value_ensemble),
+        PASS_SCHEMA,
     )
 
 
@@ -711,22 +731,64 @@ def eppa_player_stats(
     value_ensemble=None,
 ) -> DataFrame:
     """player_stats_df: per-player EPPA attribution (play_eppa_cpu.py:553-559)."""
-
-    def emit(key, fas, s):
-        gid, pid, fid = key
-        return pd.DataFrame(
-            {
-                "gameId": gid,
-                "playId": pid,
-                "frameId": fid,
-                "nflId": s["nflId"],
-                "team_pos": s["team_pos_players"],
-                "ind_eppa1": s["ind_eppa"],
-                "invariant_violations": int(s["invariant_violations"]),
-            }
-        )
-
     eligible = _with_frame_meta(norm)
     return eligible.groupBy("gameId", "playId").applyInPandas(
-        _make_kernel(PLAYER_SCHEMA, emit, params, priors, value_ensemble), PLAYER_SCHEMA
+        _make_kernel(PLAYER_SCHEMA, _emit_player, params, priors, value_ensemble),
+        PLAYER_SCHEMA,
+    )
+
+
+# Combined emission: all three output tables from ONE frame_surfaces call.
+# The bench's chain queries each need a different projection of the same
+# per-frame surfaces; recomputing the ~0.6 s/frame kernel per projection
+# tripled the dominant cost (VERDICT r5 item 4). The combined row layout is
+# a discriminated union: `row_kind` picks the block, absent columns are
+# null, and the staging splitter (plans/eppa_queries.py::stage_eppa_chain)
+# projects each block back to its exact per-table schema — bit-identical
+# floats, since every value comes from the same frame_surfaces arrays.
+COMBINED_SCHEMA = (
+    "row_kind string, gameId long, playId long, frameId int, frames_after_snap int, "
+    "ball_end_x double, ball_end_y double, eppa1 double, eppa1m double, "
+    "p_int_off double, p_int_def double, ppc_off double, ppc_def double, "
+    "trans double, xyac double, xepa_comp double, "
+    "eppa1_tot double, max_eppa1_x double, max_eppa1_y double, max_eppa1_T double, "
+    "max_eppa1_ppc_off double, max_eppa1_trans double, max_eppa1 double, "
+    "nflId long, team_pos string, ind_eppa1 double, "
+    "invariant_violations long"
+)
+
+_COMBINED_COLS = [f.split()[0] for f in COMBINED_SCHEMA.split(", ")]
+
+
+def _emit_combined(key, fas, s) -> pd.DataFrame:
+    blocks = []
+    for kind, emit in (
+        ("field", _emit_field),
+        ("pass", _emit_pass),
+        ("player", _emit_player),
+    ):
+        b = emit(key, fas, s)
+        b.insert(0, "row_kind", kind)
+        b["frames_after_snap"] = fas
+        blocks.append(b)
+    out = pd.concat(blocks, ignore_index=True)
+    # concat fills absent block columns with float NaN — retype the
+    # non-double ones so Arrow sees proper nulls (NaN breaks long/string)
+    out["nflId"] = out["nflId"].astype("Int64")
+    out["team_pos"] = out["team_pos"].where(out["team_pos"].notna(), None)
+    return out[_COMBINED_COLS]
+
+
+def eppa_combined(
+    norm: DataFrame,
+    params: EppaParams | None = None,
+    priors: EppaPriors | None = None,
+    value_ensemble=None,
+) -> DataFrame:
+    """All three EPPA output tables (field/pass/player) from a single
+    kernel pass, as a row_kind-discriminated union."""
+    eligible = _with_frame_meta(norm)
+    return eligible.groupBy("gameId", "playId").applyInPandas(
+        _make_kernel(COMBINED_SCHEMA, _emit_combined, params, priors, value_ensemble),
+        COMBINED_SCHEMA,
     )

@@ -135,16 +135,25 @@ def throw_calibration(
 
 @register("analytics_player_rankings", "A1,A9,J6,J10,O2,M3", None)
 def q_player_rankings(spark: SparkSession, sf_dir: str):
-    """Full chain: tracking → EPPA kernel → p(t)-weighted player ranking."""
-    from bigdatabowl_spark.kernels.eppa import eppa_pass_summary, eppa_player_stats
+    """Full chain: tracking → EPPA kernel → p(t)-weighted player ranking.
+
+    The kernel tables come from the shared single-pass staging
+    (stage_eppa_chain) — the reference reads its per-play pickle dirs the
+    same way (eppa_analysis_all_plays.ipynb · cell 2), rather than
+    re-scoring every play per notebook."""
+    import os
+
     from bigdatabowl_spark.plans.eppa_queries import (
+        KERNEL_OUT,
         materialize_kernel,
-        tracking_from_events,
+        stage_eppa_chain,
     )
 
-    norm = tracking_from_events(spark, sf_dir)
+    stage_eppa_chain(spark, sf_dir)
+    player = spark.read.parquet(os.path.join(KERNEL_OUT, "eppa_player_stats"))
+    passes = spark.read.parquet(os.path.join(KERNEL_OUT, "eppa_pass_summary"))
     return materialize_kernel(
-        player_eppa_rankings(eppa_player_stats(norm), eppa_pass_summary(norm), spark),
+        player_eppa_rankings(player, passes, spark),
         "analytics_player_rankings",
         sf_dir,
     )
@@ -153,17 +162,23 @@ def q_player_rankings(spark: SparkSession, sf_dir: str):
 @register("analytics_throw_calibration", "A19,A14,M3,M5", None)
 def q_throw_calibration(spark: SparkSession, sf_dir: str):
     """Full chain: tracking → kernel best-pass trans prob → calibration
-    against the tuning dataset's realized completions."""
-    from bigdatabowl_spark.kernels.eppa import eppa_pass_summary
+    against the tuning dataset's realized completions. The kernel pass
+    summary comes from the shared single-pass staging (stage_eppa_chain)."""
+    import os
+
     from bigdatabowl_spark.kernels.tuning import pass_dataset
     from bigdatabowl_spark.plans.eppa_queries import (
+        KERNEL_OUT,
         materialize_kernel,
+        stage_eppa_chain,
         tracking_from_events,
     )
 
+    stage_eppa_chain(spark, sf_dir)
+    passes = spark.read.parquet(os.path.join(KERNEL_OUT, "eppa_pass_summary"))
     norm = tracking_from_events(spark, sf_dir)
     return materialize_kernel(
-        throw_calibration(eppa_pass_summary(norm), pass_dataset(norm)),
+        throw_calibration(passes, pass_dataset(norm)),
         "analytics_throw_calibration",
         sf_dir,
     )

@@ -54,22 +54,10 @@ def _kparquet(name: str) -> str:
 
 
 def _staged(name: str, sf_dir: str) -> bool:
-    """True iff the staged table exists AND was built from this sf_dir —
-    the _STAGED_FROM marker keeps a readside check from being silently
-    satisfied by another scale factor's bytes."""
-    from bigdatabowl_spark.plans.eppa_queries import _SF_MARKER
+    """True iff the staged table exists AND was built from this sf_dir."""
+    from bigdatabowl_spark.plans.eppa_queries import staged_fresh
 
-    path = os.path.join(KERNEL_OUT, name)
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return False
-    marker = os.path.join(path, _SF_MARKER)
-    try:
-        with open(marker) as f:
-            return f.read().strip() == sf_dir.rstrip("/")
-    except OSError:
-        return False
+    return staged_fresh(name, sf_dir)
 
 
 def ensure_kernel_staged(

@@ -104,9 +104,11 @@ def m4_prior_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first shape: the 6,600-cell grid is sequence+explode, the 2,400-row
     P(T|L) table and the single p(t) row are broadcast joins, and the exact
-    integer total rides a 1-row broadcast crossJoin — map-only end to end,
-    no shuffle at any scale (the kernel's per-frame np.take gather,
-    kernels/eppa.py:303-316, re-expressed relationally)."""
+    integer total rides a 1-row broadcast crossJoin. The only shuffle in the
+    plan is the SinglePartition exchange feeding the 1-row total aggregate —
+    constant-size at any scale (gated in test_plan_quality.py). This is the
+    kernel's per-frame np.take gather (kernels/eppa.py:303-316) re-expressed
+    relationally."""
     stage = _stage_priors(spark, sf_dir)
     xs = spark.range(1).select(F.explode(F.sequence(F.lit(0), F.lit(119))).alias("x"))
     ys = spark.range(1).select(F.explode(F.sequence(F.lit(0), F.lit(54))).alias("y"))

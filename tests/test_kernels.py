@@ -212,6 +212,34 @@ def test_eppa_player_stats_spark(spark, norm_fixture):
     assert (pdf["invariant_violations"] == 0).all()
 
 
+def test_combined_kernel_slices_match_individual(spark, norm_fixture):
+    """The single-pass combined kernel's field/pass/player slices are
+    bit-identical to the per-projection kernels (the staging contract of
+    plans/eppa_queries.py::stage_eppa_chain)."""
+    from bigdatabowl_spark.kernels.eppa import eppa_combined
+    from bigdatabowl_spark.plans.eppa_queries import _EPPA_CHAIN_SLICES
+
+    combined = eppa_combined(norm_fixture).toPandas()
+    for name, fn in (
+        ("eppa_field_surface", eppa_field_surface),
+        ("eppa_pass_summary", eppa_pass_summary),
+        ("eppa_player_stats", eppa_player_stats),
+    ):
+        kind, cols = _EPPA_CHAIN_SLICES[name]
+        got = (
+            combined[combined["row_kind"] == kind][cols]
+            .sort_values(cols[:5])
+            .reset_index(drop=True)
+        )
+        want = fn(norm_fixture).toPandas().sort_values(cols[:5]).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        for c in cols:
+            gv, wv = got[c], want[c]
+            if gv.dtype != wv.dtype:
+                gv = gv.astype(wv.dtype)
+            assert (gv.values == wv.values).all(), (name, c)
+
+
 # ------------------------------------------------- full-width value models
 
 

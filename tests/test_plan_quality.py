@@ -554,3 +554,21 @@ def test_corpus_pipeline_broadcasts_bench_shingles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_m4_prior_surface_constant_shuffle(spark, sf_dir):
+    """The M4 prior surface must stay broadcast-shaped at any scale: the
+    prior tables ride BroadcastHashJoins onto the generated grid, no
+    sort-merge/shuffled-hash join anywhere, and the ONLY shuffle is the
+    SinglePartition exchange feeding the 1-row exact-integer total —
+    constant-size regardless of grid or prior dimensions."""
+    plan = _catalog_plan(spark, sf_dir, "m4_prior_surface")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # formatted mode names nodes "Exchange (n)" with partitioning in the
+    # Arguments line; broadcast exchanges print as "BroadcastExchange"
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
+    assert len(shuffles) == 1, (shuffles, plan)
+    assert "SinglePartition" in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
