@@ -25,7 +25,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatabowl_spark.plans.catalog import register
+from bigdatabowl_spark.plans.catalog import register, t
 from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT, _SF_MARKER
 
 # Fixed surface configuration: ball at a cell center (integer offsets →
@@ -158,3 +158,165 @@ def m4_prior_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hq",
         F.expr("hq * 1000000 div total").alias("p_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# M1/M2 at arbitrary depth — join-based forest inference, oracle-checked
+# --------------------------------------------------------------------------
+# m1_tree_ensemble_score compiles a depth-2 spec into a CASE cascade; that
+# works only because the depth is a compile-time constant. A real trained
+# model (the reference's value models are default-depth xgboost — Rishav's
+# xyac.ipynb · cells 5-11, loaded play_eppa_cpu.py:80-87) needs inference
+# that treats the MODEL AS DATA: the node relation is staged as parquet and
+# traversal is depth-many broadcast joins against it. Both engines read the
+# same staged node bytes, so comparisons and the floor-quantized leaf
+# margins are bit-identical; margins accumulate as exact integers
+# (nano-units), never an order-sensitive double sum.
+
+_FOREST_STAGE = os.path.join(KERNEL_OUT, "m1b_forest")
+_FOREST_DEPTH = 4
+
+
+def _stage_forest(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the depth-4 forest node relations under KERNEL_OUT (S6/S11;
+    the model artifact both engines traverse)."""
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.sources.artifacts import save_forest
+
+    marker = os.path.join(_FOREST_STAGE, _SF_MARKER)
+    try:
+        with open(marker) as f:
+            if f.read().strip() == sf_dir.rstrip("/"):
+                return _FOREST_STAGE
+    except OSError:
+        pass
+    save_forest(spark, FlatForest.default_deep(depth=_FOREST_DEPTH), _FOREST_STAGE)
+    with open(marker, "w") as f:
+        f.write(sf_dir.rstrip("/"))
+    return _FOREST_STAGE
+
+
+def _m1b_oracle() -> str:
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+
+    fv = ", ".join(e for e, _ in _FEATURES)
+    walk = []
+    for lvl in range(_FOREST_DEPTH):
+        walk.append(
+            f"""l{lvl + 1} AS (
+        SELECT s.o_orderkey, s.tree_id, s.fv,
+               CASE WHEN n.lc = -1 THEN s.node
+                    WHEN s.fv[n.feat + 1] < n.thr THEN n.lc
+                    ELSE n.rc END AS node
+        FROM l{lvl} s
+        JOIN nodes n ON n.tree_id = s.tree_id AND n.node_id = s.node
+    )"""
+        )
+    return f"""
+    WITH feats AS (
+        SELECT o_orderkey, [{fv}] AS fv FROM orders
+    ),
+    nodes AS (SELECT * FROM read_parquet('{_FOREST_STAGE}/nodes/*.parquet')),
+    trees AS (SELECT * FROM read_parquet('{_FOREST_STAGE}/trees/*.parquet')),
+    l0 AS (
+        SELECT f.o_orderkey, t.tree_id, f.fv, 0 AS node
+        FROM feats f CROSS JOIN trees t
+    ),
+    {', '.join(walk)}
+    SELECT s.o_orderkey, CAST(t.tree_class AS BIGINT) AS cls,
+           CAST(SUM(CAST(floor(n.leaf_val * 1000000000.0) AS BIGINT)) AS BIGINT)
+               AS margin_q,
+           CAST(SUM(CASE WHEN n.lc = -1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS unresolved
+    FROM l{_FOREST_DEPTH} s
+    JOIN nodes n ON n.tree_id = s.tree_id AND n.node_id = s.node
+    JOIN trees t ON t.tree_id = s.tree_id
+    GROUP BY 1, 2
+    """
+
+
+@register("m1b_forest_score", "M1,M2,S6,S4,J1,A1", None)
+def m1b_forest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-depth forest inference with the MODEL AS DATA: the staged
+    depth-4 node relation is broadcast and traversal is depth-many
+    broadcast-hash joins — one per level — updating (row, tree) → node;
+    per-class margins accumulate as exact integer nano-units. The oracle
+    runs the identical walk in DuckDB over the same staged parquet.
+
+    Spark-first shape: the 26-feature vector is one `array()` column
+    gathered with `element_at` (no unpivot shuffle); the few-hundred-row
+    node/tree relations are broadcast, so the whole walk is map-side —
+    the ONLY shuffle is the final (row, class) margin aggregation. The
+    16× tree fan-out is the inference width, map-local and linear.
+
+    `unresolved` must be 0 everywhere: every (row, tree) state lands on a
+    leaf within depth rounds — the traversal-completeness invariant."""
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+
+    _stage_forest(spark, sf_dir)
+    nodes = spark.read.parquet(os.path.join(_FOREST_STAGE, "nodes"))
+    trees = spark.read.parquet(os.path.join(_FOREST_STAGE, "trees"))
+    fv = F.array(*[F.expr(e) for e, _ in _FEATURES]).alias("fv")
+    state = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", fv)
+        .crossJoin(F.broadcast(trees.select("tree_id")))
+        .withColumn("node", F.lit(0))
+    )
+    for _ in range(_FOREST_DEPTH):
+        n = F.broadcast(
+            nodes.select(
+                F.col("tree_id").alias("n_tree"),
+                F.col("node_id").alias("n_node"),
+                "feat", "thr", "lc", "rc",
+            )
+        )
+        state = (
+            state.join(
+                n,
+                (F.col("n_tree") == F.col("tree_id"))
+                & (F.col("n_node") == F.col("node")),
+            )
+            .withColumn(
+                "node",
+                F.when(F.col("lc") == -1, F.col("node"))
+                .when(
+                    F.element_at(F.col("fv"), F.col("feat") + 1) < F.col("thr"),
+                    F.col("lc"),
+                )
+                .otherwise(F.col("rc")),
+            )
+            .select("o_orderkey", "tree_id", "fv", "node")
+        )
+    leaf = F.broadcast(
+        nodes.select(
+            F.col("tree_id").alias("n_tree"),
+            F.col("node_id").alias("n_node"),
+            "lc", "leaf_val",
+        )
+    )
+    cls = F.broadcast(trees.select("tree_id", "tree_class"))
+    return (
+        state.join(
+            leaf,
+            (F.col("n_tree") == F.col("tree_id"))
+            & (F.col("n_node") == F.col("node")),
+        )
+        .join(cls, "tree_id")
+        .groupBy("o_orderkey", F.col("tree_class").cast("bigint").alias("cls"))
+        .agg(
+            F.sum(F.floor(F.col("leaf_val") * 1000000000.0).cast("bigint"))
+            .cast("bigint")
+            .alias("margin_q"),
+            F.sum(F.when(F.col("lc") == -1, 0).otherwise(1))
+            .cast("bigint")
+            .alias("unresolved"),
+        )
+    )
+
+
+# register the oracle lazily-built SQL (needs _FEATURES import at module load)
+from bigdatabowl_spark.plans.catalog import CATALOG as _CAT  # noqa: E402
+from dataclasses import replace as _replace  # noqa: E402
+
+_CAT["m1b_forest_score"] = _replace(_CAT["m1b_forest_score"], oracle=_m1b_oracle())

@@ -331,3 +331,53 @@ def test_m4_prior_surface_matches_kernel_formula(spark):
     # total mass: floor quantization only loses, at most 1 ppm per cell
     assert got.sum() <= 1.0 + 1e-12
     assert 1.0 - got.sum() <= 264000 * 1e-6
+
+
+def test_m1b_forest_score_matches_numpy_forest(spark):
+    """The join-based relational forest walk (m1b_forest_score) produces
+    the same integer-quantized margins as FlatForest.margins on the same
+    feature vectors — the relational inference path and the kernel path
+    score one model identically."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = CATALOG["m1b_forest_score"].builder(spark, sf_dir).collect()
+    assert rows and all(r["unresolved"] == 0 for r in rows)
+    got = {(r["o_orderkey"], r["cls"]): r["margin_q"] for r in rows}
+
+    # same features through the NumPy scorer
+    from bigdatabowl_spark.plans.catalog import t as _t
+
+    feats = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", *[F.expr(e).alias(f"f{i}") for i, (e, _) in enumerate(_FEATURES)])
+        .toPandas()
+        .sort_values("o_orderkey")
+    )
+    X = feats[[f"f{i}" for i in range(26)]].to_numpy(np.float64)
+    forest = FlatForest.default_deep(depth=4)
+    # per-tree leaf values quantized then summed, matching the SQL exactly
+    want = {}
+    lv = forest.leaf_val
+    n = X.shape[0]
+    import numpy as _np
+
+    rows_idx = _np.arange(n)
+    acc = {}
+    for tr in range(forest.n_trees):
+        cur = _np.full(n, forest.offsets[tr], dtype=_np.int64)
+        for _ in range(int(forest.depth[tr])):
+            f = forest.feat[cur]
+            go_left = X[rows_idx, f] < forest.thr[cur]
+            cur = _np.where(go_left, forest.left[cur], forest.right[cur])
+        q = _np.floor(lv[cur] * 1e9).astype(_np.int64)
+        c = int(forest.tree_class[tr])
+        acc[c] = acc.get(c, 0) + q
+    for c, qs in acc.items():
+        for i, key in enumerate(feats["o_orderkey"].tolist()):
+            want[(key, c)] = want.get((key, c), 0) + int(qs[i])
+    assert got == want

@@ -572,3 +572,16 @@ def test_m4_prior_surface_constant_shuffle(spark, sf_dir):
     assert len(shuffles) == 1, (shuffles, plan)
     assert "SinglePartition" in plan, plan
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_m1b_forest_walk_is_broadcast_only(spark, sf_dir):
+    """Arbitrary-depth forest inference must broadcast the node/tree
+    relations at every traversal level — never shuffle the fact side per
+    level. The only shuffle is the final (row, class) margin aggregation."""
+    plan = _catalog_plan(spark, sf_dir, "m1b_forest_score")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 5, plan
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
+    assert len(shuffles) == 1, (shuffles, plan)
+    assert "hashpartitioning" in plan, plan
