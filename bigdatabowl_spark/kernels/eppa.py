@@ -550,7 +550,12 @@ def _prep_frame(pdf: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray, int] | Non
     return players, ball_start, fas
 
 
-def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 47) -> DataFrame:
+def _with_frame_meta(
+    norm: DataFrame,
+    min_t_frame: int = 14,
+    max_t_frame: int = 47,
+    n_tasks: int | None = None,
+) -> DataFrame:
     """Eligibility + frame window (play_eppa_gpu.py:46-47; loop :651).
 
     snap/throw frames located per play; EPPA frames are
@@ -580,9 +585,12 @@ def _with_frame_meta(norm: DataFrame, min_t_frame: int = 14, max_t_frame: int = 
     # (measured: 1 partition, zero parallelism). A user-specified partition
     # count is exempt from AQE coalescing and satisfies applyInPandas's
     # ClusteredDistribution, so no second exchange is planned. 3× tasks per
-    # core load-balances the skewed frames-per-play distribution.
+    # core load-balances the skewed frames-per-play distribution; callers
+    # processing bounded micro-batches (stream foreachBatch) pass a small
+    # n_tasks so a 2-play batch doesn't schedule 96 mostly-empty tasks.
     sc = norm.sparkSession.sparkContext
-    return eligible.repartition(sc.defaultParallelism * 3, "gameId", "playId")
+    width = n_tasks if n_tasks is not None else sc.defaultParallelism * 3
+    return eligible.repartition(width, "gameId", "playId")
 
 
 def _make_kernel(
@@ -714,10 +722,11 @@ def eppa_pass_summary(
     params: EppaParams | None = None,
     priors: EppaPriors | None = None,
     value_ensemble=None,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """passes_df: per-frame argmax summary — the best hypothetical pass
     (unravel_index(argmax), play_eppa_cpu.py:564-614,621-637)."""
-    eligible = _with_frame_meta(norm)
+    eligible = _with_frame_meta(norm, n_tasks=n_tasks)
     return eligible.groupBy("gameId", "playId").applyInPandas(
         _make_kernel(PASS_SCHEMA, _emit_pass, params, priors, value_ensemble),
         PASS_SCHEMA,
