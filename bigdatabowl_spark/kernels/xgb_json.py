@@ -128,7 +128,27 @@ def forest_from_xgb_json(doc: dict) -> FlatForest:
     play_eppa_cpu.py:136-149), else 0..C-1.
     """
     learner = doc["learner"]
-    model = learner["gradient_booster"]["model"]
+    booster = learner["gradient_booster"]
+    if booster.get("name", "gbtree") not in ("gbtree", "dart"):
+        raise ValueError(
+            f"xgb_json: unsupported booster {booster.get('name')!r} — only "
+            "tree boosters load (gblinear has no tree structure)"
+        )
+    model = booster["model"]
+    for tree in model["trees"]:
+        # categorical splits (split_type 1) partition by category set, not
+        # `< thr` — loading them as numeric would silently mis-route
+        if any(s != 0 for s in tree.get("split_type", [])):
+            raise ValueError(
+                "xgb_json: categorical splits (split_type != 0) are not "
+                "supported — retrain with numeric features or one-hot"
+            )
+        slv = tree.get("tree_param", {}).get("size_leaf_vector", "1")
+        if slv not in ("0", "1"):
+            raise ValueError(
+                "xgb_json: vector leaves (size_leaf_vector "
+                f"{slv}) are not supported — scalar-leaf multiclass only"
+            )
     lmp = learner.get("learner_model_param", {})
     n_class = int(lmp.get("num_class", "1") or "1") or 1
     base_score = float(lmp.get("base_score", "0") or "0")

@@ -217,3 +217,45 @@ def test_roundtrip_through_emitted_schema_matches_traversal():
     rng = np.random.default_rng(3)
     X = rng.standard_normal((100, 26))
     assert (ens.margins(X) == _margins_by_traversal(doc, X)).all()
+
+
+def test_depth6_default_depth_roundtrip(tmp_path):
+    """Depth-6 — xgboost's actual default, the depth the reference's value
+    models train at (Rishav's xyac.ipynb · cells 5-11) — loads, round-trips
+    byte-for-byte, and scores bit-identically after reload."""
+    forest = FlatForest.default_deep(depth=6, trees_per_class=1)
+    assert int(forest.depth.max()) == 6
+    path = str(tmp_path / "deep6.json")
+    save_xgb_json(forest, path)
+    back = load_xgb_json(path)
+    _assert_forests_identical(forest, back)
+    rng = np.random.default_rng(31)
+    X = rng.standard_normal((300, 26))
+    assert (forest.expectation(X) == back.expectation(X)).all()
+
+
+def test_unsupported_layouts_raise():
+    """Categorical splits, vector leaves, and non-tree boosters fail loudly
+    instead of silently mis-scoring."""
+    import copy
+
+    import pytest as _pytest
+
+    base = _asymmetric_model()
+
+    cat = copy.deepcopy(base)
+    t0 = cat["learner"]["gradient_booster"]["model"]["trees"][0]
+    t0["split_type"] = [1] + [0] * 6
+    with _pytest.raises(ValueError, match="categorical"):
+        forest_from_xgb_json(cat)
+
+    vec = copy.deepcopy(base)
+    v0 = vec["learner"]["gradient_booster"]["model"]["trees"][0]
+    v0["tree_param"] = {"size_leaf_vector": "8"}
+    with _pytest.raises(ValueError, match="vector leaves"):
+        forest_from_xgb_json(vec)
+
+    lin = copy.deepcopy(base)
+    lin["learner"]["gradient_booster"]["name"] = "gblinear"
+    with _pytest.raises(ValueError, match="booster"):
+        forest_from_xgb_json(lin)
