@@ -320,3 +320,72 @@ from bigdatabowl_spark.plans.catalog import CATALOG as _CAT  # noqa: E402
 from dataclasses import replace as _replace  # noqa: E402
 
 _CAT["m1b_forest_score"] = _replace(_CAT["m1b_forest_score"], oracle=_m1b_oracle())
+
+
+@register("m1c_forest_udf_score", "M1,M2,S4,S6,A1", None)
+def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION inference path for models too large to join against:
+    the staged forest loads once per executor process and scores Arrow
+    batches in-place via mapInPandas — the engine's `predict_batch_udf`
+    shape (the reference loads its treelite binaries exactly this way,
+    play_eppa_cpu.py:80-87, then scores 264k-row batches).
+
+    Emits the SAME relation as m1b_forest_score — (o_orderkey, cls,
+    margin_q, unresolved) with integer nano-unit margins — and is checked
+    against the SAME DuckDB node-walk oracle, so the three inference paths
+    (relational join walk, vectorized NumPy UDF, DuckDB SQL) are certified
+    identical on one model. Map-only: the model never shuffles, rows never
+    fan out 16×; the only exchange is whatever the sink needs."""
+    import pandas as pd
+
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+
+    _stage_forest(spark, sf_dir)
+    stage = _FOREST_STAGE
+
+    def score(batches):
+        import numpy as np
+
+        from bigdatabowl_spark.sources.artifacts import load_forest_arrays
+
+        forest = load_forest_arrays(stage)  # per-process cached, no JVM
+        n_class = len(forest.epvals)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = pdf[[f"f{i}" for i in range(26)]].to_numpy(np.float64)
+            rows = np.arange(n)
+            acc = np.zeros((n, n_class), dtype=np.int64)
+            for tr in range(forest.n_trees):
+                cur = np.full(n, forest.offsets[tr], dtype=np.int64)
+                for _ in range(int(forest.depth[tr])):
+                    f = forest.feat[cur]
+                    go_left = X[rows, f] < forest.thr[cur]
+                    cur = np.where(go_left, forest.left[cur], forest.right[cur])
+                q = np.floor(forest.leaf_val[cur] * 1000000000.0).astype(np.int64)
+                acc[:, forest.tree_class[tr]] += q
+            out = pd.DataFrame(
+                {
+                    "o_orderkey": np.repeat(
+                        pdf["o_orderkey"].to_numpy(), n_class
+                    ),
+                    "cls": np.tile(np.arange(n_class, dtype=np.int64), n),
+                    "margin_q": acc.reshape(-1),
+                    "unresolved": np.int64(0),
+                }
+            )
+            yield out
+
+    feats = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        *[F.expr(e).alias(f"f{i}") for i, (e, _) in enumerate(_FEATURES)],
+    )
+    return feats.mapInPandas(
+        score, "o_orderkey long, cls long, margin_q long, unresolved long"
+    )
+
+
+_CAT["m1c_forest_udf_score"] = _replace(
+    _CAT["m1c_forest_udf_score"], oracle=_m1b_oracle()
+)

@@ -290,6 +290,65 @@ def roundtrip_forest(
     return load_forest(spark, out_dir)
 
 
+_FOREST_CACHE: dict[str, FlatForest] = {}
+
+
+def load_forest_arrays(out_dir: str = DEFAULT_FOREST_DIR) -> FlatForest:
+    """EXECUTOR-side forest load: pure pyarrow, no SparkSession — for
+    mapInPandas scorers that load the model inside the worker process
+    (the reference's load-binaries-at-startup shape, play_eppa_cpu.py:
+    80-87). Cached per process, so repeated Arrow batches pay zero reload;
+    float64 bytes are identical to the driver-side load_forest."""
+    cached = _FOREST_CACHE.get(out_dir)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    nodes = (
+        pq.read_table(os.path.join(out_dir, "nodes"))
+        .to_pandas()
+        .sort_values(["tree_id", "node_id"])
+    )
+    tree_rows = (
+        pq.read_table(os.path.join(out_dir, "trees"))
+        .to_pandas()
+        .sort_values("tree_id")
+    )
+    ep = (
+        pq.read_table(os.path.join(out_dir, "epvals"))
+        .to_pandas()
+        .sort_values("class_id")
+    )
+    meta = pq.read_table(os.path.join(out_dir, "meta")).to_pandas()
+    base_score = float(
+        dict(zip(meta["key"], meta["value"])).get("base_score", 0.0)
+    )
+    trees = []
+    for tid in tree_rows["tree_id"].tolist():
+        g = nodes[nodes["tree_id"] == tid]
+        lc = g["lc"].tolist()
+        trees.append(
+            {
+                "left_children": lc,
+                "right_children": g["rc"].tolist(),
+                "split_indices": g["feat"].tolist(),
+                "split_conditions": [
+                    float(leaf) if l == -1 else float(thr)
+                    for l, thr, leaf in zip(lc, g["thr"], g["leaf_val"])
+                ],
+                "default_left": [int(d) for d in g["default_left"]],
+            }
+        )
+    forest = FlatForest.from_node_arrays(
+        trees,
+        tree_rows["tree_class"].tolist(),
+        ep["epval"].to_numpy(dtype=np.float64),
+        base_score=base_score,
+    )
+    _FOREST_CACHE[out_dir] = forest
+    return forest
+
+
 # The relational twin (m1_tree_ensemble_score) compiles its spec to SQL; its
 # artifact is the same 16-row tree table with feature *indices* into the
 # query's static feature-expression list. The loaded rows regenerate the CASE
@@ -368,6 +427,7 @@ __all__ = [
     "save_forest",
     "load_forest",
     "roundtrip_forest",
+    "load_forest_arrays",
     "save_relational_spec",
     "load_relational_spec",
     "roundtrip_relational_spec",

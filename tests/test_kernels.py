@@ -381,3 +381,22 @@ def test_m1b_forest_score_matches_numpy_forest(spark):
         for i, key in enumerate(feats["o_orderkey"].tolist()):
             want[(key, c)] = want.get((key, c), 0) + int(qs[i])
     assert got == want
+
+
+def test_m1c_udf_matches_m1b_join_walk(spark):
+    """The Pandas-UDF scorer and the relational join walk emit identical
+    rows for the same staged model — the two production inference paths
+    agree bit-for-bit."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    b = {
+        (r["o_orderkey"], r["cls"]): (r["margin_q"], r["unresolved"])
+        for r in CATALOG["m1b_forest_score"].builder(spark, sf_dir).collect()
+    }
+    c = {
+        (r["o_orderkey"], r["cls"]): (r["margin_q"], r["unresolved"])
+        for r in CATALOG["m1c_forest_udf_score"].builder(spark, sf_dir).collect()
+    }
+    assert b == c and len(b) > 0

@@ -585,3 +585,13 @@ def test_m1b_forest_walk_is_broadcast_only(spark, sf_dir):
     shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
     assert len(shuffles) == 1, (shuffles, plan)
     assert "hashpartitioning" in plan, plan
+
+
+def test_m1c_udf_scorer_is_map_only(spark, sf_dir):
+    """The Pandas-UDF forest scorer must be map-only: the model loads
+    inside the worker, so the plan has NO join and NO shuffle — one
+    ArrowEvalPython/MapInPandas stage over the pruned orders scan."""
+    plan = _catalog_plan(spark, sf_dir, "m1c_forest_udf_score")
+    assert not re.search(r"Join", plan), plan
+    assert not re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan), plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
