@@ -258,3 +258,42 @@ def test_random_rollup_queries_match_duckdb(spark, sf_dir, fuzz_env):
 
 def test_random_setop_queries_match_duckdb(spark, sf_dir, fuzz_env):
     _sweep(spark, fuzz_env, gen_setop_query, random.Random(0xBDB5 + 3), 40)
+
+
+def gen_outer_join_query(rng: random.Random) -> str:
+    """Outer/semi/anti join semantics over real FKs — the join types
+    gen_query's inner-FK branch never reaches. LEFT JOIN filters the
+    PARENT side pre-join (a derived-table filter, so null-extension
+    semantics — not WHERE-clause demotion to inner — are what's pinned);
+    EXISTS/NOT EXISTS pin semi/anti with a correlated predicate. Results
+    fold through exact aggregates: row count, matched/unmatched split,
+    and a BIGINT checksum of the child key so misrouted rows can't
+    cancel."""
+    child = rng.choice(sorted(FKS))
+    parent, fk, pk = rng.choice(FKS[child])
+    c_ints, c_dbls, c_strs = SCHEMAS[child]
+    p_ints, p_dbls, p_strs = SCHEMAS[parent]
+    kind = rng.choice(["left", "left", "exists", "not_exists"])
+    parent_pred = _pred(rng, p_ints, p_dbls, p_strs)
+    child_pred = _pred(rng, c_ints, c_dbls, c_strs)
+    if kind == "left":
+        return (
+            f"SELECT COUNT(*) AS n_rows, "
+            f"CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched, "
+            f"CAST(SUM(c.{fk} % 10007) AS BIGINT) AS key_checksum "
+            f"FROM {child} c LEFT JOIN "
+            f"(SELECT * FROM {parent} WHERE {parent_pred}) p ON c.{fk} = p.{pk} "
+            f"WHERE {child_pred.replace(child + '.', 'c.')}"
+        )
+    neg = "NOT " if kind == "not_exists" else ""
+    return (
+        f"SELECT COUNT(*) AS n_rows, "
+        f"CAST(SUM({child}.{fk} % 10007) AS BIGINT) AS key_checksum "
+        f"FROM {child} WHERE {child_pred} AND {neg}EXISTS "
+        f"(SELECT 1 FROM {parent} WHERE {parent}.{pk} = {child}.{fk} "
+        f"AND {parent_pred})"
+    )
+
+
+def test_random_outer_join_queries_match_duckdb(spark, sf_dir, fuzz_env):
+    _sweep(spark, fuzz_env, gen_outer_join_query, random.Random(0xBDB5 + 4), 40)
