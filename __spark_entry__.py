@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _RUN_FIRST = (
     # (a) never driver-run
     "m4_prior_surface", "m1b_forest_score", "m1c_forest_udf_score",
+    "m1d_forest_compiled_score",
     # (b) implementation-touched kernel chains (kernel before readside)
     "eppa_field_surface", "eppa_surface_readside",
     "eppa_pass_summary", "eppa_pass_readside", "stream_eppa_kernel",
@@ -60,10 +61,10 @@ _RUN_FIRST = (
     "j3_region_rollup", "j4_derived_scalar", "j5_derived_key_join",
     "minhash_lsh_pairs", "multimodal_decode", "multimodal_features",
     "multimodal_frame_sample", "multimodal_resize", "ngram_jaccard_pairs",
-    "o2_global_topn", "simhash_docs", "text_langid",
+    "o2_global_topn", "simhash_docs",
     # ---- 50-query cap lands here; below is the documented queue ----
     # r1 remainder, then the r2-green tier (oldest first), then r4/r5 greens
-    "text_quality", "text_tokens_fingerprint",
+    "text_langid", "text_quality", "text_tokens_fingerprint",
     "u4_semi_anti", "u5_except_intersect", "w4_topk_per_group",
     "a15_event_sets", "a17_autocorr", "a18_histogram_2d",
     "a20_gamma_moments_fit", "a21_adaptive_window_fit",

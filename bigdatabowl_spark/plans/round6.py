@@ -389,3 +389,77 @@ def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAT["m1c_forest_udf_score"] = _replace(
     _CAT["m1c_forest_udf_score"], oracle=_m1b_oracle()
 )
+
+
+def _compile_forest_sql(forest) -> dict[int, str]:
+    """Compile a FlatForest into per-class margin SQL — the engine's
+    treelite step (the reference compiles its xgboost trees to native
+    code, play_eppa_cpu.py:24-28,80-87; here the target is Catalyst →
+    WholeStageCodegen instead of a .so).
+
+    Each tree becomes a nested CASE mirror of its node arrays at ANY
+    depth; thresholds and leaves print via repr (exact float64 round
+    trip). Per-tree leaves are floor-quantized to integer nano-units
+    BEFORE the per-class '+' chain, so class margins are order-free
+    integer sums matching the m1b/m1c relation exactly."""
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+
+    def tree_sql(t: int) -> str:
+        nodes = forest.tree_nodes(t)
+        lc, rc = nodes["left_children"], nodes["right_children"]
+        si, sc = nodes["split_indices"], nodes["split_conditions"]
+
+        def rec(i: int) -> str:
+            if lc[i] == -1:
+                return f"CAST({sc[i]!r} AS DOUBLE)"
+            feat = _FEATURES[si[i]][0]
+            return (
+                f"CASE WHEN {feat} < {sc[i]!r} THEN {rec(lc[i])} "
+                f"ELSE {rec(rc[i])} END"
+            )
+
+        return f"CAST(floor(({rec(0)}) * 1000000000.0) AS BIGINT)"
+
+    per_class: dict[int, list[str]] = {}
+    for t in range(forest.n_trees):
+        per_class.setdefault(int(forest.tree_class[t]), []).append(tree_sql(t))
+    return {c: "(" + " + ".join(exprs) + ")" for c, exprs in per_class.items()}
+
+
+@register("m1d_forest_compiled_score", "M1,M2,S6,P10,F4", None)
+def m1d_forest_compiled_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPILED inference path: the staged depth-4 forest is loaded
+    (S6) and compiled to nested-CASE SQL that runs entirely inside
+    WholeStageCodegen — the reference's treelite compilation re-targeted
+    at Catalyst. Emits the same (o_orderkey, cls, margin_q, unresolved)
+    relation as m1b/m1c and is checked against the same DuckDB node-walk
+    oracle, so all FOUR inference paths — compiled CASE, relational join
+    walk, vectorized NumPy UDF, SQL walk — are certified identical on one
+    staged model. Map-only: zero joins, zero Python; the unpivot to
+    (cls, margin_q) rows is a per-row stack()."""
+    from bigdatabowl_spark.sources.artifacts import load_forest
+
+    _stage_forest(spark, sf_dir)
+    forest = load_forest(spark, _FOREST_STAGE)
+    margins = _compile_forest_sql(forest)
+    n_class = forest.n_classes
+    stack_args = ", ".join(
+        f"CAST({c} AS BIGINT), m{c}" for c in range(n_class)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            *[F.expr(m).alias(f"m{c}") for c, m in sorted(margins.items())],
+        )
+        .select(
+            "o_orderkey",
+            F.expr(f"stack({n_class}, {stack_args}) AS (cls, margin_q)"),
+        )
+        .withColumn("unresolved", F.lit(0).cast("long"))
+    )
+
+
+_CAT["m1d_forest_compiled_score"] = _replace(
+    _CAT["m1d_forest_compiled_score"], oracle=_m1b_oracle()
+)

@@ -400,3 +400,21 @@ def test_m1c_udf_matches_m1b_join_walk(spark):
         for r in CATALOG["m1c_forest_udf_score"].builder(spark, sf_dir).collect()
     }
     assert b == c and len(b) > 0
+
+
+def test_m1d_compiled_matches_m1b_join_walk(spark):
+    """The compiled-CASE path agrees bit-for-bit with the join walk —
+    closing the four-way certification (CASE = join = UDF = DuckDB)."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    b = {
+        (r["o_orderkey"], r["cls"]): (r["margin_q"], r["unresolved"])
+        for r in CATALOG["m1b_forest_score"].builder(spark, sf_dir).collect()
+    }
+    d = {
+        (r["o_orderkey"], r["cls"]): (r["margin_q"], r["unresolved"])
+        for r in CATALOG["m1d_forest_compiled_score"].builder(spark, sf_dir).collect()
+    }
+    assert b == d and len(b) > 0

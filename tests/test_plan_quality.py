@@ -595,3 +595,20 @@ def test_m1c_udf_scorer_is_map_only(spark, sf_dir):
     assert not re.search(r"Join", plan), plan
     assert not re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan), plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_m1d_compiled_scorer_is_codegen_map_only(spark, sf_dir):
+    """The compiled-CASE forest scorer must run entirely JVM-side: no
+    join, no shuffle, no Python stage — and the CASE cascade must sit
+    inside a WholeStageCodegen span (the treelite-analogue contract)."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    df = CATALOG["m1d_forest_compiled_score"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert not re.search(r"Join", plan), plan
+    assert not re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan), plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\*\(\d+\) ", executed), executed
