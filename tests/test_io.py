@@ -347,3 +347,30 @@ def test_npy_stream_replay_detects_midrange_rename(tmp_path):
         rdr.readBetweenOffsets(start, end)
     with _pytest.raises(ValueError, match="clear the checkpoint"):
         rdr.read(end)
+
+
+def test_forest_executor_loader_matches_driver_loader(spark, tmp):
+    """load_forest_arrays (pure pyarrow, the executor-side path used by
+    the mapInPandas scorer) reconstructs exactly what the Spark-side
+    load_forest does — same arrays, same base_score, and cached."""
+    import numpy as np
+
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.sources.artifacts import (
+        load_forest,
+        load_forest_arrays,
+        save_forest,
+    )
+
+    d = f"{tmp}/forest_exec"
+    ref = FlatForest.default_deep(depth=4)
+    save_forest(spark, ref, d)
+    via_spark = load_forest(spark, d)
+    via_arrow = load_forest_arrays(d)
+    for field in (
+        "feat", "thr", "left", "right", "default_left", "leaf_val",
+        "offsets", "depth", "tree_class", "epvals",
+    ):
+        assert np.array_equal(getattr(via_spark, field), getattr(via_arrow, field)), field
+    assert via_spark.base_score == via_arrow.base_score
+    assert load_forest_arrays(d) is via_arrow  # per-process cache
