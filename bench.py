@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 N_EPPA_FRAMES = 34  # full eligible window (snap+14..snap+47) — the unit the
@@ -322,6 +323,10 @@ def main() -> None:
     timings["pagerank_10m_graph_build"] = pr_graph_sec
     timings["pagerank_10m_3_supersteps"] = pr_steps_sec
     total = round(sum(timings.values()), 3)
+    # leading newline + flush: even if anything wrote a partial \r-terminated
+    # line to stdout, the JSON starts on a fresh line (BENCH_r05 parsed=null
+    # was the progress stream glued onto this line)
+    sys.stdout.write("\n")
     print(
         json.dumps(
             {
@@ -335,7 +340,8 @@ def main() -> None:
                 "pagerank_10m_sec_per_superstep": pr_step_sec,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -110,7 +110,10 @@ class TreeEnsemble:
     def to_forest(self) -> "FlatForest":
         """Re-express the depth-2 spec as a FlatForest (7-node trees in
         xgboost's node layout: root 0, internal 1-2, leaves 3-6). Scores
-        bit-identically: one leaf add per tree in the same tree order."""
+        bit-identically INCLUDING on NaN inputs: TreeEnsemble's `<`
+        comparison routes NaN right, so every node emits default_left=0 —
+        a default_left=1 here would silently flip NaN routing in the
+        converted forest (round-6 review finding)."""
         trees = []
         for t in range(len(self.feat_a)):
             l0, l1, l2, l3 = (float(v) for v in self.leaves[t])
@@ -126,7 +129,7 @@ class TreeEnsemble:
                         float(self.thr_a[t]), float(self.thr_b[t]),
                         float(self.thr_b[t]), l0, l1, l2, l3,
                     ],
-                    "default_left": [1, 1, 1, 0, 0, 0, 0],
+                    "default_left": [0] * 7,
                 }
             )
         return FlatForest.from_node_arrays(

@@ -44,8 +44,12 @@ def forest_to_xgb_json(forest: FlatForest) -> dict:
     stored node order), so ``forest_from_xgb_json(forest_to_xgb_json(f))``
     reproduces ``f``'s arrays exactly.
     """
+    # learner-level feature count, emitted uniformly into every tree's
+    # tree_param (xgboost writes the global count per tree; a running max
+    # would make tree 0's metadata depend on tree order)
+    internal = forest.left != np.arange(len(forest.left))
+    num_feature = int(forest.feat[internal].max()) + 1 if internal.any() else 0
     trees = []
-    num_feature = 0
     for t in range(forest.n_trees):
         nodes = forest.tree_nodes(t)
         n = len(nodes["left_children"])
@@ -56,7 +60,6 @@ def forest_to_xgb_json(forest: FlatForest) -> dict:
             if l != -1:
                 parents[l] = i
                 parents[r] = i
-                num_feature = max(num_feature, nodes["split_indices"][i] + 1)
         trees.append(
             {
                 "id": t,

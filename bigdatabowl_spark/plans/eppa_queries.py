@@ -47,6 +47,36 @@ KERNEL_OUT = os.environ.get("SPARK_GRAFT_KERNEL_OUT", "/tmp/bigdatabowl_kernel")
 _SF_MARKER = "_STAGED_FROM"  # underscore prefix: invisible to Spark's
 #                              parquet listing and to the oracle's *.parquet glob
 
+_KERNEL_FP: str | None = None
+
+
+def kernel_fingerprint() -> str:
+    """md5 of every kernels/*.py source file (12 hex chars, cached per
+    process). Staging markers embed it so staged tables are invalidated
+    when KERNEL CODE changes, not just when the sf changes — without it a
+    warm staging dir would keep serving (and green-lighting, since both
+    engines read the same stale bytes) pre-edit results (round-6 review
+    finding)."""
+    global _KERNEL_FP
+    if _KERNEL_FP is None:
+        import hashlib
+
+        import bigdatabowl_spark.kernels as kernels_pkg
+
+        root = os.path.dirname(kernels_pkg.__file__)
+        h = hashlib.md5()
+        for fname in sorted(os.listdir(root)):
+            if fname.endswith(".py"):
+                with open(os.path.join(root, fname), "rb") as fh:
+                    h.update(fh.read())
+        _KERNEL_FP = h.hexdigest()[:12]
+    return _KERNEL_FP
+
+
+def marker_value(sf_dir: str) -> str:
+    """Staging-marker payload: source sf_dir + kernel-code fingerprint."""
+    return sf_dir.rstrip("/") + "|" + kernel_fingerprint()
+
 
 def materialize_kernel(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     """Persist a kernel output table to the staging dir and hand back the
@@ -54,18 +84,20 @@ def materialize_kernel(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     the readside queries see byte-identical float64 values (S11 artifact
     persistence; the reference's per-play pickle dirs, play_eppa_cpu.py:670).
     The _STAGED_FROM marker (written AFTER the parquet, since overwrite
-    truncates the dir) records which sf_dir produced the table."""
+    truncates the dir) records which sf_dir + kernel-code version produced
+    the table."""
     path = os.path.join(KERNEL_OUT, name)
     df.write.mode("overwrite").parquet(path)
     with open(os.path.join(path, _SF_MARKER), "w") as f:
-        f.write(sf_dir.rstrip("/"))
+        f.write(marker_value(sf_dir))
     return df.sparkSession.read.parquet(path)
 
 
 def staged_fresh(name: str, sf_dir: str) -> bool:
-    """True iff the staged table exists AND was built from this sf_dir —
-    the _STAGED_FROM marker keeps a staged read from being silently
-    satisfied by another scale factor's bytes."""
+    """True iff the staged table exists AND was built from this sf_dir by
+    the CURRENT kernel code — the marker keeps a staged read from being
+    silently satisfied by another scale's (or another code version's)
+    bytes."""
     path = os.path.join(KERNEL_OUT, name)
     if not os.path.isdir(path) or not any(
         f.endswith(".parquet") for f in os.listdir(path)
@@ -73,7 +105,7 @@ def staged_fresh(name: str, sf_dir: str) -> bool:
         return False
     try:
         with open(os.path.join(path, _SF_MARKER)) as f:
-            return f.read().strip() == sf_dir.rstrip("/")
+            return f.read().strip() == marker_value(sf_dir)
     except OSError:
         return False
 

@@ -10,7 +10,10 @@ with a direct cross-engine hash.
 
 Cross-engine determinism: both engines read identical float64 prior bytes;
 the per-cell product `P(T|L) · p(t)` is one IEEE multiply, the quantization
-`floor(h·1e15)` one multiply + floor — bit-identical. The renormalization
+`floor(h·1e12)` one multiply + floor — bit-identical (1e12 units keep
+`hq·1e6` ≥ 1000× inside BIGINT even if a future prior concentrates all
+mass on one cell — at 1e15 a single-cell mass above ~0.0092 would
+overflow divergently: DuckDB errors, Spark wraps). The renormalization
 is integer: parts-per-million via BIGINT floor division against the exact
 integer total, so the order-sensitive double sum never crosses engines.
 `floor(L + 0.5)` stands in for the kernel's np.rint: with the ball at a
@@ -26,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatabowl_spark.plans.catalog import register, t
-from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT, _SF_MARKER
+from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT, _SF_MARKER, marker_value
 
 # Fixed surface configuration: ball at a cell center (integer offsets →
 # no rounding ties), throw frame 15 of the p(t) table — mid-dropback, the
@@ -51,7 +54,7 @@ def _stage_priors(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(_PRIOR_STAGE, _SF_MARKER)
     try:
         with open(marker) as f:
-            if f.read().strip() == sf_dir.rstrip("/"):
+            if f.read().strip() == marker_value(sf_dir):
                 return _PRIOR_STAGE
     except OSError:
         pass
@@ -63,7 +66,7 @@ def _stage_priors(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(_PRIOR_STAGE, "T_given_L")
     )
     with open(marker, "w") as f:
-        f.write(sf_dir.rstrip("/"))
+        f.write(marker_value(sf_dir))
     return _PRIOR_STAGE
 
 
@@ -84,7 +87,7 @@ def _stage_priors(spark: SparkSession, sf_dir: str) -> str:
         FROM grid
     ), h AS (
         SELECT b.flat, CAST(tl.T AS BIGINT) AS T,
-               CAST(floor(CASE WHEN b.in_range THEN tl.p * pt.p ELSE 0.0 END * 1e15)
+               CAST(floor(CASE WHEN b.in_range THEN tl.p * pt.p ELSE 0.0 END * 1e12)
                     AS BIGINT) AS hq
         FROM binned b
         JOIN read_parquet('{_PRIOR_STAGE}/T_given_L/*.parquet') tl ON tl.dist = b.dist
@@ -145,7 +148,7 @@ def m4_prior_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 F.when(F.col("in_range"), F.col("tl_p") * F.col("pt_p"))
                 .otherwise(F.lit(0.0))
-                * 1e15
+                * 1e12
             )
             .cast("bigint")
             .alias("hq"),
@@ -177,22 +180,54 @@ _FOREST_STAGE = os.path.join(KERNEL_OUT, "m1b_forest")
 _FOREST_DEPTH = 4
 
 
+def scaled_forest(depth: int = _FOREST_DEPTH):
+    """default_deep re-thresholded to THIS catalog's feature scales.
+
+    default_deep's thresholds sit in [-0.75, 0.75] (standardized tracking
+    features); round6's _FEATURES are raw orders columns (totalprice ~1e5,
+    year ~1995, cents % p in 0..p), so the stock thresholds would route
+    almost every row down one spine and the four-path certification would
+    never exercise most comparisons (round-6 review finding). Each
+    internal node's threshold becomes the feature's natural mid-range
+    value (_FEATURES[i][1], the same anchors m1's relational spec uses)
+    scaled by a deterministic factor in [0.96, 1.04] — tight enough that
+    every feature family still splits, varied enough that trees differ."""
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+
+    base = FlatForest.default_deep(depth=depth)
+    trees = []
+    for t in range(base.n_trees):
+        nodes = base.tree_nodes(t)
+        lc = nodes["left_children"]
+        sc = list(nodes["split_conditions"])
+        for i in range(len(lc)):
+            if lc[i] != -1:
+                feat = nodes["split_indices"][i]
+                factor = 0.96 + 0.008 * ((t * 13 + i * 7) % 11)
+                sc[i] = _FEATURES[feat][1] * factor
+        nodes["split_conditions"] = sc
+        trees.append(nodes)
+    return FlatForest.from_node_arrays(
+        trees, [int(c) for c in base.tree_class], base.epvals.copy()
+    )
+
+
 def _stage_forest(spark: SparkSession, sf_dir: str) -> str:
     """Stage the depth-4 forest node relations under KERNEL_OUT (S6/S11;
     the model artifact both engines traverse)."""
-    from bigdatabowl_spark.kernels.ensemble import FlatForest
     from bigdatabowl_spark.sources.artifacts import save_forest
 
     marker = os.path.join(_FOREST_STAGE, _SF_MARKER)
     try:
         with open(marker) as f:
-            if f.read().strip() == sf_dir.rstrip("/"):
+            if f.read().strip() == marker_value(sf_dir):
                 return _FOREST_STAGE
     except OSError:
         pass
-    save_forest(spark, FlatForest.default_deep(depth=_FOREST_DEPTH), _FOREST_STAGE)
+    save_forest(spark, scaled_forest(), _FOREST_STAGE)
     with open(marker, "w") as f:
-        f.write(sf_dir.rstrip("/"))
+        f.write(marker_value(sf_dir))
     return _FOREST_STAGE
 
 

@@ -23,6 +23,10 @@ _BUILD_CONF = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
+    # the console progress bar interleaves \r-separated [Stage ...] fragments
+    # into the same output stream as bench.py's single JSON line, which can
+    # glue junk onto that line and break a line-oriented JSON parse
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -258,9 +258,14 @@ def load_forest(spark: SparkSession, out_dir: str = DEFAULT_FOREST_DIR) -> FlatF
         r["key"]: r["value"]
         for r in spark.read.parquet(os.path.join(out_dir, "meta")).collect()
     }
+    # one linear pass over the (tree_id, node_id)-sorted rows — a real
+    # default-depth model is hundreds of trees × 127 nodes, so a per-tree
+    # scan of all rows would be O(trees × nodes) on the driver
+    from itertools import groupby
+
     trees = []
-    for t in range(len(tree_rows)):
-        rows = [r for r in node_rows if r["tree_id"] == t]
+    for _, grp in groupby(node_rows, key=lambda r: r["tree_id"]):
+        rows = list(grp)
         trees.append(
             {
                 "left_children": [r["lc"] for r in rows],
@@ -290,18 +295,34 @@ def roundtrip_forest(
     return load_forest(spark, out_dir)
 
 
-_FOREST_CACHE: dict[str, FlatForest] = {}
+_FOREST_CACHE: dict[str, tuple[tuple, FlatForest]] = {}
+
+
+def _forest_stamp(out_dir: str) -> tuple:
+    """Content stamp of the staged node files (name, size, mtime_ns): a
+    restage at the same path invalidates warm-worker caches — Spark
+    reuses Python workers across queries, so a path-only key would serve
+    a STALE model after save_forest overwrites the dir."""
+    nodes_dir = os.path.join(out_dir, "nodes")
+    stamp = []
+    for f in sorted(os.listdir(nodes_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(nodes_dir, f))
+            stamp.append((f, st.st_size, st.st_mtime_ns))
+    return tuple(stamp)
 
 
 def load_forest_arrays(out_dir: str = DEFAULT_FOREST_DIR) -> FlatForest:
     """EXECUTOR-side forest load: pure pyarrow, no SparkSession — for
     mapInPandas scorers that load the model inside the worker process
     (the reference's load-binaries-at-startup shape, play_eppa_cpu.py:
-    80-87). Cached per process, so repeated Arrow batches pay zero reload;
-    float64 bytes are identical to the driver-side load_forest."""
+    80-87). Cached per process keyed on the node-file content stamp, so
+    repeated Arrow batches pay zero reload and a restaged model is picked
+    up; float64 bytes are identical to the driver-side load_forest."""
+    stamp = _forest_stamp(out_dir)
     cached = _FOREST_CACHE.get(out_dir)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
     import pyarrow.parquet as pq
 
     nodes = (
@@ -323,9 +344,10 @@ def load_forest_arrays(out_dir: str = DEFAULT_FOREST_DIR) -> FlatForest:
     base_score = float(
         dict(zip(meta["key"], meta["value"])).get("base_score", 0.0)
     )
+    # single grouped pass over the sorted node table (linear, not
+    # per-tree boolean filters over the whole frame)
     trees = []
-    for tid in tree_rows["tree_id"].tolist():
-        g = nodes[nodes["tree_id"] == tid]
+    for _, g in nodes.groupby("tree_id", sort=True):
         lc = g["lc"].tolist()
         trees.append(
             {
@@ -345,7 +367,7 @@ def load_forest_arrays(out_dir: str = DEFAULT_FOREST_DIR) -> FlatForest:
         ep["epval"].to_numpy(dtype=np.float64),
         base_score=base_score,
     )
-    _FOREST_CACHE[out_dir] = forest
+    _FOREST_CACHE[out_dir] = (stamp, forest)
     return forest
 
 

@@ -54,9 +54,10 @@ def test_no_oracle_emits_hugeint(spark, sf_dir):
     # The round-5 readside oracles DESCRIBE staged kernel parquet — make
     # sure it exists before asking DuckDB for schemas on a cold machine.
     ensure_kernel_staged(spark, sf_dir)
-    from bigdatabowl_spark.plans.round6 import _stage_priors
+    from bigdatabowl_spark.plans.round6 import _stage_forest, _stage_priors
 
     _stage_priors(spark, sf_dir)  # m4_prior_surface's oracle reads these
+    _stage_forest(spark, sf_dir)  # m1b/m1c/m1d oracles walk these nodes
     con = duck_connection(sf_dir)
     offenders = []
     for name, q in CATALOG.items():

@@ -344,6 +344,8 @@ def test_m1b_forest_score_matches_numpy_forest(spark):
     from bigdatabowl_spark.plans.catalog import CATALOG
     import pyspark.sql.functions as F
 
+    from bigdatabowl_spark.plans.round6 import scaled_forest
+
     sf_dir = "/root/testdata/sf0.001"
     rows = CATALOG["m1b_forest_score"].builder(spark, sf_dir).collect()
     assert rows and all(r["unresolved"] == 0 for r in rows)
@@ -359,7 +361,7 @@ def test_m1b_forest_score_matches_numpy_forest(spark):
         .sort_values("o_orderkey")
     )
     X = feats[[f"f{i}" for i in range(26)]].to_numpy(np.float64)
-    forest = FlatForest.default_deep(depth=4)
+    forest = scaled_forest()
     # per-tree leaf values quantized then summed, matching the SQL exactly
     want = {}
     lv = forest.leaf_val
@@ -368,15 +370,21 @@ def test_m1b_forest_score_matches_numpy_forest(spark):
 
     rows_idx = _np.arange(n)
     acc = {}
+    leaf_diversity = []
     for tr in range(forest.n_trees):
         cur = _np.full(n, forest.offsets[tr], dtype=_np.int64)
         for _ in range(int(forest.depth[tr])):
             f = forest.feat[cur]
             go_left = X[rows_idx, f] < forest.thr[cur]
             cur = _np.where(go_left, forest.left[cur], forest.right[cur])
+        leaf_diversity.append(len(_np.unique(cur)))
         q = _np.floor(lv[cur] * 1e9).astype(_np.int64)
         c = int(forest.tree_class[tr])
         acc[c] = acc.get(c, 0) + q
+    # the scaled thresholds must make the certification EXERCISE the
+    # trees: every tree routes rows into several distinct leaves (the
+    # stock default_deep thresholds sent ~everything down one spine)
+    assert min(leaf_diversity) >= 3, leaf_diversity
     for c, qs in acc.items():
         for i, key in enumerate(feats["o_orderkey"].tolist()):
             want[(key, c)] = want.get((key, c), 0) + int(qs[i])
@@ -418,3 +426,79 @@ def test_m1d_compiled_matches_m1b_join_walk(spark):
         for r in CATALOG["m1d_forest_compiled_score"].builder(spark, sf_dir).collect()
     }
     assert b == d and len(b) > 0
+
+
+def test_staging_marker_invalidates_on_kernel_code_change(tmp_path, monkeypatch):
+    """A staged kernel table is stale when the marker's kernel-code
+    fingerprint differs from the current one — a warm staging dir must not
+    serve pre-edit bytes after kernels/*.py changes (round-6 fix)."""
+    from bigdatabowl_spark.plans import eppa_queries as eq
+
+    monkeypatch.setattr(eq, "KERNEL_OUT", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    d = tmp_path / "some_table"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+
+    # current-code marker → fresh
+    (d / eq._SF_MARKER).write_text(eq.marker_value(sf_dir))
+    assert eq.staged_fresh("some_table", sf_dir)
+
+    # pre-fingerprint marker format (bare sf_dir) → stale
+    (d / eq._SF_MARKER).write_text(sf_dir)
+    assert not eq.staged_fresh("some_table", sf_dir)
+
+    # same sf, different (old) fingerprint → stale
+    (d / eq._SF_MARKER).write_text(sf_dir + "|deadbeef0000")
+    assert not eq.staged_fresh("some_table", sf_dir)
+
+    # different sf, current fingerprint → stale
+    other = eq.marker_value("/root/testdata/sf0.01")
+    (d / eq._SF_MARKER).write_text(other)
+    assert not eq.staged_fresh("some_table", sf_dir)
+
+
+def test_executor_forest_cache_invalidates_on_restage(spark, tmp_path):
+    """load_forest_arrays' per-process cache is keyed on the node-file
+    content stamp: overwriting the staged model at the SAME path must serve
+    the NEW leaves on the next call (warm Python workers survive across
+    queries, so a path-only cache would score a stale model — round-6 fix)."""
+    import numpy as np
+
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+    from bigdatabowl_spark.sources.artifacts import (
+        load_forest_arrays,
+        save_forest,
+    )
+
+    out = str(tmp_path / "forest")
+    f1 = FlatForest.default_deep(depth=3)
+    save_forest(spark, f1, out)
+    got1 = load_forest_arrays(out)
+    assert np.array_equal(got1.leaf_val, f1.leaf_val)
+
+    bumped = FlatForest.from_node_arrays(
+        [
+            {
+                "left_children": f1.tree_nodes(t)["left_children"],
+                "right_children": f1.tree_nodes(t)["right_children"],
+                "split_indices": f1.tree_nodes(t)["split_indices"],
+                "split_conditions": [
+                    c + (1.0 if lc == -1 else 0.0)
+                    for c, lc in zip(
+                        f1.tree_nodes(t)["split_conditions"],
+                        f1.tree_nodes(t)["left_children"],
+                    )
+                ],
+                "default_left": f1.tree_nodes(t)["default_left"],
+            }
+            for t in range(f1.n_trees)
+        ],
+        [int(c) for c in f1.tree_class],
+        f1.epvals.copy(),
+    )
+    save_forest(spark, bumped, out)
+    got2 = load_forest_arrays(out)  # same path, cache must notice the restage
+    is_leaf = f1.left == np.arange(len(f1.left))
+    assert np.array_equal(got2.leaf_val[is_leaf], f1.leaf_val[is_leaf] + 1.0)
+    assert np.array_equal(got2.leaf_val[~is_leaf], f1.leaf_val[~is_leaf])
