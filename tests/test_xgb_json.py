@@ -259,3 +259,121 @@ def test_unsupported_layouts_raise():
     lin["learner"]["gradient_booster"]["name"] = "gblinear"
     with _pytest.raises(ValueError, match="booster"):
         forest_from_xgb_json(lin)
+
+
+def test_verbatim_xgboost2_binary_document_loads_and_scores():
+    """A document with EXACTLY the field set a real `xgboost>=2.0`
+    `Booster.save_model('*.json')` writes for a binary-logistic model —
+    JSON booleans in default_left, scientific-notation base_score string,
+    num_class "0", iteration_indptr, populated feature_names/types,
+    non-zero base_weights/loss_changes/sum_hessian, 2147483647 parent
+    sentinels — loads without touching kernel code and margins match
+    single-row traversal of the printed trees (+ base_score), including
+    NaN routing per default_left. Guards against the loader silently
+    depending on OUR emitter's field subset rather than xgboost's."""
+    doc = {
+        "learner": {
+            "attributes": {
+                "best_iteration": "1",
+                "best_score": "0.23",
+                "scikit_learn": '{"_estimator_type": "classifier"}',
+            },
+            "feature_names": ["f0", "f1", "f2"],
+            "feature_types": ["float", "float", "int"],
+            "gradient_booster": {
+                "model": {
+                    "gbtree_model_param": {
+                        "num_parallel_tree": "1",
+                        "num_trees": "2",
+                    },
+                    "iteration_indptr": [0, 1, 2],
+                    "tree_info": [0, 0],
+                    "trees": [
+                        {
+                            # depth-2 asymmetric: node 1 is internal, node 2 a leaf
+                            "base_weights": [0.1, -0.2, 0.3, 0.4, -0.5],
+                            "categories": [],
+                            "categories_nodes": [],
+                            "categories_segments": [],
+                            "categories_sizes": [],
+                            "default_left": [True, False, False, False, False],
+                            "id": 0,
+                            "left_children": [1, 3, -1, -1, -1],
+                            "loss_changes": [12.5, 3.25, 0.0, 0.0, 0.0],
+                            "parents": [2147483647, 0, 0, 1, 1],
+                            "right_children": [2, 4, -1, -1, -1],
+                            "split_conditions": [0.5, -1.25, 0.7, 0.4, -0.5],
+                            "split_indices": [0, 2, 0, 0, 0],
+                            "split_type": [0, 0, 0, 0, 0],
+                            "sum_hessian": [40.0, 22.0, 18.0, 12.0, 10.0],
+                            "tree_param": {
+                                "num_deleted": "0",
+                                "num_feature": "3",
+                                "num_nodes": "5",
+                                "size_leaf_vector": "1",
+                            },
+                        },
+                        {
+                            "base_weights": [0.0, 0.2, -0.1],
+                            "categories": [],
+                            "categories_nodes": [],
+                            "categories_segments": [],
+                            "categories_sizes": [],
+                            "default_left": [False, False, False],
+                            "id": 1,
+                            "left_children": [1, -1, -1],
+                            "loss_changes": [5.0, 0.0, 0.0],
+                            "parents": [2147483647, 0, 0],
+                            "right_children": [2, -1, -1],
+                            "split_conditions": [2.0, 0.25, -0.125],
+                            "split_indices": [1, 0, 0],
+                            "split_type": [0, 0, 0],
+                            "sum_hessian": [40.0, 25.0, 15.0],
+                            "tree_param": {
+                                "num_deleted": "0",
+                                "num_feature": "3",
+                                "num_nodes": "3",
+                                "size_leaf_vector": "1",
+                            },
+                        },
+                    ],
+                },
+                "name": "gbtree",
+            },
+            "learner_model_param": {
+                "base_score": "5E-1",
+                "boost_from_average": "1",
+                "num_class": "0",
+                "num_feature": "3",
+                "num_target": "1",
+            },
+            "objective": {
+                "name": "binary:logistic",
+                "reg_loss_param": {"scale_pos_weight": "1"},
+            },
+        },
+        "version": [2, 0, 3],
+    }
+    forest = forest_from_xgb_json(doc)
+    assert forest.n_trees == 2 and forest.n_classes == 1
+    assert forest.base_score == 0.5
+
+    X = np.array(
+        [
+            [0.4, 1.0, -2.0],   # t0: left then f2<-1.25 → left leaf 0.4; t1: f1<2 → 0.25
+            [0.6, 3.0, 0.0],    # t0: right leaf 0.7;                t1: right → -0.125
+            [np.nan, 1.0, 0.0], # t0 root: NaN + default_left=True → left, f2=0<-1.25? no → leaf -0.5
+            [0.4, np.nan, -2.0],# t1 root: NaN + default_left=False → right → -0.125
+        ]
+    )
+    got = forest.margins(X)[:, 0]
+    want = np.array(
+        [0.5 + 0.4 + 0.25,
+         0.5 + 0.7 + (-0.125),
+         0.5 + (-0.5) + 0.25,
+         0.5 + 0.4 + (-0.125)]
+    )
+    assert np.array_equal(got, want)
+
+    # load → save → load preserves the node arrays verbatim
+    _assert_forests_identical(forest, forest_from_xgb_json(forest_to_xgb_json(forest)))
