@@ -80,3 +80,123 @@ def test_kernel_pure(players, fas):
     b = frame_surfaces(players, np.array([35.0, 26.5]), fas, _PARAMS, _PRIORS)
     np.testing.assert_array_equal(a["eppa_ft"], b["eppa_ft"])
     np.testing.assert_array_equal(a["trans"], b["trans"])
+
+
+# ---------------------------------------------------------------------------
+# FlatForest property fuzz: arbitrary tree shapes score like a per-row walk
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def random_tree(draw, n_features: int):
+    """A random binary tree in xgboost's node layout (root 0, children at
+    later indices, -1 leaf markers, leaf value riding split_conditions)."""
+    lc, rc, si, sc, dl = [], [], [], [], []
+
+    def add_node(depth_left: int) -> int:
+        i = len(lc)
+        lc.append(-2)  # placeholders patched below (list must grow first)
+        rc.append(-2)
+        si.append(0)
+        sc.append(0.0)
+        dl.append(0)
+        is_leaf = depth_left == 0 or draw(st.booleans())
+        if is_leaf:
+            lc[i] = rc[i] = -1
+            sc[i] = draw(st.floats(-2.0, 2.0, allow_nan=False))
+        else:
+            si[i] = draw(st.integers(0, n_features - 1))
+            sc[i] = draw(st.floats(-1.5, 1.5, allow_nan=False))
+            dl[i] = int(draw(st.booleans()))
+            lc[i] = add_node(depth_left - 1)
+            rc[i] = add_node(depth_left - 1)
+        return i
+
+    add_node(draw(st.integers(0, 4)))
+    return {
+        "left_children": lc,
+        "right_children": rc,
+        "split_indices": si,
+        "split_conditions": sc,
+        "default_left": dl,
+    }
+
+
+@st.composite
+def random_forest_and_X(draw):
+    from bigdatabowl_spark.kernels.ensemble import FlatForest
+
+    n_features = draw(st.integers(1, 5))
+    n_class = draw(st.integers(1, 4))
+    n_trees = draw(st.integers(1, 5))
+    trees = [draw(random_tree(n_features)) for _ in range(n_trees)]
+    info = [draw(st.integers(0, n_class - 1)) for _ in range(n_trees)]
+    # every class needs >=1 tree? margins only touches classes present; the
+    # epvals length fixes C regardless, so uncovered classes just carry
+    # base_score — fine.
+    base_score = draw(st.floats(-1.0, 1.0, allow_nan=False))
+    forest = FlatForest.from_node_arrays(
+        trees,
+        info,
+        np.arange(n_class, dtype=np.float64),
+        base_score=base_score,
+    )
+    n_rows = draw(st.integers(1, 8))
+    X = np.array(
+        [
+            [
+                draw(
+                    st.one_of(
+                        st.floats(-3.0, 3.0, allow_nan=False), st.just(np.nan)
+                    )
+                )
+                for _ in range(n_features)
+            ]
+            for _ in range(n_rows)
+        ],
+        dtype=np.float64,
+    )
+    return forest, trees, info, base_score, X
+
+
+def _walk_row(tree: dict, x: np.ndarray) -> float:
+    """Per-row pure-Python reference traversal (xgboost semantics)."""
+    i = 0
+    while tree["left_children"][i] != -1:
+        v = x[tree["split_indices"][i]]
+        if np.isnan(v):
+            go_left = bool(tree["default_left"][i])
+        else:
+            go_left = v < tree["split_conditions"][i]
+        i = tree["left_children"][i] if go_left else tree["right_children"][i]
+    return tree["split_conditions"][i]
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=random_forest_and_X())
+def test_forest_margins_match_per_row_walk(data):
+    """Vectorized depth-many gather scoring == naive per-row traversal for
+    ARBITRARY tree shapes (ragged, leaf-only, NaN features, any
+    default_left pattern) — and the xgboost-JSON codec round-trips the
+    structure byte-for-byte."""
+    from bigdatabowl_spark.kernels.xgb_json import (
+        forest_from_xgb_json,
+        forest_to_xgb_json,
+    )
+
+    forest, trees, info, base_score, X = data
+    got = forest.margins(X)
+    n_class = forest.n_classes
+    want = np.full((len(X), n_class), base_score, dtype=np.float64)
+    for t, (tree, c) in enumerate(zip(trees, info)):
+        for r in range(len(X)):
+            want[r, c] += _walk_row(tree, X[r])
+    assert np.array_equal(got, want)
+
+    back = forest_from_xgb_json(forest_to_xgb_json(forest))
+    for f in (
+        "feat", "thr", "left", "right", "default_left", "leaf_val",
+        "offsets", "depth", "tree_class",
+    ):
+        assert (getattr(forest, f) == getattr(back, f)).all(), f
+    assert back.base_score == forest.base_score
