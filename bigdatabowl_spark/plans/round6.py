@@ -498,3 +498,240 @@ def m1d_forest_compiled_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAT["m1d_forest_compiled_score"] = _replace(
     _CAT["m1d_forest_compiled_score"], oracle=_m1b_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary encoding — the tokenize→encode step of a pretraining pipeline
+# --------------------------------------------------------------------------
+
+VOCAB_SIZE = 256  # id space 0..255; OOV id = VOCAB_SIZE
+
+
+@register(
+    "encode_tokens",
+    "TT2,TT5,J1,O2,A7",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, u.tok, u.pos FROM (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        ), LATERAL (SELECT unnest(arr) AS tok, unnest(range(len(arr))) AS pos) u
+    ),
+    vocab AS (
+        SELECT tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+                   AS token_id
+        FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+              ORDER BY n DESC, tok LIMIT {VOCAB_SIZE})
+    )
+    SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+           CAST(COALESCE(v.token_id, {VOCAB_SIZE}) AS BIGINT) AS token_id
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    """,
+)
+def encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: corpus-frequency vocab (top-{VOCAB_SIZE} tokens,
+    ids assigned in (count desc, token asc) order) applied to every document
+    as an exploded (doc_id, pos, token_id) relation with OOV id
+    {VOCAB_SIZE} — the tokenize→encode step every pretraining pipeline runs
+    before `pack_sequences` lays packs out.
+
+    Scale shape, the part that matters at 100 TB: the vocab derivation
+    NEVER globally sorts the full token-frequency table (a web corpus has
+    billions of unique tokens). Frequencies partial-aggregate map-side,
+    top-V rides orderBy().limit(V) — TakeOrderedAndProject, per-partition
+    top-V + constant driver merge — and ONLY the V-row result gets the
+    single-partition row_number window (constant-size by construction).
+    Encoding is a broadcast left join: map-only, no shuffle of the token
+    stream. The per-token explode is the unavoidable linear fan-out.
+    """
+    from pyspark.sql import Window
+
+    from bigdatabowl_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_SIZE)
+    vocab = top.select(
+        "tok",
+        (
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))) - 1
+        ).cast("bigint").alias("token_id"),
+    )
+    return toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(VOCAB_SIZE).cast("bigint")).alias(
+            "token_id"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring — the CCNet-style perplexity quality filter
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ngram_lm_score",
+    "TQ3,TT3,TT1,A7,J2",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, arr[i.x + 1] AS a, arr[i.x + 2] AS b
+        FROM toks, LATERAL (SELECT unnest(range(len(arr) - 1)) AS x) i
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT u.tok) AS v
+        FROM (SELECT unnest(arr) AS tok FROM toks) u
+    ),
+    nab AS (SELECT a, b, COUNT(*) AS n_ab FROM bi GROUP BY a, b),
+    na AS (SELECT a, COUNT(*) AS n_a FROM bi GROUP BY a)
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(ln((n_a + v) / (n_ab + 1)) * 1e6) AS BIGINT))
+                AS BIGINT) AS nll_micro,
+           CAST(FLOOR(CAST(SUM(CAST(round(ln((n_a + v) / (n_ab + 1)) * 1e6)
+                                    AS BIGINT)) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS avg_nll_micro
+    FROM bi
+    JOIN nab USING (a, b)
+    JOIN na USING (a)
+    CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """,
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: fit an add-1-smoothed bigram LM on the
+    corpus itself, then score every document's negative log-likelihood —
+    the perplexity-based quality filter (CCNet-style) that pretraining
+    pipelines run between heuristic filters and model-based classifiers.
+    P(b|a) = (c(a,b)+1) / (c(a·)+V); per-bigram surprisal is emitted in
+    integer micro-nats so the cross-engine hash never sums raw doubles
+    (−ln P = ln((c(a·)+V)/(c(a,b)+1)), argument > 1, one IEEE division of
+    exact integers then ln, rounded half-up at 1e-6 — the catalog's
+    transcendental rule). Docs with <2 tokens have no bigram events and are
+    absent by construction in both engines.
+
+    Scale shape: bigram extraction is a map-only array transform (no
+    window, no shuffle, no self-join to form pairs); the LM tables are
+    groupBy partial-aggregates shuffled once on their own keys; scoring
+    re-joins the bigram stream to the counts on the SAME (a,b)/(a) keys —
+    plain equi-joins that AQE sizes (broadcast at this sf; shuffle-hash at
+    web scale where the bigram table is billions of rows and no side
+    broadcasts). The vocab size V is a 1-row scalar broadcast.
+    """
+    from bigdatabowl_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    arr_df = docs.select("doc_id", tokens(F.col("text")).alias("arr"))
+    bi = arr_df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(arr, 1, size(arr) - 1),"
+                " (x, i) -> struct(x AS a, arr[i + 1] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    vocab = (
+        arr_df.select(F.explode("arr").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    nab = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    na = bi.groupBy("a").agg(F.count("*").alias("n_a"))
+    term = F.round(
+        F.log((F.col("n_a") + F.col("v")) / (F.col("n_ab") + F.lit(1))) * 1e6
+    ).cast("long")
+    scored = (
+        bi.join(nab, ["a", "b"])
+        .join(na, ["a"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", term.alias("nll_term_micro"))
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("nll_term_micro").cast("long").alias("nll_micro"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro",
+        F.floor(F.col("nll_micro").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_nll_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall certification — IVF candidates vs brute-force ground truth
+# --------------------------------------------------------------------------
+
+
+def _sim_recall_oracle() -> str:
+    brute = _CAT["embed_knn_brute"].oracle
+    ivf = _CAT["embed_ivf_knn"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+    ivf AS ({ivf}),
+    hits AS (
+        SELECT b.query_id, COUNT(*) AS n_hits
+        FROM brute b JOIN ivf i
+          ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+    ),
+    truth AS (SELECT query_id, COUNT(*) AS k FROM brute GROUP BY query_id)
+    SELECT t.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(t.k AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) * 10000 // t.k AS BIGINT) AS recall_bp
+    FROM truth t LEFT JOIN hits h USING (query_id)
+    """
+
+
+@register("sim_recall_certify", "SIM1,SIM3,U4,A7,J2", None)
+def sim_recall_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall certification: per-query recall@5 of the IVF-probed
+    top-5 (`embed_ivf_knn`) against the brute-force ground truth
+    (`embed_knn_brute`), in integer basis points — the accuracy-vs-cost
+    audit every approximate index needs before it replaces the exact scan
+    (same certify pattern as `a7c_sketch_certify` for sketches).
+
+    Scale shape: both sides are the already-audited catalog plans; the
+    certification itself is two equi-joins + a groupBy on query_id — at
+    real scale ground truth is computed for a small held-out query sample
+    (here: the same id<20 panel both queries share), so the join input is
+    O(sample·k), never O(corpus).
+    """
+    brute = _CAT["embed_knn_brute"].builder(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = _CAT["embed_ivf_knn"].builder(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    truth = brute.groupBy("query_id").agg(F.count("*").alias("k"))
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("k").cast("long").alias("k"),
+            F.floor(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 10000 / F.col("k")
+            ).cast("long").alias("recall_bp"),
+        )
+    )
+
+
+_CAT["sim_recall_certify"] = _replace(
+    _CAT["sim_recall_certify"], oracle=_sim_recall_oracle()
+)

@@ -612,3 +612,31 @@ def test_m1d_compiled_scorer_is_codegen_map_only(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"\*\(\d+\) ", executed), executed
+
+
+def test_encode_tokens_vocab_is_takeordered_and_join_broadcasts(spark, sf_dir):
+    """encode_tokens' scale contract: the vocab derivation must plan the
+    top-V as TakeOrderedAndProject (per-partition top-V + driver merge,
+    never a full sort of the token-frequency table — a web corpus has
+    billions of unique tokens), the single-partition window runs only on
+    the constant V-row result, and the encode join against the vocab is a
+    BroadcastHashJoin (the token stream itself never shuffles to encode)."""
+    plan = _catalog_plan(spark, sf_dir, "encode_tokens")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # no global Sort of the full counts relation: every Sort in the plan
+    # must sit under the TakeOrdered/window on the V-row side, which AQE
+    # prints as a local sort — assert there's no sort-merge join path
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_lm_score_pairs_map_only_no_window(spark, sf_dir):
+    """ngram_lm_score's scale contract: bigram extraction is a map-only
+    array transform (Generate over the token array — never a per-doc
+    Window/lead or a positional self-join, which would shuffle the full
+    token stream just to form pairs), and the only nested-loop join is the
+    1-row vocab-size scalar broadcast."""
+    plan = _catalog_plan(spark, sf_dir, "ngram_lm_score")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan
