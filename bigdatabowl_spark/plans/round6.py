@@ -678,18 +678,16 @@ def _sim_recall_oracle() -> str:
     return f"""
     WITH brute AS ({brute}),
     ivf AS ({ivf}),
-    hits AS (
-        SELECT b.query_id, COUNT(*) AS n_hits
-        FROM brute b JOIN ivf i
+    marked AS (
+        SELECT b.query_id, CASE WHEN i.query_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM brute b LEFT JOIN ivf i
           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
-        GROUP BY b.query_id
-    ),
-    truth AS (SELECT query_id, COUNT(*) AS k FROM brute GROUP BY query_id)
-    SELECT t.query_id,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(t.k AS BIGINT) AS k,
-           CAST(COALESCE(h.n_hits, 0) * 10000 // t.k AS BIGINT) AS recall_bp
-    FROM truth t LEFT JOIN hits h USING (query_id)
+    )
+    SELECT query_id,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(hit) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+    FROM marked GROUP BY query_id
     """
 
 
@@ -711,24 +709,15 @@ def sim_recall_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ivf = _CAT["embed_ivf_knn"].builder(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
-    hits = (
-        brute.join(ivf, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    truth = brute.groupBy("query_id").agg(F.count("*").alias("k"))
-    return (
-        truth.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            F.col("k").cast("long").alias("k"),
-            F.floor(
-                F.coalesce(F.col("n_hits"), F.lit(0)) * 10000 / F.col("k")
-            ).cast("long").alias("recall_bp"),
-        )
+    marked = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+    return marked.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        F.count("*").cast("long").alias("k"),
+        F.floor(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 10000 / F.count("*")
+        ).cast("long").alias("recall_bp"),
     )
 
 
