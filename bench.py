@@ -268,6 +268,60 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
     return round(graph_sec, 3), round(steps_sec, 3), round(steps_sec / 3, 3)
 
 
+def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
+    """Throughput for the tokenize→vocab→encode pipeline shape at 1M docs /
+    20M tokens (the sf fixture's documents table never stresses the vocab
+    aggregation, so encode_tokens' TakeOrdered-top-V posture was plan-gated
+    but unmeasured at size).
+
+    Corpus: synthesized distributed (spark.range + hash-mixed token ids,
+    nothing driver-side, no Python). Same plan shape as encode_tokens
+    (plans/round6.py): token frequencies partial-aggregate map-side, top-V
+    via orderBy().limit(V) (TakeOrderedAndProject), encode via broadcast
+    left join over the exploded token stream; plus the ngram_lm_score
+    bigram-count shape (map-only pair transform + one groupBy).
+
+    Returns (encode_sec, bigram_sec, tokens_per_sec for the encode leg).
+    """
+    import pyspark.sql.functions as F
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"transform(sequence(1, {toks_per_doc}),"
+            " j -> concat('w', pmod(hash(id * 31 + j), 5000)))"
+        ).alias("arr"),
+    )
+    n_tokens = n_docs * toks_per_doc
+    t0 = time.perf_counter()
+    toks = docs.select("doc_id", F.posexplode("arr").alias("pos", "tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(256)
+    )
+    encoded = toks.join(F.broadcast(top.select("tok")), "tok", "left")
+    encoded.count()
+    encode_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(arr, 1, size(arr) - 1),"
+                " (x, i) -> struct(x AS a, arr[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).count()
+    bigram_sec = time.perf_counter() - t0
+    return (
+        round(encode_sec, 3),
+        round(bigram_sec, 3),
+        round(n_tokens / encode_sec, 0),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -322,6 +376,9 @@ def main() -> None:
     pr_graph_sec, pr_steps_sec, pr_step_sec = bench_pagerank_scale(spark)
     timings["pagerank_10m_graph_build"] = pr_graph_sec
     timings["pagerank_10m_3_supersteps"] = pr_steps_sec
+    enc_sec, bigram_sec, enc_tps = bench_text_scale(spark)
+    timings["text_1m_encode"] = enc_sec
+    timings["text_1m_bigram_counts"] = bigram_sec
     total = round(sum(timings.values()), 3)
     # leading newline + flush: even if anything wrote a partial \r-terminated
     # line to stdout, the JSON starts on a fresh line (BENCH_r05 parsed=null
@@ -338,6 +395,7 @@ def main() -> None:
                 "eppa_frames_per_sec_isolated": eppa_iso_fps,
                 "eppa_kernel_play_isolated": eppa_iso_sec,
                 "pagerank_10m_sec_per_superstep": pr_step_sec,
+                "text_1m_encode_tokens_per_sec": enc_tps,
                 "sf": sf,
             }
         ),
