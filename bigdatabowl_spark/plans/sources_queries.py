@@ -519,3 +519,62 @@ def s17_npy_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .withColumnRenamed("file", "l_returnflag")
     )
+
+
+@register(
+    "s18_compaction_roundtrip",
+    "S10,O6,ZM1,A1",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(epoch_us(ts)) AS ts_min_us,
+           MAX(epoch_us(ts)) AS ts_max_us
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s18_compaction_roundtrip(spark: SparkSession, sf_dir: str):
+    """Small-file compaction: stage the events table as a fragmented
+    64-file ingest (the nightly micro-batch pathology — at 100 TB the
+    metadata and open() cost of millions of tiny files dominates the
+    scan), then rewrite it size-targeted and time-clustered:
+    repartitionByRange(ts) → sortWithinPartitions(ts) →
+    maxRecordsPerFile. The returned aggregate reads ONLY the compacted
+    copy while the oracle reads the raw table, so a hash match proves the
+    rewrite is lossless; the layout properties (file count collapses,
+    per-file ts ranges are disjoint → min/max zone-map pruning works for
+    time predicates) are pinned by
+    tests/test_io.py::test_compaction_collapses_files_with_disjoint_ranges.
+
+    Scale: the rewrite is one range shuffle of the new partitions (sampled
+    boundaries, no driver data), embarrassingly incremental per ingest
+    window — the OPTIMIZE/compact loop every table format (Delta, Iceberg,
+    Hudi) schedules, expressed as plain Spark.
+    """
+    from bigdatabowl_spark.functions.scalar import dec
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    ev = t(spark, sf_dir, "events")
+    frag_dir = _scratch(sf_dir, "s18_fragmented")
+    comp_dir = _scratch(sf_dir, "s18_compacted")
+    # stage: the pathological ingest layout (64 unordered shards)
+    ev.drop("ts_us", "ts_ns").repartition(64).write.mode("overwrite").parquet(
+        frag_dir
+    )
+    raw = spark.read.parquet(frag_dir)
+    (
+        raw.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(comp_dir)
+    )
+    compacted = spark.read.parquet(comp_dir)
+    compacted = compacted.withColumn("us", epoch_us_col(compacted, "ts"))
+    return compacted.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.min("us").alias("ts_min_us"),
+        F.max("us").alias("ts_max_us"),
+    )

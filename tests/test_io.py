@@ -374,3 +374,43 @@ def test_forest_executor_loader_matches_driver_loader(spark, tmp):
         assert np.array_equal(getattr(via_spark, field), getattr(via_arrow, field)), field
     assert via_spark.base_score == via_arrow.base_score
     assert load_forest_arrays(d) is via_arrow  # per-process cache
+
+
+def test_compaction_collapses_files_with_disjoint_ranges(spark, sf_dir):
+    """s18's layout contract: the compacted rewrite must (a) collapse the
+    64-shard fragmented ingest to a handful of size-targeted files and
+    (b) leave per-file ts ranges disjoint (range-partitioned + sorted →
+    min/max zone maps prune time predicates to single files)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from bigdatabowl_spark.plans.sources_queries import _scratch
+
+    CATALOG["s18_compaction_roundtrip"].builder(spark, sf_dir).collect()
+
+    frag = glob.glob(os.path.join(_scratch(sf_dir, "s18_fragmented"), "*.parquet"))
+    comp = glob.glob(os.path.join(_scratch(sf_dir, "s18_compacted"), "*.parquet"))
+    assert len(frag) >= 32, len(frag)
+    assert 0 < len(comp) <= 8, len(comp)
+
+    spans = []
+    for f in comp:
+        md = pq.read_metadata(f)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            st = col.statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        # boundaries may touch on duplicate timestamps, never interleave
+        assert nxt_lo >= prev_hi, spans
