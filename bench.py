@@ -285,6 +285,8 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     """
     import pyspark.sql.functions as F
 
+    from bigdatabowl_spark.plans.round6 import VOCAB_SIZE
+
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.expr(
@@ -299,7 +301,7 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
         toks.groupBy("tok")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(256)
+        .limit(VOCAB_SIZE)
     )
     encoded = toks.join(F.broadcast(top.select("tok")), "tok", "left")
     encoded.count()

@@ -529,10 +529,10 @@ VOCAB_SIZE = 256  # id space 0..255; OOV id = VOCAB_SIZE
     """,
 )
 def encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary encoding: corpus-frequency vocab (top-{VOCAB_SIZE} tokens,
-    ids assigned in (count desc, token asc) order) applied to every document
-    as an exploded (doc_id, pos, token_id) relation with OOV id
-    {VOCAB_SIZE} — the tokenize→encode step every pretraining pipeline runs
+    """Vocabulary encoding: corpus-frequency vocab (top-VOCAB_SIZE=256
+    tokens, ids assigned in (count desc, token asc) order) applied to every
+    document as an exploded (doc_id, pos, token_id) relation with OOV id
+    256 — the tokenize→encode step every pretraining pipeline runs
     before `pack_sequences` lays packs out.
 
     Scale shape, the part that matters at 100 TB: the vocab derivation

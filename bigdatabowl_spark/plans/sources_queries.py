@@ -523,7 +523,7 @@ def s17_npy_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s18_compaction_roundtrip",
-    "S10,O6,ZM1,A1",
+    "S10,ZM1,A1",
     """
     SELECT event_type,
            COUNT(*) AS n,

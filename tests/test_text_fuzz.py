@@ -29,15 +29,22 @@ SEEDS = range(6)
 def _gen_docs(seed: int) -> pd.DataFrame:
     rng = random.Random(seed)
     # Zipf-ish shared vocabulary + a long unique tail so some seeds
-    # overflow encode_tokens' 256-id vocab (OOV path) and some do not.
+    # overflow encode_tokens' 256-id vocab (OOV path) and some do not;
+    # test_fuzz_corpora_cover_both_vocab_regimes pins that both regimes
+    # actually occur across SEEDS.
     head = [f"w{i}" for i in range(rng.choice([40, 300]))]
     rows = []
     for doc_id in range(rng.randint(40, 120)):
         n = rng.randint(0, 30)
-        toks = [
-            head[min(int(rng.expovariate(0.08)), len(head) - 1)]
-            for _ in range(n)
-        ]
+        toks = []
+        for j in range(n):
+            r = rng.random()
+            if r < 0.70:
+                toks.append(head[min(int(rng.expovariate(0.08)), len(head) - 1)])
+            elif r < 0.92:
+                toks.append(rng.choice(head))  # uniform: reaches the full head
+            else:
+                toks.append(f"u{doc_id}x{j}")  # unique tail (guaranteed OOV)
         text = " ".join(toks)
         # adversarial whitespace mutations (both engines must agree on
         # the empty-string tokens these create)
@@ -81,3 +88,16 @@ def test_encode_tokens_fuzz(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", SEEDS)
 def test_ngram_lm_score_fuzz(spark, tmp_path, seed):
     _run_pair(spark, tmp_path, "ngram_lm_score", _gen_docs(seed), seed)
+
+
+def test_fuzz_corpora_cover_both_vocab_regimes():
+    """Guard the fuzzer itself: across SEEDS, at least one corpus must
+    overflow encode_tokens' 256-id vocabulary (exercising the OOV coalesce
+    and the LIMIT-256 truncation tie-break) and at least one must fit
+    inside it — otherwise those branches are dead in every fuzz case."""
+    distincts = [
+        len({tok for text in _gen_docs(s)["text"] for tok in text.split(" ")})
+        for s in SEEDS
+    ]
+    assert any(d > 256 for d in distincts), distincts
+    assert any(d <= 256 for d in distincts), distincts
