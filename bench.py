@@ -162,8 +162,21 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
     AQE's runtime skew-split can't reach (streaming joins, fixed plans),
     which is exactly where operators/skew.py is documented to apply.
 
-    Returns (salted_sec, unsalted_sec), each min-of-2; both plans produce
-    identical (n, qsum) — asserted, so the timing compares equal work.
+    Returns (salted_sec, unsalted_sec, aqe_sec, aqe_off_sec), each
+    min-of-2; all plans produce identical (n, qsum) — asserted, so the
+    timing compares equal work. The third/fourth legs measure AQE's
+    runtime skew-split — the remedy Spark applies when the plan is
+    adaptive, vs the explicit salting needed where it is not (streaming
+    joins, fixed plans) — as its own paired experiment: the big side is
+    pre-split into 64 map tasks (localCheckpoint'ed, outside the timed
+    region) because the split granularity is per-MAPPER — sf0.1's
+    single-file scan yields ONE map block, which cannot be split at all
+    (at 100 TB the scan has thousands of splits and this is moot) — then
+    the same unsalted join is timed with skew-split on (thresholds lowered
+    to the sf0.1 hot-partition size; the 256 MB default triggers on its
+    own at real scale; the executed plan is ASSERTED to carry skew=true so
+    this metric can never silently measure a non-split run) and with AQE
+    off (the paired baseline on the same input).
     """
     import pyspark.sql.functions as F
 
@@ -210,9 +223,61 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
             r_salt,
             r_plain,
         )
+        big64 = big.repartition(64).localCheckpoint()  # staged, untimed
+
+        aqe_off_sec = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r_off = agg(big64.join(small.hint("merge"), "k"))
+            dt = time.perf_counter() - t0
+            aqe_off_sec = dt if aqe_off_sec is None else min(aqe_off_sec, dt)
+        assert (r_off["n"], r_off["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
+            r_off,
+            r_plain,
+        )
+
+        aqe_confs = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        }
+        prev = {k: spark.conf.get(k, None) for k in aqe_confs}
+        for k, v in aqe_confs.items():
+            spark.conf.set(k, v)
+        try:
+            aqe_sec = None
+            for _ in range(2):
+                joined = big64.join(small.hint("merge"), "k").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.floor(F.col("l_extendedprice"))).alias("qsum"),
+                )
+                t0 = time.perf_counter()
+                r_aqe = joined.collect()[0]
+                dt = time.perf_counter() - t0
+                aqe_sec = dt if aqe_sec is None else min(aqe_sec, dt)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, plan
+            assert (r_aqe["n"], r_aqe["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
+                r_aqe,
+                r_plain,
+            )
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        big64.unpersist()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    return round(salted_sec, 3), round(unsalted_sec, 3)
+    return (
+        round(salted_sec, 3),
+        round(unsalted_sec, 3),
+        round(aqe_sec, 3),
+        round(aqe_off_sec, 3),
+    )
 
 
 def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
@@ -370,9 +435,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-    salted_sec, unsalted_sec = bench_skew_join(spark, sf_dir)
+    salted_sec, unsalted_sec, aqe_sec, aqe_off_sec = bench_skew_join(spark, sf_dir)
     timings["skew_join_salted"] = salted_sec
     timings["skew_join_unsalted_hotkey"] = unsalted_sec
+    timings["skew_join_aqe_split"] = aqe_sec
+    timings["skew_join_aqe_off_64map"] = aqe_off_sec
     eppa_sec, eppa_fps = bench_eppa_kernel(spark)
     timings["eppa_kernel_play"] = eppa_sec
     pr_graph_sec, pr_steps_sec, pr_step_sec = bench_pagerank_scale(spark)
