@@ -578,3 +578,64 @@ def s18_compaction_roundtrip(spark: SparkSession, sf_dir: str):
         F.min("us").alias("ts_min_us"),
         F.max("us").alias("ts_max_us"),
     )
+
+
+@register(
+    "s19_dpp_star_join",
+    "S10,J1,P1,A1",
+    """
+    WITH dim(l_returnflag, flag_class) AS (
+        VALUES ('A', 'archive'), ('N', 'live'), ('R', 'archive')
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN dim USING (l_returnflag)
+    WHERE flag_class = 'archive'
+    GROUP BY l.l_returnflag
+    """,
+)
+def s19_dpp_star_join(spark: SparkSession, sf_dir: str):
+    """Dynamic partition pruning: the fact table is laid out
+    partitionBy(l_returnflag) and joined to a tiny dimension filtered on a
+    NON-partition attribute — Spark pushes the dim's surviving keys into
+    the fact scan AT RUNTIME (dynamicpruningexpression reusing the
+    broadcast), so only the matching partition directories are read. This
+    is the star-schema scan optimization that turns a 100 TB
+    date-partitioned fact scan into just the days the dimension filter
+    selects, without the query author naming any partition.
+
+    The executed-plan gate
+    (tests/test_plan_quality.py::test_dpp_star_join_prunes_fact_scan)
+    asserts the dynamic-pruning partition filter is present in the fact
+    scan; the oracle recomputes from the raw table, proving the
+    partitioned layout is content-lossless.
+
+    Scale: staging is one partitionBy write (here per run; in production
+    the layout IS the table); the query itself is a broadcast join whose
+    scan reads 2 of 3 partitions.
+    """
+    from bigdatabowl_spark.functions.scalar import dec
+
+    li = t(spark, sf_dir, "lineitem")
+    fact_dir = _scratch(sf_dir, "s19_fact_by_flag")
+    li.select("l_returnflag", "l_orderkey", "l_extendedprice").write.mode(
+        "overwrite"
+    ).partitionBy("l_returnflag").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("A", "archive"), ("N", "live"), ("R", "archive")],
+        "l_returnflag string, flag_class string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.where(F.col("flag_class") == "archive")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )

@@ -640,3 +640,13 @@ def test_ngram_lm_score_pairs_map_only_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_dpp_star_join_prunes_fact_scan(spark, sf_dir):
+    """s19's scale contract: the partitioned fact scan must carry a
+    dynamicpruningexpression partition filter (runtime pruning from the
+    filtered dim via the reused broadcast) — without it the query reads
+    every partition of the 100 TB fact and the layout buys nothing."""
+    plan = _catalog_plan(spark, sf_dir, "s19_dpp_star_join")
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
