@@ -343,3 +343,52 @@ def test_foreach_merge_replay_idempotent(spark, sf_dir, tmp_path):
         )
     )
     assert snapshot() == expected
+
+
+def test_stateful_totals_under_rocksdb_state_store(spark, sf_dir):
+    """The state-store scale path: the default HDFS-backed provider keeps
+    every key's state on the executor HEAP — at 10^8 users it OOMs. The
+    RocksDB provider spills state to local disk with an in-memory block
+    cache, which is the 100 TB posture for any high-cardinality stateful
+    stream. Running the SAME applyInPandasWithState query under RocksDB
+    must produce identical totals (state semantics are provider-
+    independent) — this pins that nothing in our stateful operators
+    assumes the heap provider."""
+    from bigdatabowl_spark.sources.tables import load_table
+    from bigdatabowl_spark.streaming.events import stateful_user_totals
+
+    expected = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stateful_user_totals(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName("stateful_rocksdb_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n FROM stateful_rocksdb_test"
+        " GROUP BY user_id"
+    ).collect()
+    assert {r.user_id: r.n for r in got} == expected
