@@ -393,6 +393,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = round(os.getloadavg()[0], 2)
 
     from bigdatabowl_spark.session import get_spark
     import bigdatabowl_spark.plans  # noqa: F401
@@ -466,6 +467,11 @@ def main() -> None:
                 "pagerank_10m_sec_per_superstep": pr_step_sec,
                 "text_1m_encode_tokens_per_sec": enc_tps,
                 "sf": sf,
+                # host contention context: this VM's numbers swing with
+                # invisible neighbor load (SCALE.md kernel-fps caveat) —
+                # read wobbles against this, not as regressions
+                "load_avg_start": load_start,
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         ),
         flush=True,
