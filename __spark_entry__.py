@@ -42,6 +42,7 @@ _RUN_FIRST = (
     "m4_prior_surface", "m1b_forest_score", "m1c_forest_udf_score",
     "m1d_forest_compiled_score", "encode_tokens", "ngram_lm_score",
     "sim_recall_certify", "s18_compaction_roundtrip", "s19_dpp_star_join",
+    "f_variant_props",
     # (b) implementation-touched kernel chains (kernel before readside)
     "eppa_field_surface", "eppa_surface_readside",
     "eppa_pass_summary", "eppa_pass_readside", "stream_eppa_kernel",
@@ -60,10 +61,10 @@ _RUN_FIRST = (
     "embed_ivf_knn", "embed_knn_brute", "embed_lsh_buckets",
     "f12_time_parts", "f_strings_keys", "j1_broadcast_enrich",
     "j3_region_rollup", "j4_derived_scalar", "j5_derived_key_join",
-    "minhash_lsh_pairs", "multimodal_decode", "multimodal_features",
+    "minhash_lsh_pairs", "multimodal_decode",
     # ---- 50-query cap lands here; below is the documented queue ----
-    "multimodal_frame_sample", "multimodal_resize", "ngram_jaccard_pairs",
-    "o2_global_topn", "simhash_docs",
+    "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
+    "ngram_jaccard_pairs", "o2_global_topn", "simhash_docs",
     # r1 remainder, then the r2-green tier (oldest first), then r4/r5 greens
     "text_langid", "text_quality", "text_tokens_fingerprint",
     "u4_semi_anti", "u5_except_intersect", "w4_topk_per_group",

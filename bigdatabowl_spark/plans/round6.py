@@ -724,3 +724,48 @@ def sim_recall_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAT["sim_recall_certify"] = _replace(
     _CAT["sim_recall_certify"], oracle=_sim_recall_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# VariantType semi-structured access — parse once, typed gets many
+# --------------------------------------------------------------------------
+
+
+@register(
+    "f_variant_props",
+    "MD1,F11,A1,P14",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           MAX(props->>'k') AS k_str_max,
+           CAST(COUNT(CAST(props->>'absent' AS BIGINT)) AS BIGINT)
+               AS n_absent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType: the props JSON
+    is parsed ONCE per row (`parse_json` → open binary encoding), then
+    every path access is a typed `variant_get` on the parsed value — the
+    schema-on-read posture for 100 TB event logs, vs `f_json_props`'
+    get_json_object which re-parses the string per path. A missing path
+    through `try_variant_get` yields NULL (counted, to pin the semantics
+    cross-engine against DuckDB's ->> on an absent key).
+
+    Scale: in production the variant column is WRITTEN to parquet once at
+    ingest (shredded binary, no re-parse ever again); here parse + access
+    fuse into one codegen'd projection — still a single parse per row.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(F.variant_get(v, "$.k", "string")).alias("k_str_max"),
+        F.count(F.try_variant_get(v, "$.absent", "bigint"))
+        .cast("long")
+        .alias("n_absent"),
+    )
