@@ -280,6 +280,18 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
     )
 
 
+def _release_persistent_rdds(spark) -> None:
+    """Free every persisted/localCheckpoint'ed RDD block (measured: the
+    10M-edge pagerank stage's checkpoint blocks, left pinned, slowed the
+    following text stage's 25M-key aggregation 2-5× by squeezing execution
+    memory). Called at bench stage boundaries so each timed section starts
+    with a clean block manager."""
+    sc = spark.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        sc._jsc.sc().unpersistRDD(rid, True)
+
+
 def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
     """Superstep scaling for the no-broadcast pagerank plan on a synthetic
     ~10M-edge graph (VERDICT r5 item 7 — the sf fixture's co-purchase graph
@@ -436,6 +448,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    _release_persistent_rdds(spark)  # catalog checkpoints (dedup/tfidf/…)
     salted_sec, unsalted_sec, aqe_sec, aqe_off_sec = bench_skew_join(spark, sf_dir)
     timings["skew_join_salted"] = salted_sec
     timings["skew_join_unsalted_hotkey"] = unsalted_sec
@@ -446,6 +459,7 @@ def main() -> None:
     pr_graph_sec, pr_steps_sec, pr_step_sec = bench_pagerank_scale(spark)
     timings["pagerank_10m_graph_build"] = pr_graph_sec
     timings["pagerank_10m_3_supersteps"] = pr_steps_sec
+    _release_persistent_rdds(spark)  # pagerank checkpoints would throttle text
     enc_sec, bigram_sec, enc_tps = bench_text_scale(spark)
     timings["text_1m_encode"] = enc_sec
     timings["text_1m_bigram_counts"] = bigram_sec
