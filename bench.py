@@ -148,7 +148,7 @@ def bench_eppa_kernel(spark) -> tuple[float, float]:
     return round(sec, 3), round(frames / sec, 3)
 
 
-def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
+def bench_skew_join(spark, sf_dir: str) -> tuple[float, float, float, float]:
     """Salted vs unsalted shuffle join on a deliberately skewed slice —
     the 'one viral document' key SCALE.md names (VERDICT r4 item 7).
 
@@ -269,7 +269,9 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float]:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-        big64.unpersist()
+        _release_persistent_rdds(spark)  # big64 is a localCheckpoint:
+        # DataFrame.unpersist() would NOT free its blocks (verified — only
+        # the RDD-level sweep does), and pinned blocks skew later stages
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return (
@@ -380,8 +382,25 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(VOCAB_SIZE)
     )
-    encoded = toks.join(F.broadcast(top.select("tok")), "tok", "left")
-    encoded.count()
+    from pyspark.sql import Window
+
+    vocab = top.select(
+        "tok",
+        (F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))) - 1)
+        .cast("bigint")
+        .alias("token_id"),
+    )
+    # Consume the joined token ids: summing coalesce(token_id, OOV) forces
+    # every encoded row through the join — a bare count() would let
+    # Catalyst ELIMINATE the left join and the whole vocab subtree
+    # (verified: the optimized plan became explode+count, timing nothing
+    # this stage claims to measure).
+    encoded = toks.join(F.broadcast(vocab), "tok", "left").select(
+        F.coalesce(F.col("token_id"), F.lit(VOCAB_SIZE).cast("bigint")).alias(
+            "token_id"
+        )
+    )
+    encoded.agg(F.sum("token_id").alias("checksum")).collect()
     encode_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     bi = docs.select(
@@ -392,7 +411,11 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).count()
+    # aggregate the counts (not count() of the agg) so the 25M-key groupBy
+    # output is consumed, not pruned to a row count
+    bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).agg(
+        F.sum("n_ab").alias("checksum")
+    ).collect()
     bigram_sec = time.perf_counter() - t0
     return (
         round(encode_sec, 3),

@@ -381,7 +381,7 @@ def test_stateful_totals_under_rocksdb_state_store(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish within 120s"
     finally:
         if prev is None:
             spark.conf.unset(key)
