@@ -81,3 +81,41 @@ print('FOREIGN_CWD_OK')
         capture_output=True, text=True, timeout=600,
     )
     assert "FOREIGN_CWD_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_run_first_queue_is_valid():
+    """Guard the driver's run queue: every _RUN_FIRST name must exist in
+    the catalog (the `if k in mapping` reorder silently SWALLOWS typos,
+    dropping a query from the driver's 50-run window), names must be
+    unique, exactly 50 must sit above the documented cap marker, and every
+    kernel chain must run before the `*_readside` twin whose staged
+    parquet its oracle reads."""
+    import re
+
+    import __spark_entry__ as entry_mod
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    names = list(entry_mod._RUN_FIRST)
+    assert len(names) == len(set(names)), "duplicate _RUN_FIRST entries"
+    unknown = [n for n in names if n not in CATALOG]
+    assert not unknown, f"_RUN_FIRST names not in CATALOG: {unknown}"
+
+    src = open(entry_mod.__file__).read()
+    block = src.split("_RUN_FIRST = (")[1].split("\n)")[0]
+    pre = block.split("50-query cap lands here")[0]
+    assert len(re.findall(r'"([a-z0-9_]+)"', pre)) == 50
+
+    idx = {n: i for i, n in enumerate(names)}
+    pairs = [
+        ("eppa_field_surface", "eppa_surface_readside"),
+        ("eppa_pass_summary", "eppa_pass_readside"),
+        ("eppa_player_stats", "eppa_player_readside"),
+        ("m2_value_model_width", "m2_width_readside"),
+        ("analytics_player_rankings", "rankings_readside"),
+        ("analytics_throw_calibration", "calibration_readside"),
+        ("a20b_gamma_mle_fit", "a20b_mle_readside"),
+        ("s4_prior_artifact_lifecycle", "s4_lifecycle_readside"),
+        ("m6_optimize_defense", "m6_defense_readside"),
+    ]
+    for kernel, readside in pairs:
+        assert idx[kernel] < idx[readside], (kernel, readside)
