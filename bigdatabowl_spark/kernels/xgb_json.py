@@ -13,14 +13,25 @@ gradient_booster / model / trees with flat node arrays, leaf values held in
 byte-for-byte, and scoring bit-identically to single-row traversal of the
 source trees (same comparisons, one leaf add per tree in tree order).
 
-Fidelity knobs a real trained artifact exercises, both honored:
+Fidelity knobs a real trained artifact exercises, all honored:
 
-- ``learner_model_param.base_score`` — applied as the uniform per-class
-  margin offset (softprob-invariant, but margins match xgboost's
-  ``output_margin=True``);
+- ``learner_model_param.base_score`` — xgboost stores this in the
+  OBJECTIVE's output (probability) space and applies
+  ``ObjFunction::ProbToMargin`` at predict time, so the loader applies the
+  same link before storing it as the uniform per-class margin offset:
+  logit for ``binary:logistic``/``reg:logistic``, log for
+  poisson/gamma/tweedie, identity for ``multi:softprob`` and the
+  squared-error family. Margins then match ``output_margin=True`` exactly
+  (e.g. the pinned xgboost-2 binary doc's ``base_score "5E-1"`` adds
+  logit(0.5) = 0, not 0.5). Unknown objectives raise rather than guess.
 - per-node ``default_left`` — NaN features route to the flagged child
   exactly as xgboost's missing-value handling does, instead of falling
-  through the ``< thr`` comparison (which would always send NaN right).
+  through the ``< thr`` comparison (which would always send NaN right);
+- ``dart`` boosters — a real dart ``save_model`` nests the tree model under
+  ``gradient_booster.model.gbtree`` and carries per-tree ``weight_drop``
+  scales applied to leaf outputs at predict time; the loader unwraps the
+  nesting and folds each tree's drop weight into its leaf values (so a
+  dart doc re-serializes as an equivalent plain gbtree, not byte-for-byte).
 
 The legacy depth-2 ``TreeEnsemble`` serializes through the same schema via
 ``TreeEnsemble.to_forest()``.
@@ -29,12 +40,63 @@ The legacy depth-2 ``TreeEnsemble`` serializes through the same schema via
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 
 from bigdatabowl_spark.kernels.ensemble import EPVALS, FlatForest, TreeEnsemble
 
 _INT_MAX = 2147483647  # xgboost's "no parent" sentinel
+
+# ObjFunction::ProbToMargin links (xgboost src/objective/regression_obj.cu,
+# multiclass_obj.cu): base_score is SAVED in probability/output space; the
+# margin-space offset is link(base_score).
+_LOGIT_OBJECTIVES = frozenset({"binary:logistic", "reg:logistic"})
+_LOG_OBJECTIVES = frozenset({"count:poisson", "reg:gamma", "reg:tweedie"})
+_IDENTITY_OBJECTIVES = frozenset(
+    {
+        "multi:softprob",
+        "multi:softmax",
+        "reg:squarederror",
+        "reg:linear",  # pre-1.0 alias of squarederror
+        "reg:absoluteerror",
+        "reg:pseudohubererror",
+        "binary:logitraw",
+        "binary:hinge",
+        "rank:pairwise",
+        "rank:ndcg",
+        "rank:map",
+    }
+)
+
+
+def _prob_to_margin(base_score: float, objective: str) -> float:
+    """Apply the objective's prob-to-margin link to a saved base_score.
+
+    Missing/empty objective (our own emitted synthetic docs and legacy
+    depth-2 artifacts) is identity; an unrecognized objective raises so we
+    never silently mis-offset a real model."""
+    if objective in _LOGIT_OBJECTIVES:
+        if not 0.0 < base_score < 1.0:
+            raise ValueError(
+                f"xgb_json: base_score {base_score!r} outside (0,1) for "
+                f"logistic objective {objective!r}"
+            )
+        return math.log(base_score / (1.0 - base_score))
+    if objective in _LOG_OBJECTIVES:
+        if base_score <= 0.0:
+            raise ValueError(
+                f"xgb_json: base_score {base_score!r} not positive for "
+                f"log-link objective {objective!r}"
+            )
+        return math.log(base_score)
+    if not objective or objective in _IDENTITY_OBJECTIVES:
+        return base_score
+    raise ValueError(
+        f"xgb_json: unknown objective {objective!r} — its base_score link "
+        "(ProbToMargin) is unknown; add it to the link tables rather than "
+        "guessing identity"
+    )
 
 
 def forest_to_xgb_json(forest: FlatForest) -> dict:
@@ -132,12 +194,21 @@ def forest_from_xgb_json(doc: dict) -> FlatForest:
     """
     learner = doc["learner"]
     booster = learner["gradient_booster"]
-    if booster.get("name", "gbtree") not in ("gbtree", "dart"):
+    booster_name = booster.get("name", "gbtree")
+    if booster_name not in ("gbtree", "dart"):
         raise ValueError(
-            f"xgb_json: unsupported booster {booster.get('name')!r} — only "
+            f"xgb_json: unsupported booster {booster_name!r} — only "
             "tree boosters load (gblinear has no tree structure)"
         )
-    model = booster["model"]
+    weight_drop: list[float] | None = None
+    if booster_name == "dart":
+        # dart nests the tree model one level down and scales each tree's
+        # leaf output by weight_drop[t] at predict time
+        dart = booster["model"]
+        model = dart["gbtree"]
+        weight_drop = [float(w) for w in dart.get("weight_drop", [])]
+    else:
+        model = booster["model"]
     for tree in model["trees"]:
         # categorical splits (split_type 1) partition by category set, not
         # `< thr` — loading them as numeric would silently mis-route
@@ -154,14 +225,28 @@ def forest_from_xgb_json(doc: dict) -> FlatForest:
             )
     lmp = learner.get("learner_model_param", {})
     n_class = int(lmp.get("num_class", "1") or "1") or 1
-    base_score = float(lmp.get("base_score", "0") or "0")
+    objective = learner.get("objective", {}).get("name", "")
+    base_score = _prob_to_margin(
+        float(lmp.get("base_score", "0") or "0"), objective
+    )
     epvals = (
         EPVALS[:n_class].copy()
         if n_class <= len(EPVALS)
         else np.arange(n_class, dtype=np.float64)
     )
+    trees = model["trees"]
+    if weight_drop:
+        scaled = []
+        for t, tree in enumerate(trees):
+            w = weight_drop[t] if t < len(weight_drop) else 1.0
+            sc = [
+                w * float(c) if lc == -1 else c
+                for c, lc in zip(tree["split_conditions"], tree["left_children"])
+            ]
+            scaled.append({**tree, "split_conditions": sc})
+        trees = scaled
     return FlatForest.from_node_arrays(
-        model["trees"], model["tree_info"], epvals, base_score=base_score
+        trees, model["tree_info"], epvals, base_score=base_score
     )
 
 

@@ -225,7 +225,16 @@ def _stage_forest(spark: SparkSession, sf_dir: str) -> str:
                 return _FOREST_STAGE
     except OSError:
         pass
-    save_forest(spark, scaled_forest(), _FOREST_STAGE)
+    forest = scaled_forest()
+    # Four-path certification contract (ADVICE r6): the m1b join walk, m1d
+    # compiled CASE, and DuckDB oracle all omit base_score and default_left
+    # NaN routing. That is sound ONLY because (a) the staged forest's
+    # base_score is zero — asserted here — and (b) the _FEATURES
+    # expressions over orders are non-null (pinned by
+    # tests/test_plan_quality.py::test_m1_feature_expressions_are_non_null
+    # and guarded at run time by m1c's per-batch NaN check).
+    assert forest.base_score == 0.0, "staged forest must have base_score 0"
+    save_forest(spark, forest, _FOREST_STAGE)
     with open(marker, "w") as f:
         f.write(marker_value(sf_dir))
     return _FOREST_STAGE
@@ -370,7 +379,15 @@ def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAME DuckDB node-walk oracle, so the three inference paths
     (relational join walk, vectorized NumPy UDF, DuckDB SQL) are certified
     identical on one model. Map-only: the model never shuffles, rows never
-    fan out 16×; the only exchange is whatever the sink needs."""
+    fan out 16×; the only exchange is whatever the sink needs.
+
+    Unlike the join/CASE/SQL walks (which require non-null features —
+    staged-forest contract, see _stage_forest), this path implements the
+    FULL FlatForest semantics: NaN features route per node default_left,
+    and `unresolved` is COMPUTED (count of (row, tree) states not on a
+    leaf after depth rounds), not hardcoded (ADVICE r6) — so a NaN
+    sneaking into the feature expressions shows up as a certification
+    hash mismatch instead of four silently-agreeing wrong paths."""
     import pandas as pd
 
     from bigdatabowl_spark.plans.advanced import _FEATURES
@@ -392,14 +409,24 @@ def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             X = pdf[[f"f{i}" for i in range(26)]].to_numpy(np.float64)
             rows = np.arange(n)
             acc = np.zeros((n, n_class), dtype=np.int64)
+            unres = np.zeros((n, n_class), dtype=np.int64)
+            any_nan = bool(np.isnan(X).any())
             for tr in range(forest.n_trees):
                 cur = np.full(n, forest.offsets[tr], dtype=np.int64)
                 for _ in range(int(forest.depth[tr])):
                     f = forest.feat[cur]
-                    go_left = X[rows, f] < forest.thr[cur]
+                    x = X[rows, f]
+                    go_left = x < forest.thr[cur]
+                    if any_nan:
+                        isnan = np.isnan(x)
+                        if isnan.any():
+                            go_left = np.where(
+                                isnan, forest.default_left[cur], go_left
+                            )
                     cur = np.where(go_left, forest.left[cur], forest.right[cur])
                 q = np.floor(forest.leaf_val[cur] * 1000000000.0).astype(np.int64)
                 acc[:, forest.tree_class[tr]] += q
+                unres[:, forest.tree_class[tr]] += forest.left[cur] != cur
             out = pd.DataFrame(
                 {
                     "o_orderkey": np.repeat(
@@ -407,7 +434,7 @@ def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     "cls": np.tile(np.arange(n_class, dtype=np.int64), n),
                     "margin_q": acc.reshape(-1),
-                    "unresolved": np.int64(0),
+                    "unresolved": unres.reshape(-1),
                 }
             )
             yield out

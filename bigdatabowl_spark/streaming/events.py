@@ -331,8 +331,16 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATEFUL_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, cents long"
 
+# Production default state TTL: at 100 TB the key cardinality of an
+# unbounded stream is unbounded, so NoTimeout state grows without limit
+# (VERDICT r6 item 5 — SCALE.md's runbook lists TTL as the knob; it was
+# wired-but-unused). One hour of processing-time idleness evicts a key;
+# a re-arriving key restarts from zero, which is the documented contract
+# of a TTL'd running total.
+STATE_TTL_MS = 3_600_000
 
-def _running_totals(key, pdfs, state):
+
+def _running_totals(key, pdfs, state, ttl_ms: int = STATE_TTL_MS):
     """Custom stateful operator: running per-user (count, value-total).
 
     State is a (n, cents) tuple carried across micro-batches — the
@@ -341,21 +349,44 @@ def _running_totals(key, pdfs, state):
     loops, play_eppa_cpu.py:654-657). The 2-decimal `value` accumulates
     as integer cents so the total is exact regardless of row order or
     micro-batch boundaries (the same decimal-exactness rule the batch
-    catalog uses, plans/catalog.py)."""
+    catalog uses, plans/catalog.py).
+
+    Keys idle for ttl_ms of processing time are EVICTED: the timed-out
+    invocation emits a tombstone row (n_events = -1, carrying the final
+    total) and removes the state, so the store's footprint tracks the
+    ACTIVE key set, not the all-time key set. Downstream consumers keep
+    running totals by treating the tombstone as the key's final value;
+    the catalog query filters tombstones out (none fire in its
+    single-pass availableNow run)."""
     import pandas as pd
 
+    if state.hasTimedOut:
+        n, cents = state.get if state.exists else (0, 0)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [-1],
+                "total_value": [cents / 100.0],
+            }
+        )
+        return
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
         cents += int((pdf["value"] * 100).round().astype("int64").sum())
     state.update((n, cents))
+    state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 
-def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream → applyInPandasWithState running totals per user.
+def stateful_user_totals(
+    spark: SparkSession, sf_dir: str, ttl_ms: int = STATE_TTL_MS
+) -> DataFrame:
+    """readStream → applyInPandasWithState running totals per user, with a
+    processing-time state TTL (see _running_totals).
 
     Caller attaches a sink and starts the query (update output mode)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -373,13 +404,38 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("user_id", F.col("value").cast("double").alias("value"))
         .groupBy("user_id")
         .applyInPandasWithState(
-            _running_totals,
+            lambda key, pdfs, state: _running_totals(key, pdfs, state, ttl_ms),
             outputStructType=STATEFUL_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def drain_available_now(q, timeout_sec: float = 180.0) -> None:
+    """Run a bounded (availableNow) pass of a TTL'd stateful stream to
+    data-exhaustion, then stop it.
+
+    Under GroupStateTimeout.ProcessingTimeTimeout, Spark keeps scheduling
+    EMPTY micro-batches forever to fire pending state timeouts
+    (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is true whenever
+    processing-time timeouts are in play), so an availableNow query never
+    self-terminates — measured 84+ empty epochs before teardown. A
+    completed batch with numInputRows == 0 means every available row was
+    consumed by earlier batches; that is the drain signal."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    while _time.monotonic() < deadline:
+        if not q.isActive:
+            return
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] == 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
 
 
 _STATEFUL_RUNS = iter(range(1_000_000))
@@ -405,7 +461,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in n_events, so the final state is the max-n_events row per
     key. Integer-cent accumulation inside the operator makes total_value
     bit-equal to the oracle's decimal sum whatever the micro-batch
-    partitioning (see _running_totals).
+    partitioning (see _running_totals). Eviction tombstones (n_events=-1)
+    are filtered defensively — none fire here, since the availableNow run
+    is a single pass well inside the TTL.
     """
     from pyspark.sql import Window
 
@@ -424,10 +482,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        # TTL'd state (ProcessingTimeTimeout) keeps availableNow alive
+        # with empty timeout-check batches — drain to data-exhaustion and
+        # stop instead of awaiting a termination that never comes
+        drain_available_now(q)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
+        .filter(F.col("n_events") >= 0)  # drop TTL eviction tombstones
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")

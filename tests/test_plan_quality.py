@@ -650,3 +650,27 @@ def test_dpp_star_join_prunes_fact_scan(spark, sf_dir):
     plan = _catalog_plan(spark, sf_dir, "s19_dpp_star_join")
     assert "dynamicpruning" in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_m1_feature_expressions_are_non_null(spark, sf_dir):
+    """The m1b join walk, m1d compiled CASE, and their DuckDB oracle omit
+    default_left NaN routing (only m1c implements it), which is sound only
+    if the 26 _FEATURES expressions over orders never produce NULL/NaN —
+    the staged-forest contract asserted in round6._stage_forest (ADVICE
+    r6). Pin that invariant directly."""
+    from pyspark.sql import functions as F
+
+    from bigdatabowl_spark.plans.advanced import _FEATURES
+    from bigdatabowl_spark.plans.catalog import t
+
+    orders = t(spark, sf_dir, "orders")
+    bad = orders.select(
+        [
+            F.sum(
+                (F.expr(e).isNull() | F.isnan(F.expr(e).cast("double")))
+                .cast("long")
+            ).alias(f"f{i}")
+            for i, (e, _) in enumerate(_FEATURES)
+        ]
+    ).collect()[0]
+    assert all(v == 0 for v in bad), bad.asDict()

@@ -39,7 +39,10 @@ def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState running totals equal the batch aggregate
     after one availableNow pass."""
     from bigdatabowl_spark.sources.tables import load_table
-    from bigdatabowl_spark.streaming.events import stateful_user_totals
+    from bigdatabowl_spark.streaming.events import (
+        drain_available_now,
+        stateful_user_totals,
+    )
 
     batch = (
         load_table(spark, sf_dir, "events")
@@ -56,7 +59,7 @@ def test_stateful_running_totals(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q)
     got = spark.sql(
         "SELECT user_id, MAX(n_events) AS n FROM stateful_test GROUP BY user_id"
     ).collect()
@@ -355,7 +358,10 @@ def test_stateful_totals_under_rocksdb_state_store(spark, sf_dir):
     independent) — this pins that nothing in our stateful operators
     assumes the heap provider."""
     from bigdatabowl_spark.sources.tables import load_table
-    from bigdatabowl_spark.streaming.events import stateful_user_totals
+    from bigdatabowl_spark.streaming.events import (
+        drain_available_now,
+        stateful_user_totals,
+    )
 
     expected = {
         r.user_id: r.n
@@ -381,7 +387,8 @@ def test_stateful_totals_under_rocksdb_state_store(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(120), "stream did not finish within 120s"
+        drain_available_now(q)
+        assert not q.isActive, "stream did not drain within the deadline"
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -392,3 +399,83 @@ def test_stateful_totals_under_rocksdb_state_store(spark, sf_dir):
         " GROUP BY user_id"
     ).collect()
     assert {r.user_id: r.n for r in got} == expected
+
+
+def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
+    """ST4 state TTL (VERDICT r6 item 5): a key idle past the processing-
+    time TTL is EVICTED — the operator emits a tombstone (n_events = -1)
+    and removes its state — and a later re-arrival restarts the running
+    total from ZERO, proving the state was truly dropped, not cached.
+    Uses a tiny TTL and a file-source stream fed incrementally."""
+    import time
+
+    import pandas as pd
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.streaming.events import (
+        STATEFUL_SCHEMA,
+        _STATE_SCHEMA,
+        _running_totals,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(name, rows):
+        pd.DataFrame(rows, columns=["user_id", "value"]).to_parquet(
+            str(src / name), index=False
+        )
+
+    feed("b0.parquet", [(1, 1.25), (1, 2.00), (2, 5.50)])
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .parquet(str(src))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _running_totals(key, pdfs, state, 1500),
+            outputStructType=STATEFUL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ttl_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.table("ttl_test").collect()
+        }
+
+    def wait_for(pred, timeout=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred(rows()):
+                return True
+            time.sleep(0.3)
+        return False
+
+    try:
+        assert wait_for(lambda s: (1, 2, 3.25) in s and (2, 1, 5.5) in s), rows()
+        # idle past TTL: empty micro-batches still fire processing-time
+        # timeouts; both keys evict with tombstones carrying final totals
+        assert wait_for(
+            lambda s: (1, -1, 3.25) in s and (2, -1, 5.5) in s
+        ), rows()
+        # re-arrival AFTER eviction restarts from zero — n_events is 1,
+        # not 3, so the state was genuinely removed
+        feed("b1.parquet", [(1, 0.75)])
+        assert wait_for(lambda s: (1, 1, 0.75) in s), rows()
+        assert (1, 3, 4.0) not in rows()
+    finally:
+        q.stop()

@@ -29,15 +29,39 @@ def _gen_props(seed: int) -> pd.DataFrame:
     for rid in range(rng.randint(60, 150)):
         obj = {}
         if rng.random() < 0.9:
-            obj["a"] = rng.randint(-10**9, 10**9)
+            # type surprise (ADVICE r6: this dimension must hit an
+            # EXTRACTED field): 'a' is usually an int, sometimes a
+            # digit-string (typed get casts it: Spark variant_get and
+            # DuckDB TRY_CAST both yield the number), sometimes a
+            # non-numeric string (both yield NULL)
+            r = rng.random()
+            if r < 0.7:
+                obj["a"] = rng.randint(-10**9, 10**9)
+            elif r < 0.85:
+                obj["a"] = str(rng.randint(-10**6, 10**6))
+            else:
+                obj["a"] = rng.choice(["12x", "nine", "1.5.2", ""])
         if rng.random() < 0.8:
-            obj["b"] = rng.choice(_WORDS)
+            # 'b' extracted as string; sometimes an int (both engines
+            # render the digits)
+            obj["b"] = (
+                rng.randint(0, 10**6)
+                if rng.random() < 0.25
+                else rng.choice(_WORDS)
+            )
         if rng.random() < 0.7:
-            obj["c"] = {"d": rng.randint(0, 10**6)} if rng.random() < 0.8 else {}
+            # 'c' is usually an object; sometimes a SCALAR, so the
+            # '$.c.d' path navigates into a non-object (NULL in both)
+            r = rng.random()
+            if r < 0.6:
+                obj["c"] = {"d": rng.randint(0, 10**6)}
+            elif r < 0.8:
+                obj["c"] = {}
+            else:
+                obj["c"] = rng.randint(0, 100)
         if rng.random() < 0.3:
             obj["e"] = None
         if rng.random() < 0.2:
-            # type surprise: 'a' sometimes a string of digits elsewhere
             obj["f"] = [1, 2, 3]
         rows.append({"rid": rid, "props": json.dumps(obj)})
     return pd.DataFrame(rows)
@@ -66,10 +90,10 @@ def test_variant_extraction_matches_duckdb_jsonpath(spark, tmp_path, seed):
     duck_df = con.execute(
         f"""
         SELECT rid,
-               CAST(props ->> '$.a' AS BIGINT) AS a_int,
+               TRY_CAST(props ->> '$.a' AS BIGINT) AS a_int,
                props ->> '$.b' AS b_str,
-               CAST(props ->> '$.c.d' AS BIGINT) AS cd_int,
-               CAST(props ->> '$.absent' AS BIGINT) AS missing
+               TRY_CAST(props ->> '$.c.d' AS BIGINT) AS cd_int,
+               TRY_CAST(props ->> '$.absent' AS BIGINT) AS missing
         FROM '{path}'
         """
     ).df()

@@ -268,9 +268,12 @@ def test_verbatim_xgboost2_binary_document_loads_and_scores():
     num_class "0", iteration_indptr, populated feature_names/types,
     non-zero base_weights/loss_changes/sum_hessian, 2147483647 parent
     sentinels — loads without touching kernel code and margins match
-    single-row traversal of the printed trees (+ base_score), including
-    NaN routing per default_left. Guards against the loader silently
-    depending on OUR emitter's field subset rather than xgboost's."""
+    single-row traversal of the printed trees PLUS the objective's
+    prob-to-margin link on base_score (binary:logistic stores base_score
+    in probability space; real output_margin=True adds logit(0.5) = 0,
+    NOT 0.5 — ADVICE r6 medium), including NaN routing per default_left.
+    Guards against the loader silently depending on OUR emitter's field
+    subset rather than xgboost's."""
     doc = {
         "learner": {
             "attributes": {
@@ -356,7 +359,9 @@ def test_verbatim_xgboost2_binary_document_loads_and_scores():
     }
     forest = forest_from_xgb_json(doc)
     assert forest.n_trees == 2 and forest.n_classes == 1
-    assert forest.base_score == 0.5
+    # binary:logistic: saved base_score 5E-1 is a PROBABILITY; the margin
+    # offset is logit(0.5) = 0 (xgboost ObjFunction::ProbToMargin)
+    assert forest.base_score == 0.0
 
     X = np.array(
         [
@@ -368,12 +373,198 @@ def test_verbatim_xgboost2_binary_document_loads_and_scores():
     )
     got = forest.margins(X)[:, 0]
     want = np.array(
-        [0.5 + 0.4 + 0.25,
-         0.5 + 0.7 + (-0.125),
-         0.5 + (-0.5) + 0.25,
-         0.5 + 0.4 + (-0.125)]
+        [0.4 + 0.25,
+         0.7 + (-0.125),
+         (-0.5) + 0.25,
+         0.4 + (-0.125)]
     )
     assert np.array_equal(got, want)
 
+    # a non-symmetric probability exercises the logit link with a non-zero
+    # offset: logit(0.2) = log(0.25)
+    import copy as _copy
+    import math as _math
+
+    skewed = _copy.deepcopy(doc)
+    skewed["learner"]["learner_model_param"]["base_score"] = "2E-1"
+    assert forest_from_xgb_json(skewed).base_score == _math.log(0.2 / 0.8)
+
     # load → save → load preserves the node arrays verbatim
     _assert_forests_identical(forest, forest_from_xgb_json(forest_to_xgb_json(forest)))
+
+
+def _chain_tree(feats, thrs, leaves, default_left=0):
+    """A depth-len(feats) 'comb': internal node i routes left to internal
+    node i+1 (last one to a leaf), right to its own leaf — the asymmetric
+    deep chains real depth-6 trained trees actually contain."""
+    d = len(feats)
+    n = 2 * d + 1
+    lc = [i + 1 if i < d else -1 for i in range(n)]
+    rc = [d + 1 + i if i < d else -1 for i in range(n)]
+    si = list(feats) + [0] * (d + 1)
+    sc = list(thrs) + [float(v) for v in leaves]  # leaves[0] = deepest-left
+    # reorder leaves: positions d..2d are (deepest-left, right-of-0..d-1)
+    parents = [2147483647] + [i for i in range(d)] + list(range(d))
+    return {
+        "base_weights": [round(0.01 * i - 0.03, 3) for i in range(n)],
+        "categories": [],
+        "categories_nodes": [],
+        "categories_segments": [],
+        "categories_sizes": [],
+        "default_left": [bool((default_left + i) % 2) for i in range(d)]
+        + [False] * (d + 1),
+        "id": 0,
+        "left_children": lc,
+        "loss_changes": [float(max(d - i, 0)) for i in range(n)],
+        "parents": parents,
+        "right_children": rc,
+        "split_conditions": sc,
+        "split_indices": si,
+        "split_type": [0] * n,
+        "sum_hessian": [float(n - i) for i in range(n)],
+        "tree_param": {
+            "num_deleted": "0",
+            "num_feature": "26",
+            "num_nodes": str(n),
+            "size_leaf_vector": "1",
+        },
+    }
+
+
+def test_verbatim_xgboost2_softprob_depth6_document_loads_and_scores():
+    """The reference's actual model class — multi:softprob at xgboost's
+    default depth 6 (Rishav's xyac.ipynb · cells 5-11) — with the exact
+    field set a real `xgboost>=2` save_model writes (iteration_indptr,
+    softmax_multiclass_param, default base_score "5E-1"). softprob's
+    ProbToMargin is identity, so base_score 0.5 IS the uniform margin
+    offset (softmax-invariant), unlike the binary:logistic doc above."""
+    trees = [
+        _chain_tree(
+            feats=[3, 11, 7, 0, 19, 25],
+            thrs=[0.5, -0.25, 1.5, 0.0, -1.0, 2.25],
+            leaves=[0.31, -0.11, 0.07, -0.22, 0.15, 0.4, -0.05],
+            default_left=c,
+        )
+        for c in range(3)
+    ] + [
+        _chain_tree(
+            feats=[1, 2, 3, 4, 5, 6],
+            thrs=[-0.5, 0.25, -1.5, 0.75, 1.0, -2.0],
+            leaves=[-0.09, 0.18, -0.27, 0.36, -0.45, 0.54, -0.63],
+            default_left=c + 1,
+        )
+        for c in range(3)
+    ]
+    doc = {
+        "learner": {
+            "attributes": {},
+            "feature_names": [f"f{i}" for i in range(26)],
+            "feature_types": ["float"] * 26,
+            "gradient_booster": {
+                "model": {
+                    "gbtree_model_param": {
+                        "num_parallel_tree": "1",
+                        "num_trees": "6",
+                    },
+                    "iteration_indptr": [0, 3, 6],
+                    "tree_info": [0, 1, 2, 0, 1, 2],
+                    "trees": trees,
+                },
+                "name": "gbtree",
+            },
+            "learner_model_param": {
+                "base_score": "5E-1",
+                "boost_from_average": "1",
+                "num_class": "3",
+                "num_feature": "26",
+                "num_target": "1",
+            },
+            "objective": {
+                "name": "multi:softprob",
+                "softmax_multiclass_param": {"num_class": "3"},
+            },
+        },
+        "version": [2, 0, 3],
+    }
+    forest = forest_from_xgb_json(doc)
+    assert forest.n_trees == 6 and forest.n_classes == 3
+    assert int(forest.depth.max()) == 6
+    assert forest.base_score == 0.5  # identity link for softprob
+
+    rng = np.random.default_rng(41)
+    X = rng.standard_normal((250, 26))
+    X[X > 1.7] = np.nan  # exercise default_left on the deep chains
+    assert np.isnan(X).any()
+    assert (forest.margins(X) == _margins_by_traversal(doc, X)).all()
+
+    # load → save → load preserves the node arrays verbatim
+    _assert_forests_identical(forest, forest_from_xgb_json(forest_to_xgb_json(forest)))
+
+
+def test_dart_document_unwraps_nesting_and_scales_by_weight_drop():
+    """A real dart save_model nests the tree model under
+    gradient_booster.model.gbtree and carries per-tree weight_drop; leaf
+    outputs are scaled by weight_drop[t] at predict time (ADVICE r6: the
+    flat layout would KeyError and unweighted sums would mis-score)."""
+    inner = _asymmetric_model()["learner"]["gradient_booster"]["model"]
+    drops = [0.7, 1.0, 0.4, 0.25]
+    doc = {
+        "version": [2, 0, 3],
+        "learner": {
+            "learner_model_param": {"num_class": "2", "num_feature": "26"},
+            "objective": {"name": "multi:softprob"},
+            "gradient_booster": {
+                "name": "dart",
+                "model": {
+                    "gbtree": inner,
+                    "weight_drop": [str(w) for w in drops],
+                },
+            },
+        },
+    }
+    forest = forest_from_xgb_json(doc)
+    rng = np.random.default_rng(43)
+    X = rng.standard_normal((150, 26))
+    X[X < -1.6] = np.nan
+
+    trees = inner["trees"]
+    info = inner["tree_info"]
+    want = np.zeros((len(X), 2))
+    for i in range(len(X)):
+        for w, tree, cls in zip(drops, trees, info):
+            want[i, cls] += w * _traverse(tree, X[i])
+    assert np.allclose(forest.margins(X), want, rtol=0, atol=0)
+
+    # dart re-serializes as an equivalent plain-gbtree doc (weights folded)
+    folded = forest_from_xgb_json(forest_to_xgb_json(forest))
+    assert (folded.margins(X[:20]) == forest.margins(X[:20])).all()
+
+
+def test_base_score_links_log_and_unknown():
+    """Poisson/gamma/tweedie use a log link; unknown objectives raise
+    instead of silently guessing identity."""
+    import copy
+    import math
+
+    doc = _asymmetric_model()
+    doc["learner"]["learner_model_param"]["num_class"] = "1"
+    doc["learner"]["gradient_booster"]["model"]["tree_info"] = [0, 0, 0, 0]
+    doc["learner"]["learner_model_param"]["base_score"] = "2.5"
+    for obj in ("count:poisson", "reg:gamma", "reg:tweedie"):
+        d = copy.deepcopy(doc)
+        d["learner"]["objective"] = {"name": obj}
+        assert forest_from_xgb_json(d).base_score == math.log(2.5)
+
+    bad = copy.deepcopy(doc)
+    bad["learner"]["objective"] = {"name": "survival:cox"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown objective"):
+        forest_from_xgb_json(bad)
+
+    # out-of-domain probability for a logistic objective fails loudly
+    neg = copy.deepcopy(doc)
+    neg["learner"]["objective"] = {"name": "binary:logistic"}
+    neg["learner"]["learner_model_param"]["base_score"] = "1.5"
+    with _pytest.raises(ValueError, match="outside"):
+        forest_from_xgb_json(neg)
