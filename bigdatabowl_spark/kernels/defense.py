@@ -17,12 +17,23 @@ vectorized through the same `player_intercept_field` geometry the kernel
 uses — all candidates are scored in one NumPy pass over a strided
 evaluation grid.
 
-The candidate objective is the transition-weighted completion value
-(trans · [p_off·xepa_comp + (1−p_off)·xepa_inc]) WITHOUT the
-trajectory-integration stage — ppc needs the full-resolution path gather
-(play_eppa_cpu.py:336-390) and its argmin ordering is dominated by the
-p_int/trans terms the surrogate keeps. `reduce` supports the reference's
-sum/max modes (optimize_def.py:40-50).
+Two candidate objectives (OptimizeConfig.objective):
+
+- ``"surrogate"`` (default): the transition-weighted completion value
+  (trans · [p_off·xepa_comp + (1−p_off)·xepa_inc]) WITHOUT the
+  trajectory-integration stage — ppc needs the full-resolution path gather
+  (play_eppa_cpu.py:336-390). MEASURED agreement with the full kernel
+  (tests/test_kernels.py::test_m6_surrogate_ranks_like_full_kernel, on
+  the optimizer's own candidate sets): the surrogate's argmin is EXACT on
+  the majority of fixture frames, but on one divergent frame it picked
+  the full objective's WORST candidate — the first-arrival ordering that
+  ppc encodes can dominate when candidate p_int deltas are small. The
+  surrogate is the throughput default, not an exact substitute.
+- ``"full"``: re-runs the full frame kernel per candidate, exactly the
+  reference's loop (optimize_def.py:120-126) — reference-exact argmin at
+  ~R kernel calls per defender step; pair with a small max_candidates.
+
+`reduce` supports the reference's sum/max modes (optimize_def.py:40-50).
 """
 
 from __future__ import annotations
@@ -39,6 +50,7 @@ from bigdatabowl_spark.kernels.eppa import (
     _with_frame_meta,
     default_ep_curve,
     default_xyac_scorer,
+    frame_surfaces,
     player_intercept_field,
 )
 from bigdatabowl_spark.kernels.params import EppaParams, field_grid, tof_values
@@ -58,6 +70,7 @@ class OptimizeConfig:
     max_candidates: int = 512
     n_steps: int = 1  # rollout length (re-plan points per play)
     frame_stride: int = 3  # eligible frames between re-plans (plan_res/dt)
+    objective: str = "surrogate"  # 'surrogate' | 'full' (see module doc)
 
 
 def _objective(
@@ -117,7 +130,25 @@ def optimize_defense_frame(
     xepa_comp = default_ep_curve(grid[:, 0] + default_xyac_scorer(nearest_def, grid[:, 0]))
     xepa_inc = float(default_ep_curve(ball_start[0] - 10.0))
 
-    before = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
+    full_mode = cfg.objective == "full"
+
+    def full_obj(p: np.ndarray, v: np.ndarray) -> float:
+        """Reference-exact candidate objective: one full frame-kernel run
+        (trajectory integration included) per evaluation — the loop the
+        reference runs per reachable cell (optimize_def.py:120-126)."""
+        pdf = players.copy()
+        pdf[["x", "y"]] = p
+        pdf[["v_x", "v_y"]] = v
+        e = frame_surfaces(
+            pdf, ball_start, frames_after_snap, params, priors
+        )["eppa_ft"]
+        return float(e.max() if cfg.reduce == "max" else e.sum())
+
+    if full_mode:
+        cur_p, cur_v = proj_p.copy(), proj_v.copy()
+        before = full_obj(cur_p, cur_v)
+    else:
+        before = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
 
     # defenders from LoS to backfield: ascending x (optimize_def.py:103-104)
     def_order = np.argsort(px[:, 0], kind="stable")
@@ -142,6 +173,16 @@ def optimize_defense_frame(
             cand_idx = cand_idx[::step]
         cand_p = full_grid[cand_idx]  # (R, 2)
         cand_v = reach_vels[cand_idx]
+        if full_mode:
+            scores = np.empty(cand_idx.size)
+            for r in range(cand_idx.size):
+                cur_p[j], cur_v[j] = cand_p[r], cand_v[r]
+                scores[r] = full_obj(cur_p, cur_v)
+            best = int(scores.argmin())
+            cur_p[j], cur_v[j] = cand_p[best], cand_v[best]
+            px[j], pv[j] = cand_p[best], cand_v[best]
+            placements.append((j, cand_p[best], cand_v[best]))
+            continue
         # vectorized candidate scoring: candidate axis plays the J axis of
         # the shared intercept-field geometry (one NumPy pass, not R kernel
         # re-runs as in optimize_def.py:120-126)
@@ -165,7 +206,10 @@ def optimize_defense_frame(
         log_no[:, :, j] = log_no_c[:, :, best]
         placements.append((j, cand_p[best], cand_v[best]))
 
-    after = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
+    if full_mode:
+        after = full_obj(cur_p, cur_v)
+    else:
+        after = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
     nfl = players["nflId"].to_numpy()
     out = pd.DataFrame(
         {

@@ -502,3 +502,181 @@ def test_executor_forest_cache_invalidates_on_restage(spark, tmp_path):
     is_leaf = f1.left == np.arange(len(f1.left))
     assert np.array_equal(got2.leaf_val[is_leaf], f1.leaf_val[is_leaf] + 1.0)
     assert np.array_equal(got2.leaf_val[~is_leaf], f1.leaf_val[~is_leaf])
+
+
+# ------------------------------------------------- M6 objective certification
+
+
+def _m6_random_frame(seed: int):
+    rng = np.random.default_rng(seed)
+    n_off, n_def = 4, 4
+    players = pd.DataFrame(
+        {
+            "nflId": list(range(11, 11 + n_off)) + list(range(21, 21 + n_def)),
+            "x": np.concatenate(
+                [38 + rng.uniform(0, 20, n_off), 40 + rng.uniform(0, 22, n_def)]
+            ),
+            "y": rng.uniform(5, 48, n_off + n_def),
+            "v_x": rng.uniform(-4, 6, n_off + n_def),
+            "v_y": rng.uniform(-3, 3, n_off + n_def),
+            "team_pos": ["OFF"] * n_off + ["DEF"] * n_def,
+        }
+    )
+    return players, np.array([34.0 + rng.uniform(0, 4), 26.5])
+
+
+def _m6_candidates(px, pv, j, h, params, n_cand):
+    """The optimizer's own reachable-cell enumeration + even subsample
+    (defense.py optimize_defense_frame)."""
+    from bigdatabowl_spark.kernels.params import field_grid
+
+    full_grid = field_grid()
+    rv = full_grid - px[j]
+    ra = 2.0 * (rv - pv[j] * h) / (h * h)
+    rvel = ra * h + pv[j]
+    ok = (np.sqrt((ra**2).sum(-1)) < params.a_max) & (
+        np.sqrt((rvel**2).sum(-1)) < params.s_max
+    )
+    ci = np.flatnonzero(ok)
+    if ci.size > n_cand:  # the optimizer's exact subsample formula
+        ci = ci[:: int(np.ceil(ci.size / n_cand))]
+    return full_grid[ci], rvel[ci]
+
+
+def test_m6_surrogate_ranks_like_full_kernel():
+    """VERDICT r6 item 6: the surrogate objective's 'ordering is dominated
+    by p_int/trans' claim, MEASURED instead of asserted. For each fixture
+    frame, score one defender's candidate set with (a) the surrogate
+    (defense._objective on the strided grid — exactly the optimizer's
+    math) and (b) the full frame kernel (trajectory integration included),
+    then pin argmin agreement and regret. The thresholds encode observed
+    behavior including its known weakness (seed 4 is the divergent frame —
+    see the defense.py module doc): the surrogate is a good-but-not-exact
+    ranker, and objective='full' exists for reference-exact argmins."""
+    from bigdatabowl_spark.kernels.defense import OptimizeConfig, _objective
+    from bigdatabowl_spark.kernels.eppa import (
+        default_ep_curve,
+        default_xyac_scorer,
+        player_intercept_field,
+    )
+    from bigdatabowl_spark.kernels.params import field_grid, tof_values
+
+    params, priors, cfg = EppaParams(), EppaPriors.default(), OptimizeConfig()
+    h = cfg.plan_horizon
+    grid = field_grid()[:: cfg.grid_stride]
+    tof = tof_values()
+
+    ranks, regrets = [], []
+    for seed, fas, jdef in [(1, 12, 0), (4, 25, 3), (6, 22, 0)]:
+        players, ball = _m6_random_frame(seed)
+        px = players[["x", "y"]].to_numpy(float)
+        pv = players[["v_x", "v_y"]].to_numpy(float)
+        is_off = (players["team_pos"] == "OFF").to_numpy()
+        proj_p = px + pv * h
+        vmag = np.sqrt((pv**2).sum(-1))
+        scale = np.where(
+            vmag > params.s_max, params.s_max / np.maximum(vmag, 1e-9), 1.0
+        )
+        proj_v = pv * scale[:, None]
+        j = 4 + jdef
+        cand_p, cand_v = _m6_candidates(px, pv, j, h, params, 12)
+
+        L = np.sqrt(((grid - ball[None, :]) ** 2).sum(-1))
+        Lbin = np.clip(np.rint(L).astype(np.int64), 1, 60) - 1
+        mask = (L > 1.0) & (L <= 60.0)
+        ti = min(max(fas, 1), len(priors.p_t)) - 1
+        trans = priors.T_given_L[Lbin, :] * priors.p_t[ti] * mask[:, None]
+        s = trans.sum()
+        trans = trans / s if s > 0 else trans
+        xi = float(default_ep_curve(ball[0] - 10.0))
+        d0, _ = player_intercept_field(proj_p, proj_v, grid, tof, params)
+        xc = default_ep_curve(
+            grid[:, 0] + default_xyac_scorer(d0[:, ~is_off].min(axis=1), grid[:, 0])
+        )
+
+        sur, full = [], []
+        for r in range(len(cand_p)):
+            pp, vv = proj_p.copy(), proj_v.copy()
+            pp[j], vv[j] = cand_p[r], cand_v[r]
+            _, pi = player_intercept_field(pp, vv, grid, tof, params)
+            sur.append(
+                _objective(
+                    np.log1p(-np.clip(pi, 0, 1 - 1e-12)), trans, xc, xi, is_off, "sum"
+                )
+            )
+            pdf = players.copy()
+            pdf[["x", "y"]] = pp
+            pdf[["v_x", "v_y"]] = vv
+            full.append(
+                float(frame_surfaces(pdf, ball, fas, params, priors)["eppa_ft"].sum())
+            )
+        sur, full = np.array(sur), np.array(full)
+        ranks.append(int((full < full[sur.argmin()]).sum()))
+        spread = full.max() - full.min()
+        regrets.append(
+            float((full[sur.argmin()] - full.min()) / spread) if spread > 0 else 0.0
+        )
+
+    # measured: ranks [0, 9, 0], regret shares [0.0, 1.0, 0.0] — the
+    # surrogate's argmin is EXACT on the majority of frames, but on the
+    # divergent frame (seed 4) it picks the full objective's WORST
+    # candidate: first-arrival ordering (the ppc stage the surrogate
+    # drops) can dominate when candidate p_int deltas are small. Pin the
+    # majority-exact behavior; the divergence is the documented reason
+    # objective='full' exists.
+    assert sorted(ranks)[1] == 0, (ranks, regrets)  # median frame: exact
+    assert float(np.median(regrets)) <= 0.15, (ranks, regrets)
+    assert all(r < len(regrets) * 4 for r in ranks)  # sanity: ranks bounded
+
+
+def test_m6_full_objective_mode_matches_reference_loop():
+    """objective='full' re-runs the full frame kernel per candidate
+    (optimize_def.py:120-126); with a single defender the greedy step IS
+    the global argmin over its candidate set — assert the optimizer's
+    placement equals an independent brute-force recomputation, and that
+    eppa_after equals the brute minimum."""
+    from bigdatabowl_spark.kernels.defense import (
+        OptimizeConfig,
+        optimize_defense_frame,
+    )
+
+    params, priors = EppaParams(), EppaPriors.default()
+    players = pd.DataFrame(
+        {
+            "nflId": [11, 12, 13, 21],
+            "x": [40.0, 45.0, 50.0, 47.0],
+            "y": [10.0, 26.0, 40.0, 28.0],
+            "v_x": [5.0, 2.0, 0.0, 0.0],
+            "v_y": [0.0, 1.0, 3.0, -1.0],
+            "team_pos": ["OFF", "OFF", "OFF", "DEF"],
+        }
+    )
+    ball, fas = np.array([35.0, 26.5]), 20
+    cfg = OptimizeConfig(objective="full", max_candidates=6)
+    placed, before, after = optimize_defense_frame(
+        players.copy(), ball, fas, params, priors, cfg
+    )
+    assert len(placed) == 1 and int(placed["nflId"].iloc[0]) == 21
+    assert np.isfinite(before) and np.isfinite(after)
+
+    px = players[["x", "y"]].to_numpy(float)
+    pv = players[["v_x", "v_y"]].to_numpy(float)
+    h = cfg.plan_horizon
+    proj_p = px + pv * h
+    vmag = np.sqrt((pv**2).sum(-1))
+    scale = np.where(vmag > params.s_max, params.s_max / np.maximum(vmag, 1e-9), 1.0)
+    proj_v = pv * scale[:, None]
+    cand_p, cand_v = _m6_candidates(px, pv, 3, h, params, cfg.max_candidates)
+    best_v, best_r = None, None
+    for r in range(len(cand_p)):
+        pp, vv = proj_p.copy(), proj_v.copy()
+        pp[3], vv[3] = cand_p[r], cand_v[r]
+        pdf = players.copy()
+        pdf[["x", "y"]] = pp
+        pdf[["v_x", "v_y"]] = vv
+        v = float(frame_surfaces(pdf, ball, fas, params, priors)["eppa_ft"].sum())
+        if best_v is None or v < best_v:
+            best_v, best_r = v, r
+    assert placed["x_opt"].iloc[0] == cand_p[best_r][0]
+    assert placed["y_opt"].iloc[0] == cand_p[best_r][1]
+    assert after == best_v
