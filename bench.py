@@ -1,10 +1,22 @@
 """Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Per-query time = plan build + execution
-to a count/collect (results are small aggregates by design), reported as the
-min of 2 runs — the VM instantiates pages lazily, so a single shot can
-absorb multi-second first-touch stalls that say nothing about the plan.
+Prints ONE compact JSON line sized to the driver's ~2 KB stdout-tail capture
+(BENCH_r06 was tail-truncated to `parsed: null` because the full 176-query
+map overflowed it — VERDICT r6 item 2): headline metrics, per-family wall
+subtotals, and the top-12 slowest queries. The FULL per-query map — wall
+seconds AND process-subtree CPU seconds (python driver + Spark JVM + reused
+Python workers, sampled from /proc) — is written to `bench_full.json` at the
+repo root, which is committed, so cross-round per-query comparison never
+depends on the capture window.
+
+Per-query wall = plan build + execution to a count/collect (results are
+small aggregates by design), reported as the min of 2 runs — the VM
+instantiates pages lazily, so a single shot can absorb multi-second
+first-touch stalls that say nothing about the plan. CPU seconds are the
+load-robust companion (VERDICT r6 item 3): external host contention
+inflates wall-clock but not CPU charged to our process tree, so a >1.5×
+wall delta with flat CPU is environment, not regression. Load average is
+snapshotted at every stage boundary for the same reason.
 """
 
 from __future__ import annotations
@@ -94,9 +106,10 @@ SINGLE_RUN = {
     "a20b_gamma_mle_fit",
     "analytics_player_rankings",
     "analytics_throw_calibration",
-    # iterative superstep query with per-round checkpoints — one run is
+    # iterative superstep queries with per-round checkpoints — one run is
     # representative, and pagerank_fixed keeps the min-of-2 twin
     "pagerank_bucketed",
+    "pagerank_converge",
     # runs a full availableNow stream (kernel per micro-batch) per build
     "stream_eppa_kernel",
 }
@@ -282,6 +295,64 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float, float, float]:
     )
 
 
+def _subtree_cpu_sec() -> float:
+    """CPU seconds (utime+stime) of this process and every LIVE descendant —
+    the Spark JVM and its reused pyspark.daemon workers. Sampled from /proc
+    so it needs no JVM round-trip; a reaped worker's CPU vanishes between
+    samples, so deltas are clamped at 0 by the caller. Load-robust: host
+    contention stretches wall-clock, not CPU charged to this tree."""
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    parent: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        pid = int(d)
+        parent[pid] = int(rest[1])
+        cpu[pid] = (int(rest[11]) + int(rest[12])) / tick
+    children: dict[int, list[int]] = {}
+    for pid, ppid in parent.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [me]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0.0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+_FAMILY_PREFIXES = [
+    # (family, name-prefixes) — first match wins; bench-scale legs and the
+    # kernel chains get their own buckets so the compact line's subtotals
+    # separate "engine queries" from "deliberately huge synthetic stages"
+    ("scale", ("skew_join", "pagerank_10m", "text_1m", "eppa_kernel_play")),
+    ("kernel", ("eppa_", "m1b", "m1c", "m1d", "m2_", "m4_", "m5_", "m6_",
+                "s4_", "analytics_", "a20b", "stream_eppa", "rankings_",
+                "calibration_")),
+    ("stream", ("stream_",)),
+    ("dedup", ("dedup_", "minhash", "simhash", "ngram_jaccard", "containment",
+               "prefix_", "dup_", "semdedup", "decontaminate", "blocking")),
+    ("embed", ("embed_", "pq_", "kmeans", "sim_recall")),
+    ("text", ("text_", "token", "bpe_", "tfidf", "encode_", "ngram_lm",
+              "chunk_", "oov_", "quality_", "pack_", "mixture", "repeated_")),
+    ("graph", ("pagerank",)),
+    ("multimodal", ("multimodal_",)),
+]
+
+
+def _family(name: str) -> str:
+    for fam, prefixes in _FAMILY_PREFIXES:
+        if any(name.startswith(p) for p in prefixes):
+            return fam
+    return "relational"
+
+
 def _release_persistent_rdds(spark) -> None:
     """Free every persisted/localCheckpoint'ed RDD block (measured: the
     10M-edge pagerank stage's checkpoint blocks, left pinned, slowed the
@@ -428,7 +499,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    load_start = round(os.getloadavg()[0], 2)
+    loads = {"start": round(os.getloadavg()[0], 2)}
 
     from bigdatabowl_spark.session import get_spark
     import bigdatabowl_spark.plans  # noqa: F401
@@ -452,67 +523,99 @@ def main() -> None:
     # round-over-round fps change here is a kernel regression, not staging
     # contention; the in-suite measurement at the end keeps continuity.
     eppa_iso_sec, eppa_iso_fps = bench_eppa_kernel(spark)
+    loads["after_warmup"] = round(os.getloadavg()[0], 2)
 
     # Full-catalog sweep: headline queries first (stable ordering for
     # round-over-round diffs), then every remaining catalog entry so a
     # regression in any query is visible in BENCH_r{N} (VERDICT r2 task 6).
     all_names = BENCH_QUERIES + [n for n in CATALOG if n not in set(BENCH_QUERIES)]
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     for name in all_names:
         q = CATALOG.get(name)
         if q is None:
             continue
         n_runs = 1 if name in SINGLE_RUN else 2
-        best = None
+        best = best_cpu = None
         for _ in range(n_runs):
+            c0 = _subtree_cpu_sec()
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             df.count()
             dt = time.perf_counter() - t0
+            dc = max(0.0, _subtree_cpu_sec() - c0)
             best = dt if best is None else min(best, dt)
+            best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         timings[name] = round(best, 3)
+        cpu_secs[name] = round(best_cpu, 3)
+    # rounds-to-converge for the iterative-fixpoint query (VERDICT r6
+    # item 7's bench-row ask): one cheap re-run, read off the result column
+    pr_conv = CATALOG["pagerank_converge"].builder(spark, sf_dir).limit(1).collect()
+    pr_conv_rounds = int(pr_conv[0]["rounds_used"]) if pr_conv else None
     _release_persistent_rdds(spark)  # catalog checkpoints (dedup/tfidf/…)
+    loads["after_catalog"] = round(os.getloadavg()[0], 2)
     salted_sec, unsalted_sec, aqe_sec, aqe_off_sec = bench_skew_join(spark, sf_dir)
     timings["skew_join_salted"] = salted_sec
     timings["skew_join_unsalted_hotkey"] = unsalted_sec
     timings["skew_join_aqe_split"] = aqe_sec
     timings["skew_join_aqe_off_64map"] = aqe_off_sec
+    loads["after_skew"] = round(os.getloadavg()[0], 2)
     eppa_sec, eppa_fps = bench_eppa_kernel(spark)
     timings["eppa_kernel_play"] = eppa_sec
+    loads["after_eppa"] = round(os.getloadavg()[0], 2)
     pr_graph_sec, pr_steps_sec, pr_step_sec = bench_pagerank_scale(spark)
     timings["pagerank_10m_graph_build"] = pr_graph_sec
     timings["pagerank_10m_3_supersteps"] = pr_steps_sec
     _release_persistent_rdds(spark)  # pagerank checkpoints would throttle text
+    loads["after_pagerank"] = round(os.getloadavg()[0], 2)
     enc_sec, bigram_sec, enc_tps = bench_text_scale(spark)
     timings["text_1m_encode"] = enc_sec
     timings["text_1m_bigram_counts"] = bigram_sec
+    loads["end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
+
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    headline = {
+        "metric": "catalog_bench_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "eppa_frames_per_sec": eppa_fps,
+        "eppa_frames_per_sec_isolated": eppa_iso_fps,
+        "eppa_kernel_play_isolated": eppa_iso_sec,
+        "pagerank_10m_sec_per_superstep": pr_step_sec,
+        "pagerank_converge_rounds": pr_conv_rounds,
+        "text_1m_encode_tokens_per_sec": enc_tps,
+        "sf": sf,
+        # wall subtotals per family + the 12 slowest queries — the full
+        # 180-query map lives in bench_full.json (committed), NOT here:
+        # the driver captures only a ~2 KB stdout tail (VERDICT r6 item 2)
+        "families": families,
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+        ),
+        # host contention context: this VM's numbers swing with invisible
+        # neighbor load — read wobbles against these snapshots and against
+        # bench_full.json's per-query CPU seconds, not as regressions
+        "load_avg": loads,
+    }
+    full = dict(
+        headline,
+        queries=timings,
+        cpu_sec=cpu_secs,
+        metric="catalog_bench_full",
+    )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
     # leading newline + flush: even if anything wrote a partial \r-terminated
     # line to stdout, the JSON starts on a fresh line (BENCH_r05 parsed=null
     # was the progress stream glued onto this line)
     sys.stdout.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "eppa_frames_per_sec": eppa_fps,
-                "eppa_frames_per_sec_isolated": eppa_iso_fps,
-                "eppa_kernel_play_isolated": eppa_iso_sec,
-                "pagerank_10m_sec_per_superstep": pr_step_sec,
-                "text_1m_encode_tokens_per_sec": enc_tps,
-                "sf": sf,
-                # host contention context: this VM's numbers swing with
-                # invisible neighbor load (SCALE.md kernel-fps caveat) —
-                # read wobbles against this, not as regressions
-                "load_avg_start": load_start,
-                "load_avg_end": round(os.getloadavg()[0], 2),
-            }
-        ),
-        flush=True,
-    )
+    print(json.dumps(headline), flush=True)
     spark.stop()
 
 

@@ -15,4 +15,5 @@ from bigdatabowl_spark.plans import corpus  # noqa: F401,E402
 from bigdatabowl_spark.plans import round4  # noqa: F401,E402
 from bigdatabowl_spark.plans import round5  # noqa: F401,E402
 from bigdatabowl_spark.plans import round6  # noqa: F401,E402
+from bigdatabowl_spark.plans import round7  # noqa: F401,E402
 from bigdatabowl_spark.streaming import events as _streaming_events  # noqa: F401,E402

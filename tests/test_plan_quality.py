@@ -674,3 +674,18 @@ def test_m1_feature_expressions_are_non_null(spark, sf_dir):
         ]
     ).collect()[0]
     assert all(v == 0 for v in bad), bad.asDict()
+
+
+def test_pagerank_converge_early_exits(spark, sf_dir):
+    """The ε-stopping rule must actually FIRE before the round cap on the
+    fixture graph (measured: 4 rounds at sf0.001, 5 at sf0.01) — otherwise
+    the 'converge-until-delta' query silently degrades into pagerank_fixed
+    with extra aggregations."""
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from bigdatabowl_spark.plans.round7 import PR_MAX_ROUNDS
+
+    rows = CATALOG["pagerank_converge"].builder(spark, sf_dir).collect()
+    assert rows
+    rounds = {r.rounds_used for r in rows}
+    assert len(rounds) == 1
+    assert 1 <= rows[0].rounds_used < PR_MAX_ROUNDS, rows[0].rounds_used

@@ -163,3 +163,88 @@ def test_stream_dedup_matches_duckdb_batch(spark, tmp_path, seed):
     ).df()
     problems = compare(got, want)
     assert not problems, (seed, n, n_files, problems)
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_stream_interval_join_matches_duckdb_batch(spark, tmp_path, seed):
+    """ST6 stream-stream interval join under RANDOM watermark lags and
+    join widths (VERDICT r6 item 8): random event tables scattered over
+    random file splits, both sides watermarked with a random lag drawn
+    ABOVE the event-time span — so no row is ever late-dropped and the
+    join must equal DuckDB's batch interval join exactly, whatever the
+    micro-batch composition or retention horizon. (Tight lags are
+    deliberately out of scope: which rows drop then depends on file
+    arrival order, which the file source does not contract — the
+    deterministic surface is lag ≥ span, and the lag still sizes the
+    state-retention window the join actually maintains.)"""
+    import duckdb
+
+    rng = random.Random(3000 + seed)
+    n = rng.randrange(150, 400)
+    n_files = rng.randrange(2, 8)
+    width_sec = rng.choice([60, 300, 900])
+    span_sec = 4 * 3600  # _gen_rows timestamps live in [0, 4h)
+    lag_sec = rng.randrange(span_sec, 3 * span_sec)
+    base = _gen_rows(rng, n)
+    # re-key onto a small user domain so the equi-join side actually matches
+    rows = [
+        (eid, eid % 37, et, ts, val) for (eid, et, ts, val) in base
+    ]
+    src = str(tmp_path / "events_src")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts_us long, "
+            "value long",
+        )
+        .repartition(n_files)
+        .write.parquet(src)
+    )
+    sch = spark.read.parquet(src).schema
+
+    def side(prefix, et):
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_micros(F.col("ts_us")).alias(f"{prefix}_time"),
+            )
+            .withWatermark(f"{prefix}_time", f"{lag_sec} seconds")
+        )
+
+    left, right = side("c", "click"), side("p", "purchase")
+    joined = left.join(
+        right,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_time") >= F.col("c_time") - F.expr(f"INTERVAL {width_sec} SECONDS"))
+        & (F.col("p_time") < F.col("c_time")),
+        "inner",
+    ).select("c_event", "p_event")
+    sink = f"stream_fuzz_ij_{seed}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT * FROM {sink}")
+
+    want = duckdb.connect().execute(
+        f"""
+        SELECT a.event_id AS c_event, b.event_id AS p_event
+        FROM read_parquet('{src}/*.parquet') a
+        JOIN read_parquet('{src}/*.parquet') b
+          ON b.user_id = a.user_id
+         AND b.ts_us >= a.ts_us - {width_sec * 1_000_000}
+         AND b.ts_us < a.ts_us
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """
+    ).df()
+    problems = compare(got, want)
+    assert not problems, (seed, n, n_files, width_sec, lag_sec, problems)
