@@ -157,7 +157,7 @@ def forest_to_xgb_json(forest: FlatForest) -> dict:
                 "base_score": repr(forest.base_score),
                 "boost_from_average": "1",
                 "num_class": str(n_class),
-                "num_feature": "26",
+                "num_feature": str(num_feature),
                 "num_target": "1",
             },
             "objective": {

@@ -107,3 +107,23 @@ def test_catalog_matches_duckdb_oracle(spark, sf_dir):
     results = run_all(spark, sf_dir)
     failures = {k: v for k, v in results.items() if v}
     assert not failures, f"oracle mismatches: {failures}"
+
+
+def test_catalog_matches_duckdb_oracle_sf001(spark, sf_dir):
+    """Driver-scale sweep in the pytest cadence (VERDICT r6 item 8): the
+    full catalog vs DuckDB at sf0.01 — mismatches that only appear at
+    larger group counts (decimal-sum widths, quantile boundaries, LIMIT
+    tie-breaks) surface here instead of in the driver artifact. Skipped
+    when the session already targets a non-default sf_dir, and opt-out via
+    SPARK_GRAFT_FAST_TESTS=1 for quick local iteration."""
+    import os
+
+    import pytest as _pytest
+
+    if os.environ.get("SPARK_GRAFT_FAST_TESTS"):
+        _pytest.skip("SPARK_GRAFT_FAST_TESTS set")
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        _pytest.skip("session sf_dir already sf0.01")
+    results = run_all(spark, "/root/testdata/sf0.01")
+    failures = {k: v for k, v in results.items() if v}
+    assert not failures, f"sf0.01 oracle mismatches: {failures}"
