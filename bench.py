@@ -161,7 +161,9 @@ def bench_eppa_kernel(spark) -> tuple[float, float]:
     return round(sec, 3), round(frames / sec, 3)
 
 
-def bench_skew_join(spark, sf_dir: str) -> tuple[float, float, float, float]:
+def bench_skew_join(
+    spark, sf_dir: str, require_skew_split: bool = True
+) -> tuple[float, float, float, float]:
     """Salted vs unsalted shuffle join on a deliberately skewed slice —
     the 'one viral document' key SCALE.md names (VERDICT r4 item 7).
 
@@ -271,7 +273,10 @@ def bench_skew_join(spark, sf_dir: str) -> tuple[float, float, float, float]:
                 dt = time.perf_counter() - t0
                 aqe_sec = dt if aqe_sec is None else min(aqe_sec, dt)
             plan = joined._jdf.queryExecution().executedPlan().toString()
-            assert "skew=true" in plan, plan
+            # the executed plan must carry skew=true at bench scale (sf0.1);
+            # at smoke scale (sf0.001) the hot partition is under even the
+            # lowered thresholds and AQE rightly declines to split
+            assert "skew=true" in plan or not require_skew_split, plan
             assert (r_aqe["n"], r_aqe["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
                 r_aqe,
                 r_plain,
@@ -548,13 +553,19 @@ def main() -> None:
             best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         timings[name] = round(best, 3)
         cpu_secs[name] = round(best_cpu, 3)
+        # progress to STDERR (stdout carries only the final JSON line):
+        # a stalled sweep is diagnosable from the last line printed
+        print(f"[bench] {name}: {best:.3f}s wall {best_cpu:.3f}s cpu",
+              file=sys.stderr, flush=True)
     # rounds-to-converge for the iterative-fixpoint query (VERDICT r6
     # item 7's bench-row ask): one cheap re-run, read off the result column
     pr_conv = CATALOG["pagerank_converge"].builder(spark, sf_dir).limit(1).collect()
     pr_conv_rounds = int(pr_conv[0]["rounds_used"]) if pr_conv else None
     _release_persistent_rdds(spark)  # catalog checkpoints (dedup/tfidf/…)
     loads["after_catalog"] = round(os.getloadavg()[0], 2)
-    salted_sec, unsalted_sec, aqe_sec, aqe_off_sec = bench_skew_join(spark, sf_dir)
+    salted_sec, unsalted_sec, aqe_sec, aqe_off_sec = bench_skew_join(
+        spark, sf_dir, require_skew_split=(sf is None or sf >= 0.1)
+    )
     timings["skew_join_salted"] = salted_sec
     timings["skew_join_unsalted_hotkey"] = unsalted_sec
     timings["skew_join_aqe_split"] = aqe_sec
