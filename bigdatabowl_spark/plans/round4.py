@@ -1185,6 +1185,49 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_graph(spark: SparkSession, sf_dir: str):
+    """(degs, graph) for the co-purchase PageRank family: symmetrized edge
+    table hash-partitioned on src, degree-annotated, localCheckpoint'ed
+    once so supersteps replay from the materialized partitions (the GraphX
+    partitioned-edge-table model). Shared by pagerank_bucketed (round 4)
+    and pagerank_converge (round 7) — ONE copy of the graph build, so the
+    damping arithmetic and partitioning can never drift between them."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    graph = (
+        sym.repartition("src")
+        .join(
+            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    return degs, graph
+
+
+def _pr_superstep(graph, ranks):
+    """One integer-exact PageRank superstep over a (src, dst, deg_src)
+    graph relation: shuffle-hash rank join (never a rank broadcast) + one
+    dst aggregation, damping 85/100 in BIGINT arithmetic — the single
+    shared implementation every fixed/bucketed/converging variant and the
+    10M-edge bench stage apply per round."""
+    contribs = graph.join(
+        ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+        "src",
+    )
+    return contribs.groupBy(F.col("dst").alias("node")).agg(
+        (F.lit(150000) + F.expr("(85 * sum(rank div deg_src)) div 100")).alias(
+            "rank"
+        )
+    )
+
+
 def _pagerank_iter_sql(prev: str, nxt: str) -> str:
     """One integer-PageRank round as a DuckDB CTE pair: integer
     contributions rank // degree summed per destination, damped 85/100 in
@@ -1325,34 +1368,10 @@ def pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented. Same oracle as pagerank_fixed — the integer arithmetic is
     plan-independent, which is exactly why the fixture uses it.
     """
-    e = _copurchase_edges(spark, sf_dir)
-    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
-        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
-    degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
-    graph = (
-        sym.repartition("src")
-        .join(
-            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
-            .hint("shuffle_hash"),
-            "src",
-        )
-        # materialize the partitioned graph once; supersteps replay from it
-        .localCheckpoint()
-    )
+    degs, graph = _pr_graph(spark, sf_dir)
     ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
     for _ in range(3):
-        contribs = graph.join(
-            ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
-            "src",
-        )
-        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(150000) + F.expr("(85 * sum(rank div deg_src)) div 100")).alias(
-                "rank"
-            )
-        )
+        ranks = _pr_superstep(graph, ranks)
     return (
         ranks.select("node", F.col("rank").cast("long").alias("rank_ppm"))
         .orderBy(F.col("rank_ppm").desc(), F.col("node").asc())

@@ -35,6 +35,11 @@ from bigdatabowl_spark.plans.round4 import _EDGE_SQL, _pagerank_iter_sql
 PR_EPS_PPM = 100  # converged when L1 delta < EPS_PPM * |nodes|
 PR_MAX_ROUNDS = 6
 
+# Set by the builder on every run: the stopping rule's decision, readable
+# without re-running the iterative query (bench reports it as a headline
+# field after its sweep already executed the builder once).
+last_rounds_used: int | None = None
+
 
 def _converge_sql() -> str:
     iters = ",\n    ".join(
@@ -98,24 +103,9 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nodes| / cluster); the driver sees exactly one BIGINT per round.
     localCheckpoint between rounds truncates the iterative lineage
     (pagerank_bucketed precedent)."""
-    from bigdatabowl_spark.plans.round4 import _copurchase_edges
+    from bigdatabowl_spark.plans.round4 import _pr_graph, _pr_superstep
 
-    e = _copurchase_edges(spark, sf_dir)
-    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
-        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
-    degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
-    graph = (
-        sym.repartition("src")
-        .join(
-            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
-            .hint("shuffle_hash"),
-            "src",
-        )
-        .localCheckpoint()
-    )
+    degs, graph = _pr_graph(spark, sf_dir)
     ranks = degs.select(
         "node", F.lit(1000000).cast("long").alias("rank")
     ).localCheckpoint()
@@ -123,21 +113,7 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rounds_used = PR_MAX_ROUNDS
     for rnd in range(1, PR_MAX_ROUNDS + 1):
-        nxt = (
-            graph.join(
-                ranks.select(F.col("node").alias("src"), "rank").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.lit(150000) + F.expr("(85 * sum(rank div deg_src)) div 100")
-                ).alias("rank")
-            )
-            .localCheckpoint()
-        )
+        nxt = _pr_superstep(graph, ranks).localCheckpoint()
         delta = (
             ranks.select("node", F.col("rank").alias("rank_prev"))
             .join(nxt.select("node", F.col("rank").alias("rank_next")), "node", "full")
@@ -156,6 +132,8 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
             rounds_used = rnd
             break
 
+    global last_rounds_used
+    last_rounds_used = rounds_used
     return (
         ranks.select(
             "node",

@@ -423,19 +423,38 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
     processing-time timeouts are in play), so an availableNow query never
     self-terminates — measured 84+ empty epochs before teardown. A
     completed batch with numInputRows == 0 means every available row was
-    consumed by earlier batches; that is the drain signal."""
+    consumed by earlier batches; that is the drain signal.
+
+    Failure semantics match the awaitTermination() this replaces: a query
+    that died mid-run re-raises its StreamingQueryException (otherwise a
+    partial memory sink would silently read as wrong totals), and a query
+    that never drains within timeout_sec raises instead of returning
+    partial results."""
     import time as _time
 
     deadline = _time.monotonic() + timeout_sec
+    drained = False
     while _time.monotonic() < deadline:
         if not q.isActive:
-            return
+            # self-terminated: clean availableNow completion (drained) or
+            # a failure — the exception check below decides
+            drained = True
+            break
         lp = q.lastProgress
         if lp is not None and lp["numInputRows"] == 0:
+            drained = True
             break
         _time.sleep(0.2)
-    q.stop()
-    q.awaitTermination(30)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+    if not drained:
+        raise TimeoutError(
+            f"stream {q.name or q.id} did not drain within {timeout_sec}s"
+        )
 
 
 _STATEFUL_RUNS = iter(range(1_000_000))

@@ -624,9 +624,9 @@ def test_m6_surrogate_ranks_like_full_kernel():
     # drops) can dominate when candidate p_int deltas are small. Pin the
     # majority-exact behavior; the divergence is the documented reason
     # objective='full' exists.
-    assert sorted(ranks)[1] == 0, (ranks, regrets)  # median frame: exact
+    # sorted[1] == 0 ⇔ at least 2 of the 3 frames have an EXACT argmin
+    assert sorted(ranks)[1] == 0, (ranks, regrets)
     assert float(np.median(regrets)) <= 0.15, (ranks, regrets)
-    assert all(r < len(regrets) * 4 for r in ranks)  # sanity: ranks bounded
 
 
 def test_m6_full_objective_mode_matches_reference_loop():
