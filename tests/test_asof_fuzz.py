@@ -1,0 +1,86 @@
+"""Seeded cross-engine fuzzing of the as-of join (J15).
+
+The catalog's j15_asof_join checks ONE fixed shape (purchases enriched
+with prior clicks on the events fixture). This fuzzes the dimensions that
+shape can't enumerate: random key cardinalities, keys with NO right rows
+(null payload path), left timestamps before every right row, exact
+timestamp ties (ASOF includes a right row AT the left's timestamp),
+negative timestamps, and duplicate LEFT rows. Spark's union+ordered-window
+formulation (operators/asof.py) must match DuckDB's native ASOF LEFT JOIN
+row-for-row on every seed.
+
+Determinism by construction: right-side (key, ts) pairs are UNIQUE — with
+duplicate right timestamps both engines' "latest right row ≤ left ts" is
+ambiguous (which duplicate wins is an implementation detail), so that
+surface is excluded rather than flakily pinned; right payloads are a
+deterministic function of (key, ts) anyway, so even an internal tie could
+not change values. Left rows carry a unique id so the compare is exact.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.oracle_harness import compare
+
+N_SEEDS = 6
+
+
+def _gen(seed: int):
+    rng = random.Random(4000 + seed)
+    n_keys = rng.randrange(3, 12)
+    left = []
+    for i in range(rng.randrange(100, 300)):
+        k = rng.randrange(n_keys)
+        left.append((i, k, rng.randrange(-1000, 100_000), rng.randrange(-50, 50)))
+    right = []
+    for k in range(n_keys):
+        if rng.random() < 0.2:
+            continue  # some keys have no right rows at all
+        for ts in rng.sample(range(-500, 90_000), rng.randrange(1, 40)):
+            right.append((k, ts, (k * 1_000_003 + ts * 7_919) % 100_000))
+    if rng.random() < 0.5 and left:
+        # exact-tie rows: a left row AT a right row's timestamp must match it
+        for k, ts, _ in rng.sample(right, k=min(5, len(right))):
+            left.append((len(left), k, ts, 7))
+    return left, right
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_asof_join_matches_duckdb_asof(spark, tmp_path, seed):
+    import duckdb
+
+    from bigdatabowl_spark.operators.asof import asof_join
+
+    left, right = _gen(seed)
+    lpath = str(tmp_path / "l.parquet")
+    rpath = str(tmp_path / "r.parquet")
+    spark.createDataFrame(
+        left, "l_id long, k long, l_ts long, l_val long"
+    ).coalesce(1).write.parquet(lpath)
+    spark.createDataFrame(
+        right, "k long, r_ts long, r_val long"
+    ).coalesce(1).write.parquet(rpath)
+
+    got = asof_join(
+        spark.read.parquet(lpath),
+        spark.read.parquet(rpath),
+        key="k",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        payload_cols=["r_ts", "r_val"],
+    ).select("l_id", "k", "l_ts", "l_val", "r_ts_asof", "r_val_asof")
+
+    want = duckdb.connect().execute(
+        f"""
+        SELECT l.l_id, l.k, l.l_ts, l.l_val,
+               r.r_ts AS r_ts_asof, r.r_val AS r_val_asof
+        FROM read_parquet('{lpath}/*.parquet') l
+        ASOF LEFT JOIN read_parquet('{rpath}/*.parquet') r
+          ON l.k = r.k AND l.l_ts >= r.r_ts
+        """
+    ).df()
+    problems = compare(got, want)
+    assert not problems, (seed, len(left), len(right), problems)

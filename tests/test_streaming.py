@@ -479,3 +479,74 @@ def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
         assert (1, 3, 4.0) not in rows()
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's BOUNDED-state contract, pinned
+    (stream_dedup's docstring documents it; this drives it): a duplicate
+    arriving within the watermark delay of its first occurrence is
+    dropped; once the watermark passes, the key's dedup state is EVICTED
+    and a later duplicate is RE-EMITTED (the at-least-once contract that
+    keeps state proportional to the dedup window, not the stream's
+    lifetime — the only posture that survives unbounded key cardinality)."""
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000_000_000  # event-time anchor, micros
+
+    def feed(name, rows):
+        pd.DataFrame(rows, columns=["k", "ts_us"]).to_parquet(
+            str(src / name), index=False
+        )
+
+    # b0: first A and first C
+    feed("b0.parquet", [("A", base), ("C", base)])
+
+    stream = (
+        spark.readStream.schema("k string, ts_us long")
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("event_time", "2 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", "ts_us")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return [
+            (r.k, r.ts_us) for r in spark.table("wm_dedup_test").collect()
+        ]
+
+    def wait_for(pred, timeout=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred(rows()):
+                return True
+            time.sleep(0.3)
+        return False
+
+    try:
+        assert wait_for(lambda s: ("A", base) in s and ("C", base) in s), rows()
+        # b1: duplicate C within its 2 s window (dropped) + a filler 30 s
+        # later that will advance the watermark past A's and C's state
+        feed("b1.parquet", [("C", base + 500_000), ("B", base + 30_000_000)])
+        assert wait_for(lambda s: ("B", base + 30_000_000) in s), rows()
+        assert ("C", base + 500_000) not in rows(), rows()
+        # b2: duplicate A at t=+29s — NOT late (>= watermark ≈ +28s), but
+        # A's dedup state is long evicted → re-emitted as a fresh row
+        feed("b2.parquet", [("A", base + 29_000_000)])
+        assert wait_for(lambda s: ("A", base + 29_000_000) in s), rows()
+        counts = [k for k, _ in rows()]
+        assert counts.count("A") == 2 and counts.count("C") == 1, rows()
+    finally:
+        q.stop()
