@@ -128,6 +128,8 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["d"]
         )
         ranks = nxt
+        if delta is None:  # empty graph: SUM over zero rows — trivially fixed
+            delta = 0
         if delta < PR_EPS_PPM * n_nodes:
             rounds_used = rnd
             break
