@@ -200,3 +200,46 @@ def test_forest_margins_match_per_row_walk(data):
     ):
         assert (getattr(forest, f) == getattr(back, f)).all(), f
     assert back.base_score == forest.base_score
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=random_forest_and_X(), drops=st.lists(st.floats(0.0, 1.5, allow_nan=False), min_size=0, max_size=8))
+def test_dart_document_scores_like_weighted_walk(data, drops):
+    """A dart save_model layout (gradient_booster.model.gbtree nesting +
+    per-tree weight_drop) over ARBITRARY hypothesis-generated tree shapes
+    loads and scores like the per-row walk with each tree's leaf scaled by
+    its drop weight (missing weights default to 1.0 — xgboost pads) —
+    fuzzing the r7 dart path the fixed fixture can't enumerate."""
+    from bigdatabowl_spark.kernels.xgb_json import forest_from_xgb_json
+
+    forest, trees, info, base_score, X = data
+    n_class = forest.n_classes
+    doc = {
+        "version": [2, 0, 3],
+        "learner": {
+            "learner_model_param": {
+                "num_class": str(n_class),
+                "base_score": repr(base_score),
+            },
+            "objective": {"name": "multi:softprob"},
+            "gradient_booster": {
+                "name": "dart",
+                "model": {
+                    "gbtree": {
+                        "gbtree_model_param": {"num_trees": str(len(trees))},
+                        "tree_info": list(info),
+                        "trees": trees,
+                    },
+                    "weight_drop": [repr(w) for w in drops],
+                },
+            },
+        },
+    }
+    dart = forest_from_xgb_json(doc)
+    got = dart.margins(X)
+    want = np.full((len(X), n_class), base_score, dtype=np.float64)
+    for t, (tree, c) in enumerate(zip(trees, info)):
+        w = drops[t] if t < len(drops) else 1.0
+        for r in range(len(X)):
+            want[r, c] += w * _walk_row(tree, X[r])
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
