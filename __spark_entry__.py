@@ -26,46 +26,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-7 driver-run ordering. The driver caps each round at 50 queries, so
+# Round-8 driver-run ordering. The driver caps each round at 50 queries, so
 # emit first (a) this round's new + implementation-touched queries —
-# pagerank_converge is new; m1b/m1c/m1d changed (m1c computes unresolved +
-# NaN routing, staging gained a base_score assert); stream_stateful_totals
-# switched to TTL'd state; m6 gained the objective='full' mode (kernel
-# before its readside twin) — then (b) the re-verification queue from
-# VERDICT r6 item 1: the r1-green remainder whose last driver run was
-# round 1, then the r2-green tier oldest-first. Entries past position 50
-# are the documented queue for round 8 (driver-green r2+/r4+ and
-# in-repo-oracle green at sf0.001/0.01).
+# stream_stateful_totals_eventtime (event-time TTL, the eviction decision
+# itself oracle-checked) and m1e_dart_forest_score (dart doc through the
+# four-path certification) are new; m6 switched its default objective to
+# 'hybrid' (surrogate shortlist + full-kernel re-rank → outputs change;
+# kernel before its readside twin); stream_stateful_totals gained the
+# tombstone-free assertion + 2-empty-batch drain — then (b) the
+# re-verification queue from VERDICT r7 item 1: the 9 r2-latest queries,
+# then the r4-latest tier in catalog order (36 of 42 fit under the cap).
+# Entries past position 50 are the documented queue for round 9: the
+# 6 r4-tier remainders, then the r5 tier oldest-first. m1b/m1c/m1d were
+# refactored into stage-parameterized helpers this round with identical
+# output (and m1e exercises those same helpers on the dart stage), so
+# they queue behind the never-re-proved tiers rather than re-running.
 _RUN_FIRST = (
     # (a) new + touched this round
-    "pagerank_converge", "stream_stateful_totals",
-    "m1b_forest_score", "m1c_forest_udf_score", "m1d_forest_compiled_score",
-    "m6_optimize_defense", "m6_defense_readside",
-    # (b) r1-green remainder with no driver run since round 1
-    "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
-    "ngram_jaccard_pairs", "o2_global_topn", "simhash_docs",
-    "text_langid", "text_quality", "text_tokens_fingerprint",
-    "u4_semi_anti", "u5_except_intersect", "w4_topk_per_group",
-    # (b) r2-green tier, oldest first
-    "a15_event_sets", "a17_autocorr", "a18_histogram_2d",
-    "a20_gamma_moments_fit", "a21_adaptive_window_fit",
-    "a22_histogram_smooth", "a23_group_product", "a24_masked_pivot",
-    "a25_cumulative", "a26_argmax_per_group", "a28_weighted_expectation",
-    "a7_distinct_counts", "a8_relative_freq", "decontaminate_ngram",
-    "etl_normalize_tracking", "f_kinematics", "j10_prior_weighted_rank",
-    "j13_range_join", "j15_asof_join", "j16_full_outer", "j7_event_span",
-    "kmeans_lloyd", "m1_tree_ensemble_score", "m7_grouped_matrix",
-    "o5_deterministic_shuffle", "p1_conjunctive_lookup", "p5_null_handling",
-    "p9_conditional_tiers", "s10_partitioned_resume", "s13_error_channel",
-    "s1_csv_roundtrip",
-    # ---- 50-query cap lands here; below is the documented queue (r8) ----
+    "stream_stateful_totals_eventtime", "m1e_dart_forest_score",
+    "m6_optimize_defense", "m6_defense_readside", "stream_stateful_totals",
+    # (b) r2-latest tier — last driver-green in round 2
     "s3_multi_scan_union", "split_assign",
     "stream_session_windows", "stream_sliding_counts",
     "stream_tumbling_counts", "w1_lag_gaps",
     "w2_first_event_offset", "w3_rolling_mean", "w5_share_of_total",
-    "a7b_approx_sketches", "a7c_sketch_certify",
-    "corpus_pipeline", "pagerank_bucketed", "pagerank_fixed",
-    # then the r4/r5/r6-green tiers, oldest first (catalog order)
+    # (b) r4-latest tier, catalog order (first 36 — cap is 50)
+    "resample_interpolate", "o7_global_rank", "funnel_steps",
+    "pack_sequences", "s14_upsert_merge", "o6_zorder_layout",
+    "s15_rollup_reuse", "containment_pairs", "skew_salted_agg",
+    "w8_zscore_anomaly", "pii_redact", "url_host_agg",
+    "rollup_hierarchy", "unpivot_features", "ntile_stratify",
+    "dedup_incremental", "mixture_temperature", "repeated_ngram_spans",
+    "kmv_distinct_sketch", "bloom_semi_prune", "scd2_history",
+    "psi_drift", "markov_transitions", "simhash_hamming_pairs",
+    "zonemap_prune_stats", "oov_rate", "dup_span_coverage",
+    "sessionize_batch", "blocking_pairs", "mad_robust_stats",
+    "time_range_rolling", "time_weighted_avg", "triangle_count",
+    "prefix_filter_jaccard", "cohort_retention", "pq_codes",
+    # ---- 50-query cap lands here; below is the documented queue (r9) ----
+    "semantic_dedup", "dq_checks", "cms_heavyhitters",
+    "stream_dedup", "stream_static_enrich", "stream_foreach_merge",
+    # then the r5-green tier oldest-first, then r6 (catalog order)
 )
 
 

@@ -300,15 +300,18 @@ def bench_skew_join(
     )
 
 
-def _subtree_cpu_sample() -> dict[int, float]:
-    """Per-pid CPU seconds (utime+stime) of this process and every LIVE
+def _subtree_cpu_sample() -> dict[int, tuple[float, float]]:
+    """Per-pid (self, reaped) CPU seconds of this process and every LIVE
     descendant — the Spark JVM and its reused pyspark.daemon workers.
-    Sampled from /proc so it needs no JVM round-trip. Load-robust: host
-    contention stretches wall-clock, not CPU charged to this tree."""
+    `self` is utime+stime; `reaped` is cutime+cstime, the CPU of children
+    this pid has already wait()ed on (pyspark workers reaped by their
+    daemon land there, recursively). Sampled from /proc so it needs no JVM
+    round-trip. Load-robust: host contention stretches wall-clock, not CPU
+    charged to this tree."""
     tick = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     parent: dict[int, int] = {}
-    cpu: dict[int, float] = {}
+    cpu: dict[int, tuple[float, float]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -319,11 +322,14 @@ def _subtree_cpu_sample() -> dict[int, float]:
             continue
         pid = int(d)
         parent[pid] = int(rest[1])
-        cpu[pid] = (int(rest[11]) + int(rest[12])) / tick
+        cpu[pid] = (
+            (int(rest[11]) + int(rest[12])) / tick,
+            (int(rest[13]) + int(rest[14])) / tick,
+        )
     children: dict[int, list[int]] = {}
     for pid, ppid in parent.items():
         children.setdefault(ppid, []).append(pid)
-    out: dict[int, float] = {}
+    out: dict[int, tuple[float, float]] = {}
     stack = [me]
     while stack:
         p = stack.pop()
@@ -333,16 +339,26 @@ def _subtree_cpu_sample() -> dict[int, float]:
     return out
 
 
-def _cpu_delta_sec(start: dict[int, float], end: dict[int, float]) -> float:
-    """Pid-wise CPU delta between two subtree samples. A worker reaped
-    between samples simply drops out (its since-start CPU is undercounted,
-    never subtracted — a whole-tree total would go NEGATIVE by its lifetime
-    CPU and a zero-clamp would then report 0.0 for a busy query, the exact
-    misattribution the metric exists to prevent); a worker spawned between
-    samples contributes its full CPU."""
-    return max(
-        0.0, sum(c - start.get(pid, 0.0) for pid, c in end.items())
+def _cpu_delta_sec(
+    start: dict[int, tuple[float, float]], end: dict[int, tuple[float, float]]
+) -> float:
+    """Pid-wise CPU delta between two subtree samples, reap-aware
+    (ADVICE r7): a worker reaped between samples vanishes from the live
+    sum, but its full lifetime CPU rolls into its parent's cutime/cstime
+    (recursively), so summing the pid-wise `reaped` delta recovers it.
+    Since that roll-up carries the worker's FULL lifetime — including CPU
+    it burned before `start` — the live (self+reaped) CPU the vanished pid
+    showed at `start` is subtracted back out. Residual noise: a vanished
+    pid orphaned to init (reaped outside the tree) undercounts, and PID
+    reuse inside the subtree between samples counts a new process's
+    lifetime CPU from zero — cpu_sec is a tight estimate, not exact
+    accounting (noted next to the field in bench_full.json)."""
+    gained = sum(
+        (s - start.get(pid, (0.0, 0.0))[0]) + (r - start.get(pid, (0.0, 0.0))[1])
+        for pid, (s, r) in end.items()
     )
+    vanished = sum(s + r for pid, (s, r) in start.items() if pid not in end)
+    return max(0.0, gained - vanished)
 
 
 _FAMILY_PREFIXES = [
@@ -450,42 +466,55 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
 
     from bigdatabowl_spark.plans.round6 import VOCAB_SIZE
 
+    # STAGE the synthetic corpus (localCheckpoint) before the timed
+    # window, like the eppa/pagerank legs stage theirs: the r7 leg
+    # re-synthesized all 20M concat/hash token strings TWICE per run —
+    # once under the vocab aggregate and once under the encode join — so
+    # it timed corpus generation, not the pipeline under test
+    # (VERDICT r7 item 4; synthesis measured 0.7 s vs 25.8 s reported).
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.expr(
             f"transform(sequence(1, {toks_per_doc}),"
             " j -> concat('w', pmod(hash(id * 31 + j), 5000)))"
         ).alias("arr"),
-    )
+    ).localCheckpoint()
     n_tokens = n_docs * toks_per_doc
-    t0 = time.perf_counter()
-    toks = docs.select("doc_id", F.posexplode("arr").alias("pos", "tok"))
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(VOCAB_SIZE)
-    )
     from pyspark.sql import Window
 
-    vocab = top.select(
-        "tok",
-        (F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))) - 1)
-        .cast("bigint")
-        .alias("token_id"),
-    )
-    # Consume the joined token ids: summing coalesce(token_id, OOV) forces
-    # every encoded row through the join — a bare count() would let
-    # Catalyst ELIMINATE the left join and the whole vocab subtree
-    # (verified: the optimized plan became explode+count, timing nothing
-    # this stage claims to measure).
-    encoded = toks.join(F.broadcast(vocab), "tok", "left").select(
-        F.coalesce(F.col("token_id"), F.lit(VOCAB_SIZE).cast("bigint")).alias(
-            "token_id"
+    encode_sec = None
+    for _ in range(2):  # min-of-2, the catalog convention
+        t0 = time.perf_counter()
+        toks = docs.select("doc_id", F.posexplode("arr").alias("pos", "tok"))
+        top = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok"))
+            .limit(VOCAB_SIZE)
         )
-    )
-    encoded.agg(F.sum("token_id").alias("checksum")).collect()
-    encode_sec = time.perf_counter() - t0
+        vocab = top.select(
+            "tok",
+            (F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))) - 1)
+            .cast("bigint")
+            .alias("token_id"),
+        )
+        # Consume the joined token ids: summing coalesce(token_id, OOV)
+        # forces every encoded row through the join — a bare count() would
+        # let Catalyst ELIMINATE the left join and the whole vocab subtree
+        # (r6's 4.28M tokens/s phantom; commit 543afab).
+        encoded = toks.join(F.broadcast(vocab), "tok", "left").select(
+            F.coalesce(
+                F.col("token_id"), F.lit(VOCAB_SIZE).cast("bigint")
+            ).alias("token_id")
+        )
+        sink = encoded.agg(F.sum("token_id").alias("checksum"))
+        sink.collect()
+        dt = time.perf_counter() - t0
+        encode_sec = dt if encode_sec is None else min(encode_sec, dt)
+    # the leg's own plan gate (not just the catalog twin's): the encode
+    # join must survive in the optimized plan it just timed
+    opt = sink._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in opt, f"encode join pruned from timed plan:\n{opt}"
     t0 = time.perf_counter()
     bi = docs.select(
         F.explode(
@@ -501,6 +530,7 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
         F.sum("n_ab").alias("checksum")
     ).collect()
     bigram_sec = time.perf_counter() - t0
+    _release_persistent_rdds(spark)  # the staged-corpus localCheckpoint
     return (
         round(encode_sec, 3),
         round(bigram_sec, 3),
@@ -630,10 +660,31 @@ def main() -> None:
         headline,
         queries=timings,
         cpu_sec=cpu_secs,
+        # reap-aware but not exact: see _cpu_delta_sec — PID reuse inside
+        # the subtree between samples and init-orphaned workers leave
+        # cpu_sec a tight estimate (ADVICE r7)
+        cpu_sec_note="process-tree utime+stime delta incl. reaped children "
+        "via cutime/cstime; PID reuse / init-orphaning add noise",
         metric="catalog_bench_full",
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as f:
+    # Round-stamped artifact (VERDICT r7 item 6): the driver's per-round
+    # bench and the builder's committed run used to fight over one
+    # bench_full.json path, leaving the worktree dirty every round. The
+    # round is inferred from the highest BENCH_r{N}.json the driver has
+    # recorded (this run belongs to round N+1); SPARK_GRAFT_ROUND overrides.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob as _glob
+        import re as _re
+
+        recorded = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(recorded, default=0) + 1)
+    with open(os.path.join(here, f"bench_full_r{int(rnd):02d}.json"), "w") as f:
         json.dump(full, f, indent=1)
     # leading newline + flush: even if anything wrote a partial \r-terminated
     # line to stdout, the JSON starts on a fresh line (BENCH_r05 parsed=null

@@ -51,7 +51,17 @@ _INT_MAX = 2147483647  # xgboost's "no parent" sentinel
 # ObjFunction::ProbToMargin links (xgboost src/objective/regression_obj.cu,
 # multiclass_obj.cu): base_score is SAVED in probability/output space; the
 # margin-space offset is link(base_score).
-_LOGIT_OBJECTIVES = frozenset({"binary:logistic", "reg:logistic"})
+# binary:logitraw is LOGIT, not identity: LogisticRaw overrides
+# PredTransform (identity at predict time) but NOT ProbToMargin, so it
+# inherits LogisticRegression's logit link (xgboost
+# src/objective/regression_loss.h — the inherited CHECK also requires
+# base_score in (0,1)). At the default 0.5 the two links coincide
+# (logit(0.5) = 0), which is why the earlier identity classification
+# never mis-scored the fixtures (ADVICE r7; pinned by
+# tests/test_xgb_json.py::test_logitraw_base_score_uses_logit_link).
+_LOGIT_OBJECTIVES = frozenset(
+    {"binary:logistic", "reg:logistic", "binary:logitraw"}
+)
 _LOG_OBJECTIVES = frozenset({"count:poisson", "reg:gamma", "reg:tweedie"})
 _IDENTITY_OBJECTIVES = frozenset(
     {
@@ -61,7 +71,6 @@ _IDENTITY_OBJECTIVES = frozenset(
         "reg:linear",  # pre-1.0 alias of squarederror
         "reg:absoluteerror",
         "reg:pseudohubererror",
-        "binary:logitraw",
         "binary:hinge",
         "rank:pairwise",
         "rank:ndcg",

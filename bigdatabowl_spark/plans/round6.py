@@ -233,14 +233,20 @@ def _stage_forest(spark: SparkSession, sf_dir: str) -> str:
     # expressions over orders are non-null (pinned by
     # tests/test_plan_quality.py::test_m1_feature_expressions_are_non_null
     # and guarded at run time by m1c's per-batch NaN check).
-    assert forest.base_score == 0.0, "staged forest must have base_score 0"
+    # load-bearing invariant (soundness of three inference paths) — a real
+    # raise, not an assert, so `python -O` cannot strip it (ADVICE r7)
+    if forest.base_score != 0.0:
+        raise ValueError(
+            f"staged forest must have base_score 0, got {forest.base_score!r}"
+            " — m1b/m1d and the DuckDB oracle omit the margin offset"
+        )
     save_forest(spark, forest, _FOREST_STAGE)
     with open(marker, "w") as f:
         f.write(marker_value(sf_dir))
     return _FOREST_STAGE
 
 
-def _m1b_oracle() -> str:
+def _m1b_oracle(stage: str = _FOREST_STAGE, where: str = "") -> str:
     from bigdatabowl_spark.plans.advanced import _FEATURES
 
     fv = ", ".join(e for e, _ in _FEATURES)
@@ -258,10 +264,10 @@ def _m1b_oracle() -> str:
         )
     return f"""
     WITH feats AS (
-        SELECT o_orderkey, [{fv}] AS fv FROM orders
+        SELECT o_orderkey, [{fv}] AS fv FROM orders {where}
     ),
-    nodes AS (SELECT * FROM read_parquet('{_FOREST_STAGE}/nodes/*.parquet')),
-    trees AS (SELECT * FROM read_parquet('{_FOREST_STAGE}/trees/*.parquet')),
+    nodes AS (SELECT * FROM read_parquet('{stage}/nodes/*.parquet')),
+    trees AS (SELECT * FROM read_parquet('{stage}/trees/*.parquet')),
     l0 AS (
         SELECT f.o_orderkey, t.tree_id, f.fv, 0 AS node
         FROM feats f CROSS JOIN trees t
@@ -295,14 +301,25 @@ def m1b_forest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     `unresolved` must be 0 everywhere: every (row, tree) state lands on a
     leaf within depth rounds — the traversal-completeness invariant."""
+    _stage_forest(spark, sf_dir)
+    return _walk_score(spark, sf_dir, _FOREST_STAGE)
+
+
+def _walk_score(
+    spark: SparkSession, sf_dir: str, stage: str, where: str | None = None
+) -> DataFrame:
+    """The m1b relational join-walk over an arbitrary staged forest dir
+    (shared with the dart-staged certification, m1e)."""
     from bigdatabowl_spark.plans.advanced import _FEATURES
 
-    _stage_forest(spark, sf_dir)
-    nodes = spark.read.parquet(os.path.join(_FOREST_STAGE, "nodes"))
-    trees = spark.read.parquet(os.path.join(_FOREST_STAGE, "trees"))
+    nodes = spark.read.parquet(os.path.join(stage, "nodes"))
+    trees = spark.read.parquet(os.path.join(stage, "trees"))
     fv = F.array(*[F.expr(e) for e, _ in _FEATURES]).alias("fv")
+    orders = t(spark, sf_dir, "orders")
+    if where:
+        orders = orders.where(where)
     state = (
-        t(spark, sf_dir, "orders")
+        orders
         .select("o_orderkey", fv)
         .crossJoin(F.broadcast(trees.select("tree_id")))
         .withColumn("node", F.lit(0))
@@ -388,12 +405,18 @@ def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf after depth rounds), not hardcoded (ADVICE r6) — so a NaN
     sneaking into the feature expressions shows up as a certification
     hash mismatch instead of four silently-agreeing wrong paths."""
+    _stage_forest(spark, sf_dir)
+    return _udf_score(spark, sf_dir, _FOREST_STAGE)
+
+
+def _udf_score(
+    spark: SparkSession, sf_dir: str, stage: str, where: str | None = None
+) -> DataFrame:
+    """The m1c mapInPandas scorer over an arbitrary staged forest dir
+    (shared with the dart-staged certification, m1e)."""
     import pandas as pd
 
     from bigdatabowl_spark.plans.advanced import _FEATURES
-
-    _stage_forest(spark, sf_dir)
-    stage = _FOREST_STAGE
 
     def score(batches):
         import numpy as np
@@ -439,7 +462,10 @@ def m1c_forest_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    feats = t(spark, sf_dir, "orders").select(
+    orders = t(spark, sf_dir, "orders")
+    if where:
+        orders = orders.where(where)
+    feats = orders.select(
         "o_orderkey",
         *[F.expr(e).alias(f"f{i}") for i, (e, _) in enumerate(_FEATURES)],
     )
@@ -499,17 +525,28 @@ def m1d_forest_compiled_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk, vectorized NumPy UDF, SQL walk — are certified identical on one
     staged model. Map-only: zero joins, zero Python; the unpivot to
     (cls, margin_q) rows is a per-row stack()."""
+    _stage_forest(spark, sf_dir)
+    return _compiled_score(spark, sf_dir, _FOREST_STAGE)
+
+
+def _compiled_score(
+    spark: SparkSession, sf_dir: str, stage: str, where: str | None = None
+) -> DataFrame:
+    """The m1d compiled nested-CASE scorer over an arbitrary staged forest
+    dir (shared with the dart-staged certification, m1e)."""
     from bigdatabowl_spark.sources.artifacts import load_forest
 
-    _stage_forest(spark, sf_dir)
-    forest = load_forest(spark, _FOREST_STAGE)
+    forest = load_forest(spark, stage)
     margins = _compile_forest_sql(forest)
     n_class = forest.n_classes
     stack_args = ", ".join(
         f"CAST({c} AS BIGINT), m{c}" for c in range(n_class)
     )
+    orders = t(spark, sf_dir, "orders")
+    if where:
+        orders = orders.where(where)
     return (
-        t(spark, sf_dir, "orders")
+        orders
         .select(
             "o_orderkey",
             *[F.expr(m).alias(f"m{c}") for c, m in sorted(margins.items())],
@@ -524,6 +561,114 @@ def m1d_forest_compiled_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAT["m1d_forest_compiled_score"] = _replace(
     _CAT["m1d_forest_compiled_score"], oracle=_m1b_oracle()
+)
+
+
+# --------------------------------------------------------------------------
+# Dart through the four-path certification (VERDICT r7 item 7)
+# --------------------------------------------------------------------------
+
+_DART_STAGE = os.path.join(KERNEL_OUT, "m1e_dart_forest")
+_M1E_WHERE = "o_orderkey % 10 = 0"  # 10% deterministic slice; all paths+oracle
+
+
+def _stage_dart_forest(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the forest obtained by LOADING A DART DOCUMENT: the depth-4
+    forest is serialized to xgboost JSON, rewrapped in dart's nested
+    layout (gradient_booster.model.gbtree + per-tree weight_drop), and
+    re-loaded through forest_from_xgb_json, which folds each tree's drop
+    weight into its leaves (xgb_json.py module doc). 12 of 16 drop
+    weights are ≠ 1, so a loader that ignored the nesting or the weights
+    would stage different leaf bytes and hash-fail all four paths."""
+    from bigdatabowl_spark.kernels.xgb_json import (
+        forest_from_xgb_json,
+        forest_to_xgb_json,
+    )
+    from bigdatabowl_spark.sources.artifacts import save_forest
+
+    marker = os.path.join(_DART_STAGE, _SF_MARKER)
+    try:
+        with open(marker) as f:
+            if f.read().strip() == marker_value(sf_dir):
+                return _DART_STAGE
+    except OSError:
+        pass
+    base = scaled_forest()
+    doc = forest_to_xgb_json(base)
+    booster = doc["learner"]["gradient_booster"]
+    n_trees = base.n_trees
+    # deterministic drop weights: exactly representable dyadics so the
+    # leaf folding (w * leaf) is one exact float multiply in any engine
+    weight_drop = [
+        1.0 if tr % 4 == 0 else 0.5 + 0.0625 * (tr % 8) for tr in range(n_trees)
+    ]
+    doc["learner"]["gradient_booster"] = {
+        "name": "dart",
+        "model": {"gbtree": booster["model"], "weight_drop": weight_drop},
+    }
+    forest = forest_from_xgb_json(doc)
+    if forest.base_score != 0.0:
+        raise ValueError(
+            f"dart-staged forest must have base_score 0, got "
+            f"{forest.base_score!r} — the walk paths omit the margin offset"
+        )
+    # the staged bytes must actually differ from the plain-gbtree forest —
+    # otherwise this query would certify nothing beyond m1b
+    import numpy as np
+
+    is_leaf = base.left == np.arange(len(base.left))
+    if np.array_equal(forest.leaf_val[is_leaf], base.leaf_val[is_leaf]):
+        raise ValueError("dart weight_drop folded to a no-op — staging bug")
+    save_forest(spark, forest, _DART_STAGE)
+    with open(marker, "w") as f:
+        f.write(marker_value(sf_dir))
+    return _DART_STAGE
+
+
+def _m1e_oracle() -> str:
+    """The DuckDB node walk over the dart-staged relation, fanned out to
+    the three Spark path labels (same values per path by construction)."""
+    base = _m1b_oracle(stage=_DART_STAGE, where=f"WHERE {_M1E_WHERE}")
+    return f"""
+    WITH base AS ({base})
+    SELECT p.path, b.o_orderkey, b.cls, b.margin_q, b.unresolved
+    FROM base b
+    CROSS JOIN (SELECT unnest(['compiled', 'join_walk', 'udf']) AS path) p
+    """
+
+
+@register("m1e_dart_forest_score", "M1,M2,S4,S6,J1,P10,A1", None)
+def m1e_dart_forest_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All THREE Spark inference paths — relational join walk (m1b),
+    vectorized NumPy UDF (m1c), compiled nested-CASE (m1d) — run over the
+    DART-STAGED forest and emit path-labeled rows; the DuckDB oracle walks
+    the same staged relation once and cross-joins the three labels. A
+    single green driver row therefore certifies that a real dart document
+    (nested layout, weight_drop ≠ 1 on 12 of 16 trees) scores identically
+    through four independent engines — the loader's weight folding is
+    load-bearing, not decorative (VERDICT r7 item 7; loader fuzzed in
+    tests/test_xgb_json.py::test_dart_document_unwraps_nesting_...).
+
+    A deterministic 10% orders slice keeps the 3× scoring fan-out cheap;
+    the filter is pushed to every path AND the oracle."""
+    stage = _stage_dart_forest(spark, sf_dir)
+    parts = [
+        ("join_walk", _walk_score(spark, sf_dir, stage, _M1E_WHERE)),
+        ("udf", _udf_score(spark, sf_dir, stage, _M1E_WHERE)),
+        ("compiled", _compiled_score(spark, sf_dir, stage, _M1E_WHERE)),
+    ]
+    out = None
+    for label, df in parts:
+        labeled = df.select(
+            F.lit(label).alias("path"),
+            "o_orderkey", "cls", "margin_q", "unresolved",
+        )
+        out = labeled if out is None else out.unionByName(labeled)
+    return out
+
+
+_CAT["m1e_dart_forest_score"] = _replace(
+    _CAT["m1e_dart_forest_score"], oracle=_m1e_oracle()
 )
 
 

@@ -425,6 +425,14 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
     completed batch with numInputRows == 0 means every available row was
     consumed by earlier batches; that is the drain signal.
 
+    A single zero-input batch is NOT proof of drain: with a source split
+    across micro-batches (maxFilesPerTrigger, or a zero-row file mid-queue)
+    one batch can legitimately complete with numInputRows == 0 while files
+    remain. Drain therefore requires TWO CONSECUTIVE zero-input batches
+    with DISTINCT batchIds — the second empty batch ran after the first
+    found nothing, so the source offered no new data across a full
+    scheduling round-trip (timeout-check batches never add data).
+
     Failure semantics match the awaitTermination() this replaces: a query
     that died mid-run re-raises its StreamingQueryException (otherwise a
     partial memory sink would silently read as wrong totals), and a query
@@ -434,14 +442,23 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
 
     deadline = _time.monotonic() + timeout_sec
     drained = False
+    seen_bid = -1  # highest batchId already folded into the streak
+    streak = 0  # consecutive zero-input batches (distinct batchIds)
     while _time.monotonic() < deadline:
         if not q.isActive:
             # self-terminated: clean availableNow completion (drained) or
             # a failure — the exception check below decides
             drained = True
             break
-        lp = q.lastProgress
-        if lp is not None and lp["numInputRows"] == 0:
+        # recentProgress (not lastProgress) so a data batch that completed
+        # between polls still resets the streak
+        for lp in q.recentProgress:
+            bid = lp["batchId"]
+            if bid <= seen_bid:
+                continue  # already accounted for
+            seen_bid = bid
+            streak = streak + 1 if lp["numInputRows"] == 0 else 0
+        if streak >= 2:
             drained = True
             break
         _time.sleep(0.2)
@@ -480,9 +497,11 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in n_events, so the final state is the max-n_events row per
     key. Integer-cent accumulation inside the operator makes total_value
     bit-equal to the oracle's decimal sum whatever the micro-batch
-    partitioning (see _running_totals). Eviction tombstones (n_events=-1)
-    are filtered defensively — none fire here, since the availableNow run
-    is a single pass well inside the TTL.
+    partitioning (see _running_totals). No eviction tombstone (n_events=-1)
+    can fire here — the availableNow run is a single pass well inside the
+    TTL — so one appearing means the contract was violated (e.g. a >TTL
+    stall between batches would reset totals mid-run); the query RAISES in
+    that case rather than silently returning the stale pre-eviction total.
     """
     from pyspark.sql import Window
 
@@ -505,10 +524,184 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with empty timeout-check batches — drain to data-exhaustion and
         # stop instead of awaiting a termination that never comes
         drain_available_now(q)
+    sink = spark.table(name)
+    n_tombstones = sink.filter(F.col("n_events") < 0).count()
+    if n_tombstones:
+        raise RuntimeError(
+            f"stream_stateful_totals: {n_tombstones} TTL tombstone(s) fired "
+            "during a single-pass availableNow run — a mid-run stall "
+            "exceeded the state TTL, so max-n_events selection would return "
+            "stale pre-eviction totals"
+        )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+# Event-time TTL twin (VERDICT r7 item 3): processing-time eviction is
+# wall-clock-dependent — replaying identical input can tombstone at
+# different times. Event-time eviction is a PURE FUNCTION of the data:
+# a key is evicted iff its last event is more than TTL older than the
+# final watermark (global max event time minus the watermark delay), so
+# the same input replayed always produces byte-identical output,
+# tombstones included (tests/test_streaming.py::
+# test_eventtime_ttl_replay_is_deterministic).
+EVENT_TTL_MS = 28_800_000  # 8 h of event time idle before eviction
+EVENT_WM_DELAY_MS = 3_600_000  # 1 h watermark delay
+_EVENT_STATE_SCHEMA = "n long, cents long, max_ms long"
+
+
+def _running_totals_eventtime(key, pdfs, state, ttl_ms: int = EVENT_TTL_MS):
+    """Event-time-TTL'd running per-user (count, value-total).
+
+    Same integer-cent accumulation as _running_totals, but the state also
+    carries the key's max event time (ms) and arms an EVENT-TIME timeout at
+    max_ms + ttl_ms: Spark fires it when the watermark passes that point
+    (strictly, FlatMapGroupsWithStateExec's timeoutTimestamp < watermark),
+    emitting a tombstone (n_events = -1, final total) and dropping the
+    state. Eviction timing is decided by the DATA's own clock — replay
+    determinism the processing-time variant cannot offer."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, cents, _ = state.get if state.exists else (0, 0, 0)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [-1],
+                "total_value": [cents / 100.0],
+            }
+        )
+        return
+    n, cents, max_ms = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # ts_us is the tz-independent epoch-microsecond column (the same
+        # integer basis DuckDB's epoch_us sees); floor-to-ms mirrors
+        # Spark's watermark bookkeeping (EventTimeStats collects ms)
+        max_ms = max(max_ms, int(pdf["ts_us"].max()) // 1_000)
+    state.update((n, cents, max_ms))
+    state.setTimeoutTimestamp(max_ms + ttl_ms)
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
+
+
+def stateful_user_totals_eventtime(
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_ms: int = EVENT_TTL_MS,
+    wm_delay: str = "1 hour",
+) -> DataFrame:
+    """readStream → watermark → applyInPandasWithState running totals with
+    an EVENT-TIME state TTL (see _running_totals_eventtime). Caller
+    attaches a sink and starts the query (update output mode).
+
+    Unlike the processing-time variant, an availableNow run SELF-TERMINATES:
+    event-time timeouts only warrant another micro-batch while the
+    watermark still advances, so plain awaitTermination() works — no
+    drain protocol."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    # withWatermark rejects TIMESTAMP_NTZ; timestamp_micros(ts_us) builds a
+    # TIMESTAMP from the tz-independent epoch micros — an absolute instant,
+    # never a session-zone reinterpretation of the NTZ wall clock. The
+    # pandas side reads the INTEGER ts_us (Arrow would render the TIMESTAMP
+    # in session-local wall time), so both sides share one integer basis.
+    ts_us = epoch_us_col(stream, "ts")
+    return (
+        stream.select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            ts_us.alias("ts_us"),
+            F.timestamp_micros(ts_us).alias("event_time"),
+        )
+        .withWatermark("event_time", wm_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _running_totals_eventtime(
+                key, pdfs, state, ttl_ms
+            ),
+            outputStructType=STATEFUL_SCHEMA,
+            stateStructType=_EVENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@register(
+    "stream_stateful_totals_eventtime",
+    "ST4,ST2,A1",
+    f"""
+    WITH pk AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               MAX(epoch_us(ts)) AS max_us
+        FROM events GROUP BY user_id
+    ), g AS (SELECT MAX(epoch_us(ts)) AS gmax_us FROM events)
+    SELECT pk.user_id,
+           CASE WHEN (pk.max_us // 1000) + {EVENT_TTL_MS}
+                     < (g.gmax_us // 1000) - {EVENT_WM_DELAY_MS}
+                THEN CAST(-1 AS BIGINT) ELSE pk.n END AS n_events,
+           pk.total_value
+    FROM pk, g
+    """,
+)
+def stream_stateful_totals_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-TTL'd running totals run to completion — and, unlike the
+    processing-time twin, the EVICTION DECISION ITSELF is oracle-checked:
+    the DuckDB twin computes each key's idle time against the final
+    watermark (global max event ts − 1 h delay, ms-floored exactly like
+    Spark's EventTimeStats) and predicts which keys tombstone (n_events
+    = -1 carrying the final total, ~40% of keys at the 8 h TTL on this
+    table's 30-day span). A mismatched eviction set hash-fails the driver
+    row, so the TTL semantics are cross-engine certified, not just
+    exercised.
+
+    The availableNow pass is one data batch (single parquet file), then
+    Spark runs exactly the timeout batches the advancing watermark
+    warrants and self-terminates — the oracle models that single-data-batch
+    structure (a multi-file split could evict-then-readmit mid-stream,
+    which the two-run replay test exercises instead).
+
+    Final row per key: the tombstone if one fired, else the max-n_events
+    update row."""
+    from pyspark.sql import Window
+
+    name = f"stateful_totals_et_{next(_STATEFUL_RUNS)}"
+    sdf = stateful_user_totals_eventtime(spark, sf_dir)
+    with _state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(
+        F.when(F.col("n_events") == -1, 1).otherwise(0).desc(),
+        F.col("n_events").desc(),
+    )
+    return (
         spark.table(name)
-        .filter(F.col("n_events") >= 0)  # drop TTL eviction tombstones
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")

@@ -481,6 +481,109 @@ def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
         q.stop()
 
 
+def test_eventtime_ttl_replay_is_deterministic(spark, sf_dir):
+    """VERDICT r7 item 3: event-time TTL eviction is a pure function of
+    the DATA — the same input replayed must produce byte-identical output,
+    tombstones included (the processing-time variant provably cannot make
+    this promise: its eviction clock is the wall). Two full runs of the
+    catalog query, exact float equality, and the run must actually
+    tombstone a nontrivial share of keys (~40% at the 8 h TTL)."""
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    q = CATALOG["stream_stateful_totals_eventtime"]
+    a = sorted(
+        (r.user_id, r.n_events, r.total_value)
+        for r in q.builder(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.user_id, r.n_events, r.total_value)
+        for r in q.builder(spark, sf_dir).collect()
+    )
+    assert a == b  # bit-identical, tombstone timing included
+    n_tomb = sum(1 for _, n, _ in a if n == -1)
+    assert 0 < n_tomb < len(a), (n_tomb, len(a))
+
+
+def test_eventtime_ttl_evicts_and_readmits(spark, tmp_path):
+    """Event-time TTL across restarts, with NO wall-clock sleeps: a key
+    whose last event is > TTL older than the advancing watermark is
+    evicted (tombstone, state removed); a post-eviction re-arrival
+    restarts from zero. The eviction decision rides the data's own clock
+    — file b0 carries one stale key and one fresh key, so the watermark
+    raised by the fresh key evicts exactly the stale one."""
+    import pandas as pd
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.streaming.events import (
+        STATEFUL_SCHEMA,
+        _EVENT_STATE_SCHEMA,
+        _running_totals_eventtime,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    US = 1_000_000
+
+    def feed(name, rows):  # rows: (user_id, value, ts_us)
+        pdf = pd.DataFrame(rows, columns=["user_id", "value", "ts_us"])
+        pdf["ts_us"] = pdf["ts_us"].astype("int64")
+        pdf.to_parquet(str(src / name), index=False)
+
+    # user 1 last seen at t=100 s; user 2 at t=50 000 s. TTL 10 s, delay
+    # 1 s → final watermark 49 999 s; 100 + 10 < 49 999 evicts user 1 only.
+    feed("b0.parquet", [(1, 1.25, 100 * US), (1, 2.00, 90 * US),
+                        (2, 5.50, 50_000 * US)])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, value double, ts_us long")
+            .parquet(str(src))
+            .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("event_time", "1 second")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                lambda key, pdfs, state: _running_totals_eventtime(
+                    key, pdfs, state, 10_000
+                ),
+                outputStructType=STATEFUL_SCHEMA,
+                stateStructType=_EVENT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # and restart-with-checkpoint is exactly what this test exercises
+        emitted: list[tuple] = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: emitted.extend(
+                    (r.user_id, r.n_events, r.total_value)
+                    for r in bdf.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)  # event-time timeouts self-terminate
+        return set(emitted)
+
+    got = run_once()
+    assert (1, 2, 3.25) in got and (2, 1, 5.5) in got, got
+    assert (1, -1, 3.25) in got, got  # stale key tombstoned by watermark
+    assert (2, -1, 5.5) not in got, got  # fresh key retained
+
+    # post-eviction re-arrival (newer than the checkpointed watermark)
+    # restarts from ZERO — the state was removed, not cached
+    feed("b1.parquet", [(1, 0.75, 50_100 * US)])
+    got2 = run_once()
+    assert (1, 1, 0.75) in got2, got2
+    assert (1, 3, 4.0) not in got2, got2
+
+
 def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
     """dropDuplicatesWithinWatermark's BOUNDED-state contract, pinned
     (stream_dedup's docstring documents it; this drives it): a duplicate

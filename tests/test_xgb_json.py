@@ -568,3 +568,37 @@ def test_base_score_links_log_and_unknown():
     neg["learner"]["learner_model_param"]["base_score"] = "1.5"
     with _pytest.raises(ValueError, match="outside"):
         forest_from_xgb_json(neg)
+
+
+def test_logitraw_base_score_uses_logit_link():
+    """binary:logitraw's base_score link is LOGIT, not identity (ADVICE r7):
+    xgboost's LogisticRaw overrides PredTransform/gradients but inherits
+    LogisticRegression::ProbToMargin (src/objective/regression_loss.h), so
+    the saved base_score is a probability in (0,1) whose margin offset is
+    logit(p). The two links coincide only at the default 0.5 (logit = 0)."""
+    import copy
+    import math
+
+    import pytest as _pytest
+
+    doc = _asymmetric_model()
+    doc["learner"]["learner_model_param"]["num_class"] = "1"
+    doc["learner"]["gradient_booster"]["model"]["tree_info"] = [0, 0, 0, 0]
+    doc["learner"]["objective"] = {"name": "binary:logitraw"}
+
+    # default base_score: logit(0.5) = 0 — identical to identity, which is
+    # why the old (wrong) identity classification never mis-scored fixtures
+    doc["learner"]["learner_model_param"]["base_score"] = "5E-1"
+    assert forest_from_xgb_json(doc).base_score == 0.0
+
+    # non-default: logit(0.7), NOT 0.7
+    skewed = copy.deepcopy(doc)
+    skewed["learner"]["learner_model_param"]["base_score"] = "0.7"
+    assert forest_from_xgb_json(skewed).base_score == math.log(0.7 / (1 - 0.7))
+
+    # the inherited ProbToMargin CHECK requires (0,1) even though logitraw
+    # predictions themselves are unbounded margins
+    bad = copy.deepcopy(doc)
+    bad["learner"]["learner_model_param"]["base_score"] = "1.5"
+    with _pytest.raises(ValueError, match="outside"):
+        forest_from_xgb_json(bad)
