@@ -380,24 +380,20 @@ def u4_semi_anti(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "a7b_approx_sketches",
-    "A7,A10,M8",
-    None,  # sketches are engine-specific — no cross-engine hash oracle;
-    # instead the query SELF-CERTIFIES: it computes the exact aggregates in
-    # the same plan and emits per-group relative errors plus an
-    # invariant_violations count that must be 0 (≤5% tolerance, same bound
-    # as tests/test_operators.py::test_approx_sketches), so the driver's
-    # rows-only check still exercises real sketch accuracy.
-)
 def a7b_approx_sketches(spark: SparkSession, sf_dir: str):
     """Sketch aggregates — the 100 TB path for distinct counts and
     quantiles (SURVEY A7/A10/M8 name approx_count_distinct and
     percentile_approx as the Spark primitives; the exact twins
     a7_distinct_counts / a10_quantiles are the oracle-checkable versions).
     HLL++ and KLL-style sketches keep state O(1) per group and merge
-    associatively, so the partial/final split holds at any scale. The exact
-    twin columns here are the verification harness, not the scale path."""
+    associatively, so the partial/final split holds at any scale.
+
+    NOT a catalog entry (VERDICT r7 item 8): approx sketch VALUES are
+    engine-specific so a driver row could only ever be `no_oracle`; the
+    catalog's sketch coverage lives in a7c_sketch_certify (round5.py),
+    whose oracle-checked booleans certify the same HLL++/KLL accuracy
+    cross-engine. This helper remains the tolerance harness for
+    tests/test_operators.py::test_approx_sketches_close_to_exact."""
     li = t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),

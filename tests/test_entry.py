@@ -32,7 +32,9 @@ def test_queries_and_oracles_aligned(spark):
     # kernel entries (driver records a rows-only check for those)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "a7b_approx_sketches",  # engine-specific sketches, tolerance-tested
+        # a7b_approx_sketches folded into a7c_sketch_certify (r8): sketch
+        # VALUES are engine-specific, the oracle-checked booleans in a7c
+        # carry the certification; the a7b helper remains tolerance-tested
         "eppa_field_surface",
         "eppa_pass_summary",
         "eppa_player_stats",

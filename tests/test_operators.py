@@ -131,9 +131,11 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG, t
 
+    from bigdatabowl_spark.plans.relational import a7b_approx_sketches
+
     approx = {
         r.l_returnflag: r
-        for r in CATALOG["a7b_approx_sketches"].builder(spark, sf_dir).collect()
+        for r in a7b_approx_sketches(spark, sf_dir).collect()
     }
     li = t(spark, sf_dir, "lineitem")
     exact = {
