@@ -66,6 +66,67 @@ def test_stateful_running_totals(spark, sf_dir):
     assert {r.user_id: r.n for r in got} == expected
 
 
+def test_drain_survives_zero_row_file_mid_queue(spark, tmp_path):
+    """ADVICE r7: a single completed zero-input batch is NOT proof of
+    drain — with maxFilesPerTrigger=1 and a ZERO-ROW parquet file in the
+    middle of the queue, one batch legitimately processes 0 rows while a
+    later file still holds data. drain_available_now must keep going
+    (it requires two consecutive distinct zero-input batches) and the
+    final totals must include the post-empty-file rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.streaming.events import (
+        STATEFUL_SCHEMA,
+        _STATE_SCHEMA,
+        _running_totals,
+        drain_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # lexicographic file order = processing order under maxFilesPerTrigger=1
+    pd.DataFrame({"user_id": [1, 1], "value": [1.25, 2.0]}).to_parquet(
+        str(src / "a.parquet"), index=False
+    )
+    pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                  "value": pd.Series([], dtype="float64")}).to_parquet(
+        str(src / "b_empty.parquet"), index=False
+    )
+    pd.DataFrame({"user_id": [1], "value": [0.75]}).to_parquet(
+        str(src / "c.parquet"), index=False
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _running_totals(key, pdfs, state),
+            outputStructType=STATEFUL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("drain_midqueue_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q)
+    rows = spark.sql(
+        "SELECT MAX(n_events) AS n, MAX(total_value) AS v"
+        " FROM drain_midqueue_test"
+    ).collect()[0]
+    # all three data rows counted — a drain that stopped at the empty
+    # file's zero-input batch would report n=2, v=3.25
+    assert (rows.n, rows.v) == (3, 4.0), rows
+
+
 def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     """Kill/restart robustness: a checkpointed file-source stream that dies
     mid-stream and is restarted over a grown input directory must emit every
