@@ -449,8 +449,11 @@ def q_m2_value_model_width(spark: SparkSession, sf_dir: str):
 @register("m6_optimize_defense", "M6", None)
 def q_m6_optimize_defense(spark: SparkSession, sf_dir: str):
     """Greedy defensive-position optimizer (optimize_def.py:52-139):
-    sequential argmin-EPPA placement per defender inside one task per play,
-    candidate cells scored in a single vectorized pass."""
+    sequential argmin-EPPA placement per defender inside one task per play.
+    Default objective is HYBRID (r8): the surrogate scores all candidates
+    in one vectorized pass, the full frame kernel re-ranks the k-best ∪
+    k-worst shortlist and decides — full-mode-exact placements on every
+    fixture frame at a bounded kernel-call budget (kernels/defense.py)."""
     from bigdatabowl_spark.kernels.defense import optimize_defense
 
     return materialize_kernel(

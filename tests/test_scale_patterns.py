@@ -65,3 +65,36 @@ def test_salted_join_matches_unsalted(spark, sf_dir):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.select(*plain.columns).collect()}
     assert a == b
+
+
+def test_cpu_delta_is_reap_aware():
+    """bench._cpu_delta_sec (ADVICE r7): a worker reaped between samples
+    must contribute its CPU via the parent's cutime/cstime roll-up, with
+    the vanished pid's pre-window CPU subtracted back out — not silently
+    dropped (the old undercount) and not double-counted."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from bench import _cpu_delta_sec
+
+    # live-only growth: two pids each gain 2s self CPU
+    start = {1: (10.0, 0.0), 2: (5.0, 0.0)}
+    end = {1: (12.0, 0.0), 2: (7.0, 0.0)}
+    assert _cpu_delta_sec(start, end) == 4.0
+
+    # pid 2 reaped mid-window after burning 3 more seconds: it vanishes
+    # from `end`, its 8s lifetime rolls into pid 1's reaped column; the
+    # correct attribution is 2s (pid 1) + 3s (pid 2 post-start) = 5s
+    start = {1: (10.0, 0.0), 2: (5.0, 0.0)}
+    end = {1: (12.0, 8.0)}
+    assert _cpu_delta_sec(start, end) == 5.0
+
+    # a pid spawned AND reaped inside the window contributes fully
+    start = {1: (10.0, 0.0)}
+    end = {1: (10.0, 6.0)}
+    assert _cpu_delta_sec(start, end) == 6.0
+
+    # orphaned-to-init vanish (no roll-up anywhere) undercounts but must
+    # never go negative
+    start = {1: (10.0, 0.0), 2: (5.0, 0.0)}
+    end = {1: (10.0, 0.0)}
+    assert _cpu_delta_sec(start, end) == 0.0
