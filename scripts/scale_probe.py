@@ -120,8 +120,36 @@ def probe_pagerank(spark) -> dict:
     _, _, per_step_10 = bench_pagerank_scale(spark, n_edges=10_000_000,
                                              n_nodes=1_000_000)
     _release_persistent_rdds(spark)
-    return {"small": {"sec": per_step_1, "knob": "1M edges, sec/superstep"},
-            "large": {"sec": per_step_10, "knob": "10M edges, sec/superstep"}}
+    out = {"small": {"sec": per_step_1, "knob": "1M edges, sec/superstep"},
+           "large": {"sec": per_step_10, "knob": "10M edges, sec/superstep"}}
+    # The 1M→10M exponent is latency-bound (~0.3): a 1M-edge superstep is
+    # dominated by fixed shuffle round-trips. The optional 100M point
+    # (SPARK_GRAFT_PROBE_DEEP=1) shows the data-bound regime — and NAMES
+    # THE KNOB: at 32 shuffle partitions the 100M superstep goes
+    # superlinear (per-partition hash join outgrows executor memory
+    # comfort → spill; measured 37 s/superstep, exponent ~1.26 vs 10M),
+    # while at 256 partitions — per-partition bytes held constant, the
+    # posture SCALE.md §6 prescribes and a real cluster gets by scaling
+    # executors — it returns to linear (20 s, exponent ~0.99).
+    if os.environ.get("SPARK_GRAFT_PROBE_DEEP"):
+        for parts, label in ((None, "fixed_32_partitions"),
+                             (256, "scaled_256_partitions")):
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            if parts:
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                _, _, per_step_100 = bench_pagerank_scale(
+                    spark, n_edges=100_000_000, n_nodes=10_000_000)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            _release_persistent_rdds(spark)
+            ratio = per_step_100 / max(per_step_10, 1e-9)
+            out[f"xlarge_{label}"] = {
+                "sec": per_step_100,
+                "knob": f"100M edges, sec/superstep, {label}",
+                "exponent_vs_large": round(math.log(ratio) / math.log(10.0), 3),
+            }
+    return out
 
 
 def probe_text(spark) -> dict:
@@ -182,6 +210,13 @@ def main() -> None:
     d1 = _stage_docs(spark, "docs_x1", 20_000)
     d10 = _stage_docs(spark, "docs_x10", 200_000)
 
+    # SPARK_GRAFT_PROBE_ONLY=fam1,fam2 re-measures just those families and
+    # merges into the existing round artifact (heavy legs run back-to-back
+    # contend with each other's shuffle/page-cache cleanup — a solo rerun
+    # on an idle box is the honest number for a disputed family)
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    only_set = set(only.split(",")) if only else None
+
     out: dict = {}
     for fam, fn in [
         ("eppa_kernel", lambda: probe_eppa(spark)),
@@ -190,6 +225,8 @@ def main() -> None:
         ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10)),
         ("dedup_clusters", lambda: probe_dedup(spark, d1, d10)),
     ]:
+        if only_set is not None and fam not in only_set:
+            continue
         r = fn()
         ratio = r["large"]["sec"] / max(r["small"]["sec"], 1e-9)
         r["ratio_10x"] = round(ratio, 2)
@@ -209,9 +246,14 @@ def main() -> None:
         recorded = [int(m.group(1)) for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
                     if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
         rnd = str(max(recorded, default=0) + 1)
-    payload = {"metric": "scale_probe_10x", "families": out,
-               "load_avg": loads, "cpus": os.cpu_count()}
     path = os.path.join(ROOT, f"bench_scale_probe_r{int(rnd):02d}.json")
+    families = out
+    if only_set is not None and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        families = {**prior.get("families", {}), **out}
+    payload = {"metric": "scale_probe_10x", "families": families,
+               "load_avg": loads, "cpus": os.cpu_count()}
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v["exponent"] for k, v in out.items()}))

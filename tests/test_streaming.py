@@ -462,6 +462,39 @@ def test_stateful_totals_under_rocksdb_state_store(spark, sf_dir):
     assert {r.user_id: r.n for r in got} == expected
 
 
+def test_eventtime_ttl_provider_independent(spark, sf_dir):
+    """The event-time TTL variant under the RocksDB state store must
+    produce the EXACT catalog-query output — eviction timestamps live in
+    the state rows, so provider-independence here covers the timeout
+    machinery (setTimeoutTimestamp persistence), not just the totals."""
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    q = CATALOG["stream_stateful_totals_eventtime"]
+    baseline = sorted(
+        (r.user_id, r.n_events, r.total_value)
+        for r in q.builder(spark, sf_dir).collect()
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = sorted(
+            (r.user_id, r.n_events, r.total_value)
+            for r in q.builder(spark, sf_dir).collect()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == baseline
+    assert any(n == -1 for _, n, _ in got)  # tombstones fired under RocksDB
+
+
 def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
     """ST4 state TTL (VERDICT r6 item 5): a key idle past the processing-
     time TTL is EVICTED — the operator emits a tombstone (n_events = -1)
@@ -643,6 +676,88 @@ def test_eventtime_ttl_evicts_and_readmits(spark, tmp_path):
     got2 = run_once()
     assert (1, 1, 0.75) in got2, got2
     assert (1, 3, 4.0) not in got2, got2
+
+
+def test_eventtime_ttl_eviction_set_fuzz(spark, tmp_path):
+    """Randomized cross-engine check of the event-time eviction DECISION:
+    for random event sets, the exact key set Spark tombstones must equal
+    the closed-form prediction evict ⇔ (max_key_us//1000) + TTL <
+    (gmax_us//1000) - delay — the same strict-< arithmetic the catalog
+    oracle encodes (both sides strict, so an exact boundary tie means
+    no-evict in BOTH engines; no boundary exclusion needed). Per-key
+    totals stay integer-cent exact throughout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.streaming.events import (
+        STATEFUL_SCHEMA,
+        _EVENT_STATE_SCHEMA,
+        _running_totals_eventtime,
+    )
+
+    US = 1_000_000
+    TTL_MS, DELAY_MS = 10_000, 1_000
+
+    for seed in (11, 23, 47):
+        rng = np.random.default_rng(seed)
+        n_keys = int(rng.integers(6, 14))
+        rows = []
+        for k in range(1, n_keys + 1):
+            for _ in range(int(rng.integers(1, 5))):
+                ts_us = int(rng.integers(0, 60)) * US  # whole seconds
+                cents = int(rng.integers(0, 10_000))
+                rows.append((k, cents / 100.0, ts_us))
+        pdf = pd.DataFrame(rows, columns=["user_id", "value", "ts_us"])
+
+        # closed-form prediction, identical arithmetic to the oracle SQL
+        gmax_ms = int(pdf["ts_us"].max()) // 1000
+        by_key = pdf.groupby("user_id")["ts_us"].max() // 1000
+        predicted_evict = {
+            int(k) for k, mx in by_key.items()
+            if mx + TTL_MS < gmax_ms - DELAY_MS
+        }
+
+        src = tmp_path / f"src_{seed}"
+        src.mkdir()
+        pdf.astype({"user_id": "int64", "ts_us": "int64"}).to_parquet(
+            str(src / "events.parquet"), index=False
+        )
+        name = f"et_fuzz_{seed}"
+        stream = (
+            spark.readStream.schema("user_id long, value double, ts_us long")
+            .parquet(str(src))
+            .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("event_time", "1 second")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                lambda key, pdfs, state: _running_totals_eventtime(
+                    key, pdfs, state, TTL_MS
+                ),
+                outputStructType=STATEFUL_SCHEMA,
+                stateStructType=_EVENT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        sink = spark.table(name).collect()
+        got_evict = {int(r.user_id) for r in sink if r.n_events == -1}
+        assert got_evict == predicted_evict, (
+            seed, sorted(got_evict), sorted(predicted_evict))
+        # tombstone totals carry the key's exact final cents
+        exact = pdf.groupby("user_id")["value"].apply(
+            lambda s: round(s.mul(100).round().sum()) / 100.0)
+        for r in sink:
+            if r.n_events == -1:
+                assert r.total_value == exact[r.user_id], r
 
 
 def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
