@@ -602,3 +602,76 @@ def test_logitraw_base_score_uses_logit_link():
     bad["learner"]["learner_model_param"]["base_score"] = "1.5"
     with _pytest.raises(ValueError, match="outside"):
         forest_from_xgb_json(bad)
+
+
+def test_random_dart_forests_agree_across_four_paths(spark, sf_dir, tmp_path):
+    """Generalizes m1e_dart_forest_score from one pinned document to
+    RANDOM dart forests: jittered thresholds/leaves + random drop weights,
+    serialized to a dart doc, loaded (weights folded into leaves), staged,
+    then scored over an orders slice by all three Spark inference paths
+    (relational join walk, vectorized NumPy UDF, compiled nested-CASE) and
+    the DuckDB node walk — all four must agree row-for-row. Weight
+    exactness is a non-issue by construction: folding happens ONCE at
+    load, every path reads the same staged leaf bytes."""
+    import duckdb
+
+    from bigdatabowl_spark.plans.round6 import (
+        _compiled_score,
+        _m1b_oracle,
+        _udf_score,
+        _walk_score,
+        scaled_forest,
+    )
+    from bigdatabowl_spark.sources.artifacts import save_forest
+
+    where = "o_orderkey % 20 = 0"
+    for seed in (3, 9, 27):
+        rng = np.random.default_rng(seed)
+        base = scaled_forest()
+        trees = []
+        for t in range(base.n_trees):
+            nodes = base.tree_nodes(t)
+            lc = nodes["left_children"]
+            sc = list(nodes["split_conditions"])
+            for i in range(len(lc)):
+                if lc[i] != -1:
+                    sc[i] = float(sc[i]) * float(rng.uniform(0.8, 1.2))
+                else:
+                    sc[i] = float(sc[i]) + float(rng.uniform(-1.0, 1.0))
+            nodes["split_conditions"] = sc
+            trees.append(nodes)
+        f = FlatForest.from_node_arrays(
+            trees, [int(c) for c in base.tree_class], base.epvals.copy()
+        )
+        doc = forest_to_xgb_json(f)
+        booster = doc["learner"]["gradient_booster"]
+        doc["learner"]["gradient_booster"] = {
+            "name": "dart",
+            "model": {
+                "gbtree": booster["model"],
+                "weight_drop": [
+                    float(rng.uniform(0.25, 1.5)) for _ in range(f.n_trees)
+                ],
+            },
+        }
+        loaded = forest_from_xgb_json(doc)
+        stage = str(tmp_path / f"stage_{seed}")
+        save_forest(spark, loaded, stage)
+
+        spark_sides = [
+            sorted(tuple(r) for r in path(spark, sf_dir, stage, where).collect())
+            for path in (_walk_score, _udf_score, _compiled_score)
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+        )
+        oracle = sorted(
+            tuple(r)
+            for r in con.execute(
+                _m1b_oracle(stage=stage, where=f"WHERE {where}")
+            ).fetchall()
+        )
+        con.close()
+        assert len(oracle) > 0
+        assert spark_sides[0] == spark_sides[1] == spark_sides[2] == oracle, seed
