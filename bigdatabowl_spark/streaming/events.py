@@ -645,10 +645,10 @@ def stateful_user_totals_eventtime(
     )
 
 
-@register(
-    "stream_stateful_totals_eventtime",
-    "ST4,ST2,A1",
-    f"""
+# Shared by BOTH event-time implementations (applyInPandasWithState and
+# the transformWithStateInPandas twin): the eviction decision is a pure
+# function of the data, so one SQL twin certifies both engines' timers.
+_EVENTTIME_ORACLE = f"""
     WITH pk AS (
         SELECT user_id,
                COUNT(*) AS n,
@@ -662,7 +662,13 @@ def stateful_user_totals_eventtime(
                 THEN CAST(-1 AS BIGINT) ELSE pk.n END AS n_events,
            pk.total_value
     FROM pk, g
-    """,
+    """
+
+
+@register(
+    "stream_stateful_totals_eventtime",
+    "ST4,ST2,A1",
+    _EVENTTIME_ORACLE,
 )
 def stream_stateful_totals_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-TTL'd running totals run to completion — and, unlike the
@@ -687,6 +693,154 @@ def stream_stateful_totals_eventtime(spark: SparkSession, sf_dir: str) -> DataFr
 
     name = f"stateful_totals_et_{next(_STATEFUL_RUNS)}"
     sdf = stateful_user_totals_eventtime(spark, sf_dir)
+    with _state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(
+        F.when(F.col("n_events") == -1, 1).otherwise(0).desc(),
+        F.col("n_events").desc(),
+    )
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor as _StatefulProcessor,
+)
+
+
+class _TotalsProcessor(_StatefulProcessor):
+    """transformWithStateInPandas twin of _running_totals_eventtime
+    (SURVEY ST4): the same integer-cent running totals with event-time
+    eviction, expressed in Spark 4's arbitrary-stateful-processing API —
+    typed ValueState + explicit event-time TIMERS instead of the single
+    implicit timeout slot. One timer per key armed at max_key_ms + TTL;
+    on re-arrival the stale timer is deleted and re-armed (the API allows
+    many timers per key, so a stale one would fire spuriously — the
+    expiry guard in handleExpiredTimer is the second line of defense).
+
+    A real module-level subclass: the processor object is pickled into
+    the dedicated stateful-processing worker, so a dynamically created
+    class would crash the TransformWithStateInPySpark driver worker."""
+
+    def __init__(self, ttl_ms: int = EVENT_TTL_MS):
+        self._ttl = ttl_ms
+
+    def init(self, handle) -> None:
+        self._h = handle
+        self._st = handle.getValueState("totals", "n long, cents long, max_ms long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, cents, max_ms = self._st.get() if self._st.exists() else (0, 0, 0)
+        prev_max = max_ms
+        for pdf in rows:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            max_ms = max(max_ms, int(pdf["ts_us"].max()) // 1_000)
+        self._st.update((n, cents, max_ms))
+        if prev_max and max_ms != prev_max:
+            self._h.deleteTimer(prev_max + self._ttl)
+        self._h.registerTimer(max_ms + self._ttl)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if not self._st.exists():
+            return
+        n, cents, max_ms = self._st.get()
+        # stale-timer guard: only the key's CURRENT horizon may evict
+        if expiredTimerInfo.getExpiryTimeInMs() < max_ms + self._ttl:
+            return
+        self._st.clear()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [-1], "total_value": [cents / 100.0]}
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_ms: int = EVENT_TTL_MS,
+    wm_delay: str = "1 hour",
+) -> DataFrame:
+    """readStream → watermark → transformWithStateInPandas running totals
+    with event-time timers (see _TotalsProcessor). Caller attaches a sink
+    and starts the query (update output mode)."""
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    ts_us = epoch_us_col(stream, "ts")
+    return (
+        stream.select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            ts_us.alias("ts_us"),
+            F.timestamp_micros(ts_us).alias("event_time"),
+        )
+        .withWatermark("event_time", wm_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TotalsProcessor(ttl_ms),
+            outputStructType=STATEFUL_SCHEMA,
+            outputMode="update",
+            timeMode="eventTime",
+        )
+    )
+
+
+def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas (Spark 4 arbitrary stateful
+    processing) twin of stream_stateful_totals_eventtime: same running
+    totals, same event-time TTL, same ORACLE shape (_EVENTTIME_ORACLE) —
+    a green comparison certifies the new API's timer machinery
+    (registerTimer / handleExpiredTimer / watermark interaction)
+    transitively against the applyInPandasWithState implementation.
+
+    NOT a catalog entry: the TWS runtime imports
+    pyspark.sql.streaming.proto.StateMessage_pb2, which needs the
+    `protobuf` package — absent in this environment (measured: the
+    TransformWithStateInPySpark driver worker dies in set_handle_state on
+    `from google.protobuf import descriptor`). The processor LOGIC is
+    fully unit-tested against fake handle/state doubles
+    (tests/test_streaming.py::test_totals_processor_logic_*); the
+    end-to-end oracle comparison runs wherever protobuf exists
+    (test_tws_twin_matches_eventtime_oracle, importorskip-gated).
+
+    Same single-data-batch availableNow structure; event-time timers only
+    warrant extra batches while the watermark advances, so the query
+    self-terminates."""
+    from pyspark.sql import Window
+
+    name = f"stateful_totals_tws_{next(_STATEFUL_RUNS)}"
+    sdf = stateful_user_totals_tws(spark, sf_dir)
     with _state_partitions(spark):
         q = (
             sdf.writeStream.format("memory")

@@ -760,6 +760,136 @@ def test_eventtime_ttl_eviction_set_fuzz(spark, tmp_path):
                 assert r.total_value == exact[r.user_id], r
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers: set[int] = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+def test_totals_processor_logic_accumulates_and_rearms_timer():
+    """The transformWithStateInPandas processor's LOGIC, driven against
+    fake handle/state doubles (the TWS runtime needs protobuf, absent in
+    this environment — the gated integration twin is
+    test_tws_twin_matches_eventtime_oracle): integer-cent accumulation
+    across batches, and the eviction timer is re-armed at the key's new
+    event-time horizon with the stale timer deleted."""
+    import pandas as pd
+
+    from bigdatabowl_spark.streaming.events import _TotalsProcessor
+
+    p = _TotalsProcessor(ttl_ms=10_000)
+    h = _FakeHandle()
+    p.init(h)
+
+    US = 1_000_000
+    out = list(p.handleInputRows(
+        (7,),
+        iter([pd.DataFrame({"value": [1.25, 2.00], "ts_us": [5 * US, 9 * US]})]),
+        None,
+    ))
+    assert len(out) == 1
+    assert out[0].iloc[0].tolist() == [7, 2, 3.25]
+    assert h.state.get() == (2, 325, 9_000)
+    assert h.timers == {19_000}
+
+    # later batch advances the horizon: old timer deleted, new registered
+    out = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [0.75], "ts_us": [30 * US]})]), None
+    ))
+    assert out[0].iloc[0].tolist() == [7, 3, 4.0]
+    assert h.state.get() == (3, 400, 30_000)
+    assert h.timers == {40_000}
+
+
+def test_totals_processor_logic_stale_timer_guard_and_tombstone():
+    """A stale timer (key updated since it was armed) must NOT evict;
+    the current-horizon timer emits the tombstone and clears state."""
+    import pandas as pd
+
+    from bigdatabowl_spark.streaming.events import _TotalsProcessor
+
+    class _Expiry:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self._ms
+
+    p = _TotalsProcessor(ttl_ms=10_000)
+    h = _FakeHandle()
+    p.init(h)
+    US = 1_000_000
+    list(p.handleInputRows(
+        (3,), iter([pd.DataFrame({"value": [5.50], "ts_us": [50 * US]})]), None
+    ))
+
+    # stale: armed when max_ms was lower — below the current horizon
+    assert list(p.handleExpiredTimer((3,), None, _Expiry(55_000))) == []
+    assert h.state.exists()
+
+    # current horizon: tombstone with the exact final total, state gone
+    out = list(p.handleExpiredTimer((3,), None, _Expiry(60_000)))
+    assert len(out) == 1
+    assert out[0].iloc[0].tolist() == [3, -1, 5.5]
+    assert not h.state.exists()
+
+    # a timer for a key with no state is a no-op
+    assert list(p.handleExpiredTimer((3,), None, _Expiry(60_000))) == []
+
+
+def test_tws_twin_matches_eventtime_oracle(spark, sf_dir):
+    """End-to-end transformWithStateInPandas twin vs the shared
+    event-time oracle AND the applyInPandasWithState twin — runs only
+    where the TWS runtime's protobuf dependency exists."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS runtime needs protobuf (StateMessage_pb2)",
+    )
+    from bigdatabowl_spark.plans.catalog import CATALOG
+    from bigdatabowl_spark.streaming.events import stream_stateful_totals_tws
+
+    tws = sorted(
+        (r.user_id, r.n_events, r.total_value)
+        for r in stream_stateful_totals_tws(spark, sf_dir).collect()
+    )
+    ref = sorted(
+        (r.user_id, r.n_events, r.total_value)
+        for r in CATALOG["stream_stateful_totals_eventtime"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert tws == ref
+    assert any(n == -1 for _, n, _ in tws)
+
+
 def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
     """dropDuplicatesWithinWatermark's BOUNDED-state contract, pinned
     (stream_dedup's docstring documents it; this drives it): a duplicate
