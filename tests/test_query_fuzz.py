@@ -297,3 +297,49 @@ def gen_outer_join_query(rng: random.Random) -> str:
 
 def test_random_outer_join_queries_match_duckdb(spark, sf_dir, fuzz_env):
     _sweep(spark, fuzz_env, gen_outer_join_query, random.Random(0xBDB5 + 4), 40)
+
+
+def gen_quantile_query(rng: random.Random) -> str:
+    """Discrete order-statistic fuzz (the a7c_sketch_certify pattern,
+    generalized): random table, random low-cardinality group column,
+    random value column, 1-3 random percentiles — the k-th value per
+    group selected by explicit ROW_NUMBER at rank ceil(p*n). Ordering is
+    by the value alone: under ties rn ASSIGNMENT is ambiguous, but the
+    value AT rank k is the k-th order statistic — well-defined whatever
+    tie permutation each engine picks — so the emitted VALUE is exact
+    cross-engine with no unique-tuple requirement. This is the exact
+    (non-interpolating) quantile shape the engine certifies sketches
+    against; interpolated percentiles are deliberately never emitted
+    (ulp-level divergence)."""
+    table = rng.choice(["lineitem", "orders", "customer", "events"])
+    ints, dbls, strs = SCHEMAS[table]
+    grp = rng.choice(strs) if strs and rng.random() < 0.7 else None
+    val = rng.choice(dbls + ints)
+    where = ""
+    if rng.random() < 0.4:
+        where = "WHERE " + _pred(rng, ints, dbls, strs)
+    ps = sorted(
+        rng.sample([round(0.05 * k, 2) for k in range(1, 20)],
+                   rng.randint(1, 3))
+    )
+    picks = ", ".join(
+        f"MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT)"
+        f" THEN val END) AS q{i}"
+        for i, p in enumerate(ps)
+    )
+    gcol = f"{grp} AS grp," if grp else "'all' AS grp,"
+    gsel = "grp"
+    return f"""
+    WITH ranked AS (
+        SELECT {gcol} {val} AS val,
+               ROW_NUMBER() OVER (PARTITION BY {grp if grp else '1'}
+                                  ORDER BY {val} ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY {grp if grp else '1'}) AS n
+        FROM {table} {where}
+    )
+    SELECT {gsel}, {picks} FROM ranked GROUP BY {gsel}
+    """
+
+
+def test_random_quantile_queries_match_duckdb(spark, sf_dir, fuzz_env):
+    _sweep(spark, fuzz_env, gen_quantile_query, random.Random(0xBDB5 + 8), 40)
