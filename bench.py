@@ -348,17 +348,24 @@ def _cpu_delta_sec(
     (recursively), so summing the pid-wise `reaped` delta recovers it.
     Since that roll-up carries the worker's FULL lifetime — including CPU
     it burned before `start` — the live (self+reaped) CPU the vanished pid
-    showed at `start` is subtracted back out. Residual noise: a vanished
-    pid orphaned to init (reaped outside the tree) undercounts, and PID
-    reuse inside the subtree between samples counts a new process's
-    lifetime CPU from zero — cpu_sec is a tight estimate, not exact
-    accounting (noted next to the field in bench_full.json)."""
-    gained = sum(
-        (s - start.get(pid, (0.0, 0.0))[0]) + (r - start.get(pid, (0.0, 0.0))[1])
-        for pid, (s, r) in end.items()
+    showed at `start` is subtracted back out, CAPPED at the reaped delta
+    actually observed: a pid that vanished WITHOUT rolling up (killed
+    un-waited and orphaned to init — pyspark daemons do this to idle
+    workers, which is how long queries like m6 read 0.0 CPU under the
+    uncapped rule) double-counts nothing, so subtracting its pre-window
+    CPU would erase the live processes' genuine work. Residual noise:
+    un-rolled vanishing still undercounts the vanished pid's in-window
+    CPU, and PID reuse inside the subtree between samples counts a new
+    process's lifetime CPU from zero — cpu_sec is a tight estimate, not
+    exact accounting (noted next to the field in bench_full.json)."""
+    gained_self = sum(
+        s - start.get(pid, (0.0, 0.0))[0] for pid, (s, _) in end.items()
+    )
+    gained_reaped = sum(
+        r - start.get(pid, (0.0, 0.0))[1] for pid, (_, r) in end.items()
     )
     vanished = sum(s + r for pid, (s, r) in start.items() if pid not in end)
-    return max(0.0, gained - vanished)
+    return max(0.0, gained_self + gained_reaped - min(vanished, gained_reaped))
 
 
 _FAMILY_PREFIXES = [

@@ -93,8 +93,26 @@ def test_cpu_delta_is_reap_aware():
     end = {1: (10.0, 6.0)}
     assert _cpu_delta_sec(start, end) == 6.0
 
-    # orphaned-to-init vanish (no roll-up anywhere) undercounts but must
-    # never go negative
+    # orphaned-to-init vanish (no roll-up anywhere): the vanished pid's
+    # pre-window CPU must NOT be subtracted (nothing rolled up to double
+    # count) — live processes' genuine work survives
     start = {1: (10.0, 0.0), 2: (5.0, 0.0)}
     end = {1: (10.0, 0.0)}
     assert _cpu_delta_sec(start, end) == 0.0
+
+    # the m6 case that motivated the cap: the driver burns 2s while idle
+    # workers (5s pre-window CPU each) are killed un-waited — the uncapped
+    # rule reported 0.0, erasing the driver's work
+    start = {1: (10.0, 0.0), 2: (5.0, 0.0), 3: (5.0, 0.0)}
+    end = {1: (12.0, 0.0)}
+    assert _cpu_delta_sec(start, end) == 2.0
+
+    # mixed: one worker properly reaped mid-window (8s lifetime rolls into
+    # pid 1's cutime), one killed un-waited. Which vanished pid rolled up
+    # is unknowable from /proc, so the cap subtracts min(vanished, rolled)
+    # = 8 — a conservative LOWER bound (true in-window CPU here is 5: the
+    # reaped worker's post-start 3s is under-credited), never negative and
+    # never erasing live work like the uncapped rule did
+    start = {1: (10.0, 0.0), 2: (5.0, 0.0), 3: (4.0, 0.0)}
+    end = {1: (12.0, 8.0)}
+    assert _cpu_delta_sec(start, end) == 2.0
