@@ -5,9 +5,11 @@ Prints ONE compact JSON line sized to the driver's ~2 KB stdout-tail capture
 map overflowed it — VERDICT r6 item 2): headline metrics, per-family wall
 subtotals, and the top-12 slowest queries. The FULL per-query map — wall
 seconds AND process-subtree CPU seconds (python driver + Spark JVM + reused
-Python workers, sampled from /proc) — is written to `bench_full.json` at the
-repo root, which is committed, so cross-round per-query comparison never
-depends on the capture window.
+Python workers, sampled from /proc) — is written to `bench_full_r{N}.json`
+at the repo root (round-stamped; a `SPARK_GRAFT_BENCH_SUFFIX` env var is
+appended to the stem so a driver run never overwrites the committed idle-box
+artifact), so cross-round per-query comparison never depends on the capture
+window.
 
 Per-query wall = plan build + execution to a count/collect (results are
 small aggregates by design), reported as the min of 2 runs — the VM
@@ -357,7 +359,7 @@ def _cpu_delta_sec(
     un-rolled vanishing still undercounts the vanished pid's in-window
     CPU, and PID reuse inside the subtree between samples counts a new
     process's lifetime CPU from zero — cpu_sec is a tight estimate, not
-    exact accounting (noted next to the field in bench_full.json)."""
+    exact accounting (noted next to the field in bench_full_r{N}.json)."""
     gained_self = sum(
         s - start.get(pid, (0.0, 0.0))[0] for pid, (s, _) in end.items()
     )
@@ -521,7 +523,11 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     # the leg's own plan gate (not just the catalog twin's): the encode
     # join must survive in the optimized plan it just timed
     opt = sink._jdf.queryExecution().optimizedPlan().toString()
-    assert "Join" in opt, f"encode join pruned from timed plan:\n{opt}"
+    # a raise, not an assert: `python -O` strips asserts, and this gate is
+    # the leg's honesty contract (same precedent as _stage_forest's
+    # base_score ValueError)
+    if "Join" not in opt:
+        raise RuntimeError(f"encode join pruned from timed plan:\n{opt}")
     t0 = time.perf_counter()
     bi = docs.select(
         F.explode(
@@ -652,15 +658,15 @@ def main() -> None:
         "text_1m_encode_tokens_per_sec": enc_tps,
         "sf": sf,
         # wall subtotals per family + the 12 slowest queries — the full
-        # 180-query map lives in bench_full.json (committed), NOT here:
-        # the driver captures only a ~2 KB stdout tail (VERDICT r6 item 2)
+        # 180-query map lives in bench_full_r{N}.json, NOT here: the
+        # driver captures only a ~2 KB stdout tail (VERDICT r6 item 2)
         "families": families,
         "queries": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:12]
         ),
         # host contention context: this VM's numbers swing with invisible
         # neighbor load — read wobbles against these snapshots and against
-        # bench_full.json's per-query CPU seconds, not as regressions
+        # bench_full_r{N}.json's per-query CPU seconds, not as regressions
         "load_avg": loads,
     }
     full = dict(
@@ -679,6 +685,12 @@ def main() -> None:
     # bench_full.json path, leaving the worktree dirty every round. The
     # round is inferred from the highest BENCH_r{N}.json the driver has
     # recorded (this run belongs to round N+1); SPARK_GRAFT_ROUND overrides.
+    # The stamp separates ROUNDS, not WRITERS (VERDICT r8 item 3: the
+    # driver's r8 run overwrote the committed idle-box r8 artifact), so the
+    # stem also carries SPARK_GRAFT_BENCH_SUFFIX: the builder commits its
+    # idle run as bench_full_r{N}_idle.json while the driver's suffix-less
+    # bench_full_r{N}.json is .gitignored — both artifacts survive, the
+    # worktree stays clean.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
@@ -691,7 +703,11 @@ def main() -> None:
             if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         rnd = str(max(recorded, default=0) + 1)
-    with open(os.path.join(here, f"bench_full_r{int(rnd):02d}.json"), "w") as f:
+    suffix = os.environ.get("SPARK_GRAFT_BENCH_SUFFIX", "")
+    if suffix and not suffix.startswith("_"):
+        suffix = "_" + suffix
+    stem = f"bench_full_r{int(rnd):02d}{suffix}.json"
+    with open(os.path.join(here, stem), "w") as f:
         json.dump(full, f, indent=1)
     # leading newline + flush: even if anything wrote a partial \r-terminated
     # line to stdout, the JSON starts on a fresh line (BENCH_r05 parsed=null

@@ -429,9 +429,15 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
     across micro-batches (maxFilesPerTrigger, or a zero-row file mid-queue)
     one batch can legitimately complete with numInputRows == 0 while files
     remain. Drain therefore requires TWO CONSECUTIVE zero-input batches
-    with DISTINCT batchIds — the second empty batch ran after the first
-    found nothing, so the source offered no new data across a full
-    scheduling round-trip (timeout-check batches never add data).
+    with DISTINCT batchIds AND UNCHANGED source endOffsets — a zero-input
+    batch whose endOffset advanced past the previous batch's consumed a
+    file (necessarily a zero-row one) and proves nothing about exhaustion,
+    so it never extends the streak; two empties that also left every
+    source's offset in place mean the source offered no new data across a
+    full scheduling round-trip (timeout-check batches never move offsets).
+    This closes the adjacent-zero-row-files hole under maxFilesPerTrigger=1:
+    each empty file completes a distinct 0-row batch, but each advances the
+    log offset, so neither counts toward the streak.
 
     Failure semantics match the awaitTermination() this replaces: a query
     that died mid-run re-raises its StreamingQueryException (otherwise a
@@ -440,10 +446,24 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
     partial results."""
     import time as _time
 
+    import json as _json
+
     deadline = _time.monotonic() + timeout_sec
     drained = False
     seen_bid = -1  # highest batchId already folded into the streak
-    streak = 0  # consecutive zero-input batches (distinct batchIds)
+    streak = 0  # consecutive zero-input, offset-stable batches
+    prev_ends: str | None = None  # endOffsets of the last folded batch
+
+    def _ends(lp) -> str:
+        # opaque, order-stable rendering of every source's endOffset
+        # (file source: {"logOffset": N}; values may be dict or str
+        # depending on the progress JSON path)
+        return _json.dumps(
+            [s.get("endOffset") for s in lp.get("sources", [])],
+            sort_keys=True,
+            default=str,
+        )
+
     while _time.monotonic() < deadline:
         if not q.isActive:
             # self-terminated: clean availableNow completion (drained) or
@@ -457,7 +477,15 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
             if bid <= seen_bid:
                 continue  # already accounted for
             seen_bid = bid
-            streak = streak + 1 if lp["numInputRows"] == 0 else 0
+            ends = _ends(lp)
+            if lp["numInputRows"] == 0 and prev_ends is not None and ends == prev_ends:
+                streak += 1
+            else:
+                # data arrived, a zero-row batch still advanced the source
+                # offset (consumed an empty file), or this is the first
+                # batch we can see (no offset baseline) — not drain proof
+                streak = 0
+            prev_ends = ends
         if streak >= 2:
             drained = True
             break

@@ -684,15 +684,17 @@ def test_m6_full_objective_mode_matches_reference_loop():
 
 def test_m6_hybrid_argmin_matches_full(monkeypatch):
     """VERDICT r7 item 5: the hybrid objective (surrogate ranks all
-    candidates, full kernel re-ranks the k-best ∪ k-worst shortlist, k=3)
-    must produce the EXACT placements of objective='full' on all three
-    fixture frames — including seed 4, the frame where the bare surrogate
-    picks the full objective's worst candidate — within a pinned
-    kernel-call budget of 2·shortlist_k per defender step + 2 per frame
-    (before/after). Both ends of the surrogate ordering are re-ranked
-    because the measured per-step rank of the full argmin is bimodal
-    (top-2 or last-3): first-arrival mass flips the surrogate's sign
-    rather than blurring it (defense.py module doc)."""
+    candidates, full kernel re-ranks the k-best ∪ k-worst shortlist,
+    default shortlist_k=4 — asserted below, and the call budget is
+    computed from that same default) must produce the EXACT placements of
+    objective='full' on all three fixture frames — including seed 4, the
+    frame where the bare surrogate picks the full objective's worst
+    candidate — within a pinned kernel-call budget of 2·shortlist_k per
+    defender step + 2 per frame (before/after). Both ends of the surrogate
+    ordering are re-ranked because the measured per-step rank of the full
+    argmin is bimodal (top of the ordering or bottom-4 of ~10):
+    first-arrival mass flips the surrogate's sign rather than blurring it
+    (defense.py module doc)."""
     import bigdatabowl_spark.kernels.defense as defense
     from bigdatabowl_spark.kernels.defense import (
         OptimizeConfig,
