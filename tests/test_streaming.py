@@ -959,3 +959,50 @@ def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
         assert counts.count("A") == 2 and counts.count("C") == 1, rows()
     finally:
         q.stop()
+
+
+def test_multibatch_fixture_discriminates(spark, sf_dir):
+    """Non-vacuity gate for the multibatch event-time query: at sf0.001
+    the 8-bucket purchase split must actually produce (a) mid-stream
+    evictions (some key with evictions >= 1 that is ALIVE at the end —
+    i.e. it was readmitted after a tombstone), and (b) at least one key
+    evicted more than once. Without these the catalog row would green on
+    the same final-watermark arithmetic the single-batch twin already
+    covers, certifying nothing new about mid-stream timers."""
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    q = CATALOG["stream_stateful_totals_eventtime_multibatch"]
+    rows = q.builder(spark, sf_dir).collect()
+    readmitted_alive = [
+        r for r in rows if r.evictions >= 1 and r.n_events > 0
+    ]
+    multi_evicted = [r for r in rows if r.evictions >= 2]
+    assert readmitted_alive, "no key was evicted then readmitted"
+    assert multi_evicted, "no key tombstoned more than once"
+
+
+def test_multibatch_staging_is_sf_keyed(spark, sf_dir):
+    """The staged bucket dir only satisfies the sf_dir (and code version)
+    that built it — another scale re-stages instead of silently reusing
+    stale bytes (same discipline as kernel staging)."""
+    import os
+
+    from bigdatabowl_spark.streaming.events import (
+        _MB_STAGE_VERSION,
+        _stage_event_buckets,
+        _mb_stage_dir,
+    )
+
+    stage = _stage_event_buckets(sf_dir)
+    marker = os.path.join(stage, "_STAGED_FROM")
+    with open(marker) as fh:
+        payload = fh.read()
+    assert sf_dir.rstrip("/") in payload and _MB_STAGE_VERSION in payload
+    # foreign sf: marker mismatch forces a restage (mtime of bucket00 moves)
+    b0 = os.path.join(stage, "bucket00.parquet")
+    before = os.path.getmtime(b0)
+    _stage_event_buckets("/root/testdata/sf0.01")
+    after = os.path.getmtime(os.path.join(_mb_stage_dir(), "bucket00.parquet"))
+    assert after != before
+    # restore for any later test in the session
+    _stage_event_buckets(sf_dir)
