@@ -26,47 +26,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-8 driver-run ordering. The driver caps each round at 50 queries, so
+# Round-9 driver-run ordering. The driver caps each round at 50 queries, so
 # emit first (a) this round's new + implementation-touched queries —
-# stream_stateful_totals_eventtime (event-time TTL, the eviction decision
-# itself oracle-checked) and m1e_dart_forest_score (dart doc through the
-# four-path certification) are new; m6 switched its default objective to
-# 'hybrid' (surrogate shortlist + full-kernel re-rank → outputs change;
-# kernel before its readside twin); stream_stateful_totals gained the
-# tombstone-free assertion + 2-empty-batch drain — then (b) the
-# re-verification queue from VERDICT r7 item 1: the 9 r2-latest queries,
-# then the r4-latest tier in catalog order (36 of 42 fit under the cap).
-# Entries past position 50 are the documented queue for round 9: the
-# 6 r4-tier remainders, then the r5 tier oldest-first. m1b/m1c/m1d were
-# refactored into stage-parameterized helpers this round with identical
-# output (and m1e exercises those same helpers on the dart stage), so
-# they queue behind the never-re-proved tiers rather than re-running.
+# stream_stateful_totals_eventtime_multibatch is new (8 file-per-batch
+# micro-batches; mid-stream evict-then-readmit and per-key eviction counts
+# oracle-checked by unrolling the per-batch watermark schedule in SQL);
+# stream_stateful_totals' drain protocol now also requires unchanged
+# source endOffsets across the zero-input streak — then (b) the
+# re-verification queue VERDICT r8 item 1 asked to finish: the 6 r4-latest
+# queries, the full 30-query r5-latest tier, and the first 12 of the
+# r6-latest tier (catalog order). After this round no oracle-checked
+# query's latest driver-green row is older than r6. Entries past position
+# 50 are the documented queue for round 10: the r6 remainder in catalog
+# order, kernel chains interleaved before the `*_readside` twins whose
+# staged parquet their oracles read (test_entry guards that ordering).
 _RUN_FIRST = (
     # (a) new + touched this round
-    "stream_stateful_totals_eventtime", "m1e_dart_forest_score",
-    "m6_optimize_defense", "m6_defense_readside", "stream_stateful_totals",
-    # (b) r2-latest tier — last driver-green in round 2
-    "s3_multi_scan_union", "split_assign",
-    "stream_session_windows", "stream_sliding_counts",
-    "stream_tumbling_counts", "w1_lag_gaps",
-    "w2_first_event_offset", "w3_rolling_mean", "w5_share_of_total",
-    # (b) r4-latest tier, catalog order (first 36 — cap is 50)
-    "resample_interpolate", "o7_global_rank", "funnel_steps",
-    "pack_sequences", "s14_upsert_merge", "o6_zorder_layout",
-    "s15_rollup_reuse", "containment_pairs", "skew_salted_agg",
-    "w8_zscore_anomaly", "pii_redact", "url_host_agg",
-    "rollup_hierarchy", "unpivot_features", "ntile_stratify",
-    "dedup_incremental", "mixture_temperature", "repeated_ngram_spans",
-    "kmv_distinct_sketch", "bloom_semi_prune", "scd2_history",
-    "psi_drift", "markov_transitions", "simhash_hamming_pairs",
-    "zonemap_prune_stats", "oov_rate", "dup_span_coverage",
-    "sessionize_batch", "blocking_pairs", "mad_robust_stats",
-    "time_range_rolling", "time_weighted_avg", "triangle_count",
-    "prefix_filter_jaccard", "cohort_retention", "pq_codes",
-    # ---- 50-query cap lands here; below is the documented queue (r9) ----
+    "stream_stateful_totals_eventtime_multibatch", "stream_stateful_totals",
+    # (b) r4-latest tier — catalog order
     "semantic_dedup", "dq_checks", "cms_heavyhitters",
     "stream_dedup", "stream_static_enrich", "stream_foreach_merge",
-    # then the r5-green tier oldest-first, then r6 (catalog order)
+    # (b) r5-latest tier — catalog order (all 30)
+    "corpus_pipeline", "p11_masked_update", "p15_existence_guard",
+    "j6_rejoin_computed", "j11_selfjoin_compare", "j14_label_join",
+    "a27_axis_reduce", "o4_deterministic_order", "f13_flat_index",
+    "f14_meshgrid", "f15_xor_flags", "f17_dot_projection",
+    "s16_npy_datasource", "stream_npy_artifacts", "s17_npy_writer_roundtrip",
+    "text_repetition", "mixture_sample", "token_topk",
+    "f_json_props", "m10_quality_logit", "bpe_pair_counts",
+    "tfidf_topterms", "chunk_documents", "quality_percentile_filter",
+    "skew_salted_join", "pagerank_fixed", "pagerank_bucketed",
+    "table_diff", "a7c_sketch_certify", "stream_interval_join",
+    # (b) r6-latest tier — catalog order (first 12 — cap is 50)
+    "a1_pricing_summary", "a12_two_level_agg", "j1_broadcast_enrich",
+    "j3_region_rollup", "j4_derived_scalar", "j5_derived_key_join",
+    "a10_quantiles", "a16_corr_moments", "a19_calibration",
+    "f_strings_keys", "f12_time_parts", "dedup_exact",
+    # ---- 50-query cap lands here; below is the documented queue (r10) ----
+    "minhash_lsh_pairs", "dedup_clusters", "dedup_apply",
+    "embed_knn_brute", "embed_lsh_buckets", "embed_ivf_knn",
+    "multimodal_decode", "dedup_embed_cosine", "s18_compaction_roundtrip",
+    "s19_dpp_star_join", "m5_tuning_dataset", "stream_eppa_kernel",
+    "m4_prior_surface", "encode_tokens", "ngram_lm_score",
+    "sim_recall_certify", "f_variant_props",
+    # r6 readside twins, each behind the kernel chain that stages its bytes
+    "eppa_field_surface", "eppa_surface_readside",
+    "eppa_pass_summary", "eppa_pass_readside",
+    "eppa_player_stats", "eppa_player_readside",
+    "m2_value_model_width", "m2_width_readside",
+    "s4_prior_artifact_lifecycle", "s4_lifecycle_readside",
+    "a20b_gamma_mle_fit", "a20b_mle_readside",
+    "analytics_player_rankings", "rankings_readside",
+    "analytics_throw_calibration", "calibration_readside",
 )
 
 

@@ -140,9 +140,12 @@ def _synthetic_play(spark, n_frames: int, n_plays: int = 8):
     )
 
 
-def bench_eppa_kernel(spark) -> tuple[float, float]:
-    """Returns (sec, frames_per_sec) for the EPPA field-surface kernel over a
-    synthetic play — comparable to BASELINE.md's 1.13-1.31 frames/s.
+def bench_eppa_kernel(spark) -> tuple[float, float, float]:
+    """Returns (sec, frames_per_sec, cpu_sec) for the EPPA field-surface
+    kernel over a synthetic play — comparable to BASELINE.md's 1.13-1.31
+    frames/s. cpu_sec is the process-subtree CPU paired with the min-wall
+    run (VERDICT r8 item 2: the scale legs were the only timings WITHOUT
+    CPU pairing, which made the in-suite pagerank swing unattributable).
 
     A 1-frame-per-play warm-up pass first faults each worker's reused
     kernel workspace (one-time ~1 s/worker under this VM's lazy page
@@ -153,19 +156,22 @@ def bench_eppa_kernel(spark) -> tuple[float, float]:
 
     eppa_field_surface(_synthetic_play(spark, 1, N_EPPA_PLAYS)).count()
     play = _synthetic_play(spark, N_EPPA_FRAMES, N_EPPA_PLAYS)
-    sec = None
+    sec = cpu = None
     for _ in range(2):  # min-of-2, same policy as the catalog queries
+        c0 = _subtree_cpu_sample()
         t0 = time.perf_counter()
         n = eppa_field_surface(play).count()
         dt = time.perf_counter() - t0
-        sec = dt if sec is None else min(sec, dt)
+        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+        if sec is None or dt < sec:
+            sec, cpu = dt, dc
     frames = n / 6600
-    return round(sec, 3), round(frames / sec, 3)
+    return round(sec, 3), round(frames / sec, 3), round(cpu, 3)
 
 
 def bench_skew_join(
     spark, sf_dir: str, require_skew_split: bool = True
-) -> tuple[float, float, float, float]:
+) -> tuple[float, float, float, float, float, float, float, float]:
     """Salted vs unsalted shuffle join on a deliberately skewed slice —
     the 'one viral document' key SCALE.md names (VERDICT r4 item 7).
 
@@ -179,9 +185,10 @@ def bench_skew_join(
     AQE's runtime skew-split can't reach (streaming joins, fixed plans),
     which is exactly where operators/skew.py is documented to apply.
 
-    Returns (salted_sec, unsalted_sec, aqe_sec, aqe_off_sec), each
-    min-of-2; all plans produce identical (n, qsum) — asserted, so the
-    timing compares equal work. The third/fourth legs measure AQE's
+    Returns (salted_sec, unsalted_sec, aqe_sec, aqe_off_sec, plus the
+    paired CPU seconds for each in the same order), each min-of-2 with
+    CPU paired to the min-wall run; all plans produce identical (n, qsum)
+    — asserted, so the timing compares equal work. The third/fourth legs measure AQE's
     runtime skew-split — the remedy Spark applies when the plan is
     adaptive, vs the explicit salting needed where it is not (streaming
     joins, fixed plans) — as its own paired experiment: the big side is
@@ -225,29 +232,38 @@ def bench_skew_join(
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        salted_sec = unsalted_sec = None
+        salted_sec = unsalted_sec = salted_cpu = unsalted_cpu = None
         for _ in range(2):
+            c0 = _subtree_cpu_sample()
             t0 = time.perf_counter()
             r_salt = agg(salted_join(big, small.hint("merge"), "k", "l_orderkey", 32))
             dt = time.perf_counter() - t0
-            salted_sec = dt if salted_sec is None else min(salted_sec, dt)
+            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+            if salted_sec is None or dt < salted_sec:
+                salted_sec, salted_cpu = dt, dc
 
+            c0 = _subtree_cpu_sample()
             t0 = time.perf_counter()
             r_plain = agg(big.join(small.hint("merge"), "k"))
             dt = time.perf_counter() - t0
-            unsalted_sec = dt if unsalted_sec is None else min(unsalted_sec, dt)
+            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+            if unsalted_sec is None or dt < unsalted_sec:
+                unsalted_sec, unsalted_cpu = dt, dc
         assert (r_salt["n"], r_salt["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
             r_salt,
             r_plain,
         )
         big64 = big.repartition(64).localCheckpoint()  # staged, untimed
 
-        aqe_off_sec = None
+        aqe_off_sec = aqe_off_cpu = None
         for _ in range(2):
+            c0 = _subtree_cpu_sample()
             t0 = time.perf_counter()
             r_off = agg(big64.join(small.hint("merge"), "k"))
             dt = time.perf_counter() - t0
-            aqe_off_sec = dt if aqe_off_sec is None else min(aqe_off_sec, dt)
+            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+            if aqe_off_sec is None or dt < aqe_off_sec:
+                aqe_off_sec, aqe_off_cpu = dt, dc
         assert (r_off["n"], r_off["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
             r_off,
             r_plain,
@@ -264,16 +280,19 @@ def bench_skew_join(
         for k, v in aqe_confs.items():
             spark.conf.set(k, v)
         try:
-            aqe_sec = None
+            aqe_sec = aqe_cpu = None
             for _ in range(2):
                 joined = big64.join(small.hint("merge"), "k").agg(
                     F.count("*").alias("n"),
                     F.sum(F.floor(F.col("l_extendedprice"))).alias("qsum"),
                 )
+                c0 = _subtree_cpu_sample()
                 t0 = time.perf_counter()
                 r_aqe = joined.collect()[0]
                 dt = time.perf_counter() - t0
-                aqe_sec = dt if aqe_sec is None else min(aqe_sec, dt)
+                dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+                if aqe_sec is None or dt < aqe_sec:
+                    aqe_sec, aqe_cpu = dt, dc
             plan = joined._jdf.queryExecution().executedPlan().toString()
             # the executed plan must carry skew=true at bench scale (sf0.1);
             # at smoke scale (sf0.001) the hot partition is under even the
@@ -299,6 +318,10 @@ def bench_skew_join(
         round(unsalted_sec, 3),
         round(aqe_sec, 3),
         round(aqe_off_sec, 3),
+        round(salted_cpu, 3),
+        round(unsalted_cpu, 3),
+        round(aqe_cpu, 3),
+        round(aqe_off_cpu, 3),
     )
 
 
@@ -420,8 +443,11 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
     hash-partitioned + localCheckpoint'ed once, then per superstep one
     shuffle_hash rank join + one dst aggregation, integer-exact arithmetic.
 
-    Returns (graph_build_sec, supersteps_sec, sec_per_superstep) for 3
-    supersteps.
+    Returns (graph_build_sec, supersteps_sec, sec_per_superstep,
+    graph_cpu_sec, supersteps_cpu_sec) for 3 supersteps — CPU paired per
+    timed window so a wall swing is attributable to work vs host load
+    (VERDICT r8 item 2: this leg's r8 3.6-5.8× in-suite slowdown couldn't
+    be settled because exactly the scale legs lacked CPU pairing).
     """
     import pyspark.sql.functions as F
 
@@ -431,6 +457,7 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
         .cast("long")
         .alias("dst"),
     )
+    c0 = _subtree_cpu_sample()
     t0 = time.perf_counter()
     degs = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
@@ -445,15 +472,24 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
         .localCheckpoint()
     )
     graph_sec = time.perf_counter() - t0
+    graph_cpu = _cpu_delta_sec(c0, _subtree_cpu_sample())
     from bigdatabowl_spark.plans.round4 import _pr_superstep
 
     ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
+    c0 = _subtree_cpu_sample()
     t0 = time.perf_counter()
     for _ in range(3):
         # materialize each superstep: timed work is real
         ranks = _pr_superstep(graph, ranks).localCheckpoint()
     steps_sec = time.perf_counter() - t0
-    return round(graph_sec, 3), round(steps_sec, 3), round(steps_sec / 3, 3)
+    steps_cpu = _cpu_delta_sec(c0, _subtree_cpu_sample())
+    return (
+        round(graph_sec, 3),
+        round(steps_sec, 3),
+        round(steps_sec / 3, 3),
+        round(graph_cpu, 3),
+        round(steps_cpu, 3),
+    )
 
 
 def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
@@ -469,7 +505,9 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     left join over the exploded token stream; plus the ngram_lm_score
     bigram-count shape (map-only pair transform + one groupBy).
 
-    Returns (encode_sec, bigram_sec, tokens_per_sec for the encode leg).
+    Returns (encode_sec, bigram_sec, tokens_per_sec for the encode leg,
+    encode_cpu_sec, bigram_cpu_sec) — CPU paired per timed window
+    (VERDICT r8 item 2).
     """
     import pyspark.sql.functions as F
 
@@ -491,8 +529,9 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     n_tokens = n_docs * toks_per_doc
     from pyspark.sql import Window
 
-    encode_sec = None
+    encode_sec = encode_cpu = None
     for _ in range(2):  # min-of-2, the catalog convention
+        c0 = _subtree_cpu_sample()
         t0 = time.perf_counter()
         toks = docs.select("doc_id", F.posexplode("arr").alias("pos", "tok"))
         top = (
@@ -519,7 +558,9 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
         sink = encoded.agg(F.sum("token_id").alias("checksum"))
         sink.collect()
         dt = time.perf_counter() - t0
-        encode_sec = dt if encode_sec is None else min(encode_sec, dt)
+        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+        if encode_sec is None or dt < encode_sec:
+            encode_sec, encode_cpu = dt, dc
     # the leg's own plan gate (not just the catalog twin's): the encode
     # join must survive in the optimized plan it just timed
     opt = sink._jdf.queryExecution().optimizedPlan().toString()
@@ -528,6 +569,7 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     # base_score ValueError)
     if "Join" not in opt:
         raise RuntimeError(f"encode join pruned from timed plan:\n{opt}")
+    c0 = _subtree_cpu_sample()
     t0 = time.perf_counter()
     bi = docs.select(
         F.explode(
@@ -543,11 +585,14 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
         F.sum("n_ab").alias("checksum")
     ).collect()
     bigram_sec = time.perf_counter() - t0
+    bigram_cpu = _cpu_delta_sec(c0, _subtree_cpu_sample())
     _release_persistent_rdds(spark)  # the staged-corpus localCheckpoint
     return (
         round(encode_sec, 3),
         round(bigram_sec, 3),
         round(n_tokens / encode_sec, 0),
+        round(encode_cpu, 3),
+        round(bigram_cpu, 3),
     )
 
 
@@ -578,7 +623,7 @@ def main() -> None:
     # item 5): nothing else has touched the executors or page cache, so a
     # round-over-round fps change here is a kernel regression, not staging
     # contention; the in-suite measurement at the end keeps continuity.
-    eppa_iso_sec, eppa_iso_fps = bench_eppa_kernel(spark)
+    eppa_iso_sec, eppa_iso_fps, eppa_iso_cpu = bench_eppa_kernel(spark)
     loads["after_warmup"] = round(os.getloadavg()[0], 2)
 
     # Full-catalog sweep: headline queries first (stable ordering for
@@ -617,27 +662,70 @@ def main() -> None:
     from bigdatabowl_spark.plans import round7 as _round7
 
     pr_conv_rounds = _round7.last_rounds_used
+    # M6 cost-of-exactness companion (VERDICT r8 item 6): the catalog row
+    # above timed the DEFAULT hybrid objective (surrogate shortlist +
+    # full-kernel re-rank); this leg times the surrogate-only objective on
+    # the same plays so the ~10× price of reference-exact argmins stays
+    # visible round-over-round instead of buried in the catalog total.
+    from bigdatabowl_spark.kernels.defense import OptimizeConfig, optimize_defense
+    from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
+
+    sur_best = sur_cpu = None
+    for _ in range(2):
+        c0 = _subtree_cpu_sample()
+        t0 = time.perf_counter()
+        optimize_defense(
+            tracking_from_events(spark, sf_dir),
+            cfg=OptimizeConfig(objective="surrogate"),
+        ).count()
+        dt = time.perf_counter() - t0
+        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+        if sur_best is None or dt < sur_best:
+            sur_best, sur_cpu = dt, dc
+    timings["m6_optimize_defense_surrogate"] = round(sur_best, 3)
+    cpu_secs["m6_optimize_defense_surrogate"] = round(sur_cpu, 3)
+    print(
+        f"[bench] m6_optimize_defense_surrogate: {sur_best:.3f}s wall"
+        f" {sur_cpu:.3f}s cpu",
+        file=sys.stderr,
+        flush=True,
+    )
     _release_persistent_rdds(spark)  # catalog checkpoints (dedup/tfidf/…)
     loads["after_catalog"] = round(os.getloadavg()[0], 2)
-    salted_sec, unsalted_sec, aqe_sec, aqe_off_sec = bench_skew_join(
+    (
+        salted_sec, unsalted_sec, aqe_sec, aqe_off_sec,
+        salted_cpu, unsalted_cpu, aqe_cpu, aqe_off_cpu,
+    ) = bench_skew_join(
         spark, sf_dir, require_skew_split=(sf is None or sf >= 0.1)
     )
     timings["skew_join_salted"] = salted_sec
     timings["skew_join_unsalted_hotkey"] = unsalted_sec
     timings["skew_join_aqe_split"] = aqe_sec
     timings["skew_join_aqe_off_64map"] = aqe_off_sec
+    cpu_secs["skew_join_salted"] = salted_cpu
+    cpu_secs["skew_join_unsalted_hotkey"] = unsalted_cpu
+    cpu_secs["skew_join_aqe_split"] = aqe_cpu
+    cpu_secs["skew_join_aqe_off_64map"] = aqe_off_cpu
     loads["after_skew"] = round(os.getloadavg()[0], 2)
-    eppa_sec, eppa_fps = bench_eppa_kernel(spark)
+    eppa_sec, eppa_fps, eppa_cpu = bench_eppa_kernel(spark)
     timings["eppa_kernel_play"] = eppa_sec
+    cpu_secs["eppa_kernel_play"] = eppa_cpu
+    cpu_secs["eppa_kernel_play_isolated"] = eppa_iso_cpu
     loads["after_eppa"] = round(os.getloadavg()[0], 2)
-    pr_graph_sec, pr_steps_sec, pr_step_sec = bench_pagerank_scale(spark)
+    (
+        pr_graph_sec, pr_steps_sec, pr_step_sec, pr_graph_cpu, pr_steps_cpu,
+    ) = bench_pagerank_scale(spark)
     timings["pagerank_10m_graph_build"] = pr_graph_sec
     timings["pagerank_10m_3_supersteps"] = pr_steps_sec
+    cpu_secs["pagerank_10m_graph_build"] = pr_graph_cpu
+    cpu_secs["pagerank_10m_3_supersteps"] = pr_steps_cpu
     _release_persistent_rdds(spark)  # pagerank checkpoints would throttle text
     loads["after_pagerank"] = round(os.getloadavg()[0], 2)
-    enc_sec, bigram_sec, enc_tps = bench_text_scale(spark)
+    enc_sec, bigram_sec, enc_tps, enc_cpu, bigram_cpu = bench_text_scale(spark)
     timings["text_1m_encode"] = enc_sec
     timings["text_1m_bigram_counts"] = bigram_sec
+    cpu_secs["text_1m_encode"] = enc_cpu
+    cpu_secs["text_1m_bigram_counts"] = bigram_cpu
     loads["end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
 

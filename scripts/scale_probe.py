@@ -24,6 +24,9 @@ Families and their 10x axes:
                   a Zipf-ish corpus — the regime prefix filtering targets)
 - dedup_clusters: same corpora through minhash-LSH banding + hash-min
                   label propagation (operators/dedup.py)
+- stream_stateful: event-time-TTL'd applyInPandasWithState totals over an
+                  8-file split, 100k rows/2k keys -> 1M/20k (sec per
+                  micro-batch; state rows + bytes from query telemetry)
 
 Usage: PYTHONPATH=/root/repo python scripts/scale_probe.py
 Writes bench_scale_probe_r{N}.json at the repo root (round-stamped like
@@ -114,11 +117,11 @@ def probe_eppa(spark) -> dict:
 def probe_pagerank(spark) -> dict:
     from bench import _release_persistent_rdds, bench_pagerank_scale
 
-    _, _, per_step_1 = bench_pagerank_scale(spark, n_edges=1_000_000,
-                                            n_nodes=100_000)
+    _, _, per_step_1, _, _ = bench_pagerank_scale(spark, n_edges=1_000_000,
+                                                  n_nodes=100_000)
     _release_persistent_rdds(spark)
-    _, _, per_step_10 = bench_pagerank_scale(spark, n_edges=10_000_000,
-                                             n_nodes=1_000_000)
+    _, _, per_step_10, _, _ = bench_pagerank_scale(spark, n_edges=10_000_000,
+                                                   n_nodes=1_000_000)
     _release_persistent_rdds(spark)
     out = {"small": {"sec": per_step_1, "knob": "1M edges, sec/superstep"},
            "large": {"sec": per_step_10, "knob": "10M edges, sec/superstep"}}
@@ -138,7 +141,7 @@ def probe_pagerank(spark) -> dict:
             if parts:
                 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             try:
-                _, _, per_step_100 = bench_pagerank_scale(
+                _, _, per_step_100, _, _ = bench_pagerank_scale(
                     spark, n_edges=100_000_000, n_nodes=10_000_000)
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -155,8 +158,8 @@ def probe_pagerank(spark) -> dict:
 def probe_text(spark) -> dict:
     from bench import bench_text_scale
 
-    e1, _, tps1 = bench_text_scale(spark, n_docs=1_000_000)
-    e10, _, tps10 = bench_text_scale(spark, n_docs=10_000_000)
+    e1, _, tps1, _, _ = bench_text_scale(spark, n_docs=1_000_000)
+    e10, _, tps10, _, _ = bench_text_scale(spark, n_docs=10_000_000)
     return {"small": {"sec": e1, "tokens_per_sec": tps1, "knob": "1M docs"},
             "large": {"sec": e10, "tokens_per_sec": tps10, "knob": "10M docs"}}
 
@@ -199,6 +202,138 @@ def probe_dedup(spark, d1: str, d10: str) -> dict:
                       "rows": n10, "knob": "200k docs"}}
 
 
+def _stage_stream_events(spark, tag: str, n_rows: int, n_keys: int,
+                         n_buckets: int = 8) -> str:
+    """Synthetic events staged as n_buckets time-ordered parquet files
+    (strictly increasing mtimes), the multibatch streaming fixture shape:
+    keys id%n_keys, event times spread over 30 days, 2-decimal values.
+    Spark-generated and Spark-written (one coalesced file per bucket,
+    untimed staging); rows/keys scale together so per-key cadence — and
+    therefore TTL churn per batch — is preserved across probe sizes."""
+    out = os.path.join(PROBE_DIR, tag)
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    df = spark.range(n_rows).select(
+        (F.col("id") % n_keys).alias("user_id"),
+        (F.round(F.pmod(F.hash(F.col("id") * 13 + 7), 100000) / 100.0, 2))
+        .cast("double")
+        .alias("value"),
+        F.timestamp_micros(
+            (F.col("id") * (span_us // n_rows)).cast("long")
+        ).alias("ts"),
+        ((F.col("id") * n_buckets) / n_rows).cast("int").alias("bkt"),
+    )
+    now = time.time()
+    import shutil
+
+    for i in range(n_buckets):
+        # write to a scratch dir, then hoist the single part file up as a
+        # FLAT bucketNN.parquet — FileStreamSource does not recurse into
+        # subdirectories, and flat files match the catalog fixture layout
+        d = os.path.join(out, f"_scratch{i:02d}")
+        df.filter(F.col("bkt") == i).drop("bkt").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dest = os.path.join(out, f"bucket{i:02d}.parquet")
+        shutil.move(os.path.join(d, part), dest)
+        shutil.rmtree(d)
+        os.utime(dest, (now - 100 + i, now - 100 + i))
+    with open(marker, "w") as f:
+        f.write(f"{n_rows} {n_keys} {n_buckets}\n")
+    return out
+
+
+def probe_stream(spark) -> dict:
+    """Stateful-streaming scale leg (VERDICT r8 item 7): the event-time
+    TTL'd running-totals pipeline (watermark + applyInPandasWithState +
+    timers, the stream_stateful_totals_eventtime_multibatch shape) over a
+    synthetic 8-file split at 100k rows/2k keys and 1M rows/20k keys —
+    state keys AND watermark churn both scale 10x. Reports wall, sec per
+    micro-batch, and the state store's own row/byte telemetry from the
+    final data batch's progress."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bench import _release_persistent_rdds
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+    from bigdatabowl_spark.streaming.events import (
+        _EVENT_STATE_SCHEMA,
+        _MB_SCHEMA,
+        _running_totals_eventtime_mb,
+        _state_partitions,
+    )
+
+    runs = iter(range(1_000_000))
+
+    def run(stage: str) -> dict:
+        batch = spark.read.parquet(os.path.join(stage, "bucket00.parquet"))
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        ts_us = epoch_us_col(stream, "ts")
+        sdf = (
+            stream.select(
+                "user_id",
+                F.col("value").cast("double").alias("value"),
+                ts_us.alias("ts_us"),
+                F.timestamp_micros(ts_us).alias("event_time"),
+            )
+            .withWatermark("event_time", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _running_totals_eventtime_mb,
+                outputStructType=_MB_SCHEMA,
+                stateStructType=_EVENT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        name = f"probe_stream_{next(runs)}"
+        with _state_partitions(spark):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+        progress = list(q.recentProgress)
+        n_batches = len(progress)
+        state_rows = state_bytes = 0
+        for p in progress:  # last batch that reported state telemetry
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal", 0)
+                state_bytes = ops[0].get("memoryUsedBytes", 0)
+        n_out = spark.table(name).count()
+        return {
+            "sec": round(wall, 3),
+            "n_batches": n_batches,
+            "sec_per_batch": round(wall / max(n_batches, 1), 3),
+            "state_rows": state_rows,
+            "state_bytes": state_bytes,
+            "sink_rows": n_out,
+        }
+
+    s1 = _stage_stream_events(spark, "stream_x1", 100_000, 2_000)
+    s10 = _stage_stream_events(spark, "stream_x10", 1_000_000, 20_000)
+    r1 = min((run(s1) for _ in range(2)), key=lambda r: r["sec"])
+    r10 = min((run(s10) for _ in range(2)), key=lambda r: r["sec"])
+    _release_persistent_rdds(spark)
+    r1["knob"] = "100k rows / 2k keys, 8 file-batches"
+    r10["knob"] = "1M rows / 20k keys, 8 file-batches"
+    return {"small": r1, "large": r10}
+
+
 def main() -> None:
     from bigdatabowl_spark.session import get_spark
     import bigdatabowl_spark.plans  # noqa: F401 — populates CATALOG
@@ -224,6 +359,7 @@ def main() -> None:
         ("text_encode", lambda: probe_text(spark)),
         ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10)),
         ("dedup_clusters", lambda: probe_dedup(spark, d1, d10)),
+        ("stream_stateful", lambda: probe_stream(spark)),
     ]:
         if only_set is not None and fam not in only_set:
             continue
