@@ -1141,8 +1141,11 @@ def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark.sql.streaming.proto.StateMessage_pb2, which needs the
     `protobuf` package — absent in this environment (measured: the
     TransformWithStateInPySpark driver worker dies in set_handle_state on
-    `from google.protobuf import descriptor`). The processor LOGIC is
-    fully unit-tested against fake handle/state doubles
+    `from google.protobuf import descriptor`; re-verified still absent in
+    r9, and installing packages is out of scope for this container — the
+    generated _pb2 needs the real protobuf runtime, which has no
+    vendorable pure-Python subset small enough to justify the risk). The
+    processor LOGIC is fully unit-tested against fake handle/state doubles
     (tests/test_streaming.py::test_totals_processor_logic_*); the
     end-to-end oracle comparison runs wherever protobuf exists
     (test_tws_twin_matches_eventtime_oracle, importorskip-gated).

@@ -117,14 +117,20 @@ def probe_eppa(spark) -> dict:
 def probe_pagerank(spark) -> dict:
     from bench import _release_persistent_rdds, bench_pagerank_scale
 
-    _, _, per_step_1, _, _ = bench_pagerank_scale(spark, n_edges=1_000_000,
-                                                  n_nodes=100_000)
+    _, _, per_step_1, _, steps_cpu_1 = bench_pagerank_scale(
+        spark, n_edges=1_000_000, n_nodes=100_000)
     _release_persistent_rdds(spark)
-    _, _, per_step_10, _, _ = bench_pagerank_scale(spark, n_edges=10_000_000,
-                                                   n_nodes=1_000_000)
+    _, _, per_step_10, _, steps_cpu_10 = bench_pagerank_scale(
+        spark, n_edges=10_000_000, n_nodes=1_000_000)
     _release_persistent_rdds(spark)
-    out = {"small": {"sec": per_step_1, "knob": "1M edges, sec/superstep"},
-           "large": {"sec": per_step_10, "knob": "10M edges, sec/superstep"}}
+    # cpu_sec is per SUPERSTEP (the 3-step window's paired CPU / 3) — the
+    # number that settles in-suite-vs-isolated wall swings (VERDICT r8
+    # item 2): same CPU at higher wall = contention/stragglers, higher CPU
+    # = real extra work (spill, GC) from suite state
+    out = {"small": {"sec": per_step_1, "cpu_sec": round(steps_cpu_1 / 3, 2),
+                     "knob": "1M edges, sec/superstep"},
+           "large": {"sec": per_step_10, "cpu_sec": round(steps_cpu_10 / 3, 2),
+                     "knob": "10M edges, sec/superstep"}}
     # The 1M→10M exponent is latency-bound (~0.3): a 1M-edge superstep is
     # dominated by fixed shuffle round-trips. The optional 100M point
     # (SPARK_GRAFT_PROBE_DEEP=1) shows the data-bound regime — and NAMES

@@ -127,6 +127,68 @@ def test_drain_survives_zero_row_file_mid_queue(spark, tmp_path):
     assert (rows.n, rows.v) == (3, 4.0), rows
 
 
+def test_drain_survives_adjacent_zero_row_files(spark, tmp_path):
+    """ADVICE r8: TWO ADJACENT zero-row files mid-queue each complete a
+    distinct 0-row batch under maxFilesPerTrigger=1 — a drain signal based
+    only on 'two consecutive zero-input batches' would false-drain between
+    them while a later file still holds data. The strengthened protocol
+    also requires the sources' endOffset to be UNCHANGED across the
+    streak; consuming an empty file advances the log offset, so neither
+    empty-file batch counts, and the post-empties rows must land."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigdatabowl_spark.streaming.events import (
+        STATEFUL_SCHEMA,
+        _STATE_SCHEMA,
+        _running_totals,
+        drain_available_now,
+    )
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "value": pd.Series([], dtype="float64"),
+    }
+    pd.DataFrame({"user_id": [7], "value": [1.5]}).to_parquet(
+        str(src / "a.parquet"), index=False
+    )
+    pd.DataFrame(empty).to_parquet(str(src / "b_empty.parquet"), index=False)
+    pd.DataFrame(empty).to_parquet(str(src / "c_empty.parquet"), index=False)
+    pd.DataFrame({"user_id": [7, 7], "value": [2.25, 0.25]}).to_parquet(
+        str(src / "d.parquet"), index=False
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _running_totals(key, pdfs, state),
+            outputStructType=STATEFUL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("drain_adjacent_empties_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q)
+    rows = spark.sql(
+        "SELECT MAX(n_events) AS n, MAX(total_value) AS v"
+        " FROM drain_adjacent_empties_test"
+    ).collect()[0]
+    # a false-drain between the two empty-file batches reports n=1, v=1.5
+    assert (rows.n, rows.v) == (3, 4.0), rows
+
+
 def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     """Kill/restart robustness: a checkpointed file-source stream that dies
     mid-stream and is restarted over a grown input directory must emit every
