@@ -50,6 +50,18 @@ Three candidate objectives (OptimizeConfig.objective):
   reference's loop (optimize_def.py:120-126) — reference-exact argmin at
   ~R kernel calls per defender step; pair with a small max_candidates.
 
+An ADAPTIVE shortlist (skip the kernel re-rank when the surrogate's
+rank-1-over-rank-2 margin is wide, VERDICT r8 item 6's optional idea) was
+measured and REJECTED (r9): scoring every fixture defender step with both
+objectives, the steps where the full argmin disagrees with the surrogate
+have margins 0.0002-0.0042 and spreads 0.009-0.022 — fully inside the
+agreeing steps' ranges (margins 0.0002-0.0042, spreads 0.004-0.064). No
+margin/spread band separates sign-flip steps from trustworthy ones, so
+any skip threshold either never fires (no savings) or silently trades
+away the exactness the hybrid exists to guarantee. The bounded 2k-call
+re-rank stays unconditional; the cheap mode remains `"surrogate"`, now
+benched side-by-side (bench.py `m6_optimize_defense_surrogate`).
+
 `reduce` supports the reference's sum/max modes (optimize_def.py:40-50).
 """
 

@@ -782,23 +782,32 @@ _MB_FILTER = "purchase"
 _MB_STAGE_VERSION = "mb_v1"  # bump when bucket arithmetic changes
 
 
-def _mb_stage_dir() -> str:
+def _mb_stage_dir(name: str = "events_mb_buckets") -> str:
     from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT
 
-    return os.path.join(KERNEL_OUT, "events_mb_buckets")
+    return os.path.join(KERNEL_OUT, name)
 
 
-def _stage_event_buckets(sf_dir: str) -> str:
-    """Split the purchase-only events into MB_K time-bucket parquet files
+def _stage_event_buckets(
+    sf_dir: str,
+    k: int = MB_K,
+    flt: str = _MB_FILTER,
+    stage_name: str = "events_mb_buckets",
+) -> str:
+    """Split the `flt`-typed events into k time-bucket parquet files
     (strictly increasing mtimes, so FileStreamSource's oldest-first order
     equals bucket order) and return the staged directory.
 
-    Bucket arithmetic is pure integer — bkt = MB_K·(ms−mn) // (mx−mn+1) —
+    Bucket arithmetic is pure integer — bkt = k·(ms−mn) // (mx−mn+1) —
     and is repeated verbatim in the oracle SQL; the staged dir carries a
-    marker (sf_dir + version + K + filter) so another scale's or another
+    marker (sf_dir + version + k + filter) so another scale's or another
     code version's bytes are never reused (same discipline as the kernel
     staging in plans/eppa_queries.py). Driver-side pyarrow staging is a
-    bounded artifact build: the purchase subset is ≤20k rows at sf0.1."""
+    bounded artifact build: a one-type subset is ≤20k rows at sf0.1.
+
+    Defaults are the catalog query's pinned configuration; the fuzz test
+    (tests/test_streaming.py) re-stages with other (k, flt) to prove the
+    oracle's watermark-schedule model generalizes."""
     import shutil
     import time as _time
 
@@ -806,9 +815,9 @@ def _stage_event_buckets(sf_dir: str) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    stage = _mb_stage_dir()
+    stage = _mb_stage_dir(stage_name)
     marker = os.path.join(stage, "_STAGED_FROM")
-    want = f"{sf_dir.rstrip('/')}|{_MB_STAGE_VERSION}|K={MB_K}|{_MB_FILTER}"
+    want = f"{sf_dir.rstrip('/')}|{_MB_STAGE_VERSION}|K={k}|{flt}"
     try:
         with open(marker) as fh:
             if fh.read().strip() == want and any(
@@ -823,17 +832,15 @@ def _stage_event_buckets(sf_dir: str) -> str:
         f"{sf_dir.rstrip('/')}/events.parquet",
         columns=["user_id", "ts", "value", "event_type"],
     )
-    tbl = tbl.filter(pc.equal(tbl["event_type"], _MB_FILTER)).drop(
-        ["event_type"]
-    )
+    tbl = tbl.filter(pc.equal(tbl["event_type"], flt)).drop(["event_type"])
     us = pc.cast(tbl["ts"], pa.int64()).to_pylist()  # timestamp[us] → epoch µs
     ms = [u // 1_000 for u in us]  # ms floor, Spark's EventTimeStats basis
     mn, mx = min(ms), max(ms)
-    bkt = [(MB_K * (m - mn)) // (mx - mn + 1) for m in ms]
+    bkt = [(k * (m - mn)) // (mx - mn + 1) for m in ms]
     pdf = tbl.to_pandas()
     pdf["__bkt"] = bkt
     now = _time.time()
-    for i in range(MB_K):
+    for i in range(k):
         part = pdf[pdf["__bkt"] == i].drop(columns="__bkt")
         if part.empty:
             # the oracle's wm_in(i) table assumes every batch exists and
@@ -892,20 +899,30 @@ def _running_totals_eventtime_mb(key, pdfs, state, ttl_ms: int = EVENT_TTL_MS):
     )
 
 
-_MB_ORACLE = f"""
+def _mb_oracle_sql(
+    k: int = MB_K,
+    ttl_ms: int = EVENT_TTL_MS,
+    delay_ms: int = EVENT_WM_DELAY_MS,
+    flt: str = _MB_FILTER,
+) -> str:
+    """The unrolled per-batch watermark schedule as one SQL statement —
+    parameterized over bucket count / TTL / watermark delay / event-type
+    filter so the fuzz test can certify the MODEL, not one configuration.
+    Semantics derivation in the module comment above _stage_event_buckets."""
+    return f"""
     WITH e AS (
         SELECT user_id, epoch_us(ts) // 1000 AS ms,
                CAST(value AS DECIMAL(18,2)) AS v
-        FROM events WHERE event_type = '{_MB_FILTER}'),
+        FROM events WHERE event_type = '{flt}'),
     bounds AS (SELECT MIN(ms) AS mn, MAX(ms) AS mx FROM e),
-    b AS (SELECT e.*, ({MB_K} * (e.ms - bounds.mn))
+    b AS (SELECT e.*, ({k} * (e.ms - bounds.mn))
                       // (bounds.mx - bounds.mn + 1) AS bkt
           FROM e, bounds),
     ub AS (SELECT user_id, bkt, MAX(ms) AS last_ms FROM b GROUP BY 1, 2),
     bm AS (SELECT bkt, MAX(ms) AS bmax FROM b GROUP BY 1),
     wm AS (SELECT bkt, MAX(bmax) OVER (ORDER BY bkt
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             - {EVENT_WM_DELAY_MS} AS wm_in
+             - {delay_ms} AS wm_in
            FROM bm),
     pairs AS (SELECT user_id, bkt AS a, last_ms,
                      LEAD(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS nxt
@@ -913,7 +930,7 @@ _MB_ORACLE = f"""
     resets AS (SELECT p.user_id, p.nxt AS seg_start
                FROM pairs p JOIN wm ON wm.bkt = p.nxt - 1
                WHERE p.nxt IS NOT NULL AND p.nxt > p.a + 1
-                 AND wm.wm_in > p.last_ms + {EVENT_TTL_MS}),
+                 AND wm.wm_in > p.last_ms + {ttl_ms}),
     seg AS (SELECT b.user_id,
                    COUNT(*) AS n,
                    CAST(SUM(b.v) AS DOUBLE) AS total_value,
@@ -926,43 +943,34 @@ _MB_ORACLE = f"""
     g AS (SELECT MAX(ms) AS gmax FROM e),
     rc AS (SELECT user_id, COUNT(*) AS n_resets FROM resets GROUP BY 1)
     SELECT seg.user_id,
-           CASE WHEN seg.last_ms + {EVENT_TTL_MS} < g.gmax - {EVENT_WM_DELAY_MS}
+           CASE WHEN seg.last_ms + {ttl_ms} < g.gmax - {delay_ms}
                 THEN CAST(-1 AS BIGINT) ELSE seg.n END AS n_events,
            seg.total_value,
            CAST(COALESCE(rc.n_resets, 0)
-                + CASE WHEN seg.last_ms + {EVENT_TTL_MS}
-                            < g.gmax - {EVENT_WM_DELAY_MS}
+                + CASE WHEN seg.last_ms + {ttl_ms}
+                            < g.gmax - {delay_ms}
                        THEN 1 ELSE 0 END AS BIGINT) AS evictions
     FROM seg CROSS JOIN g LEFT JOIN rc ON rc.user_id = seg.user_id
     """
 
 
-@register(
-    "stream_stateful_totals_eventtime_multibatch",
-    "ST4,ST2,S5,A1",
-    _MB_ORACLE,
-)
-def stream_stateful_totals_eventtime_multibatch(
-    spark: SparkSession, sf_dir: str
+_MB_ORACLE = _mb_oracle_sql()
+
+
+def run_multibatch_totals(
+    spark: SparkSession,
+    stage: str,
+    ttl_ms: int = EVENT_TTL_MS,
+    wm_delay: str = "1 hour",
 ) -> DataFrame:
-    """Mid-stream evict-then-readmit, oracle-certified (VERDICT r8 item 5):
-    the purchase-only events run as 8 file-per-batch micro-batches, so keys
-    idle past the 8 h event-time TTL tombstone MID-STREAM and restart from
-    zero when they re-arrive; the DuckDB twin unrolls the whole per-batch
-    watermark schedule (see the module comment above _stage_event_buckets)
-    and predicts, per key, the final segment's count/total AND the total
-    eviction count. A wrong timer firing, a missed readmission, or an extra
-    tombstone each change `evictions` or `n_events` and hash-fail the row —
-    at sf0.01 that's 113 mid-stream evictions and 18 readmitted keys under
-    check, not just the final watermark's eviction set."""
+    """File-per-batch event-time-TTL'd totals over a staged bucket dir —
+    the multibatch pipeline body, shared by the catalog query (pinned
+    configuration) and the (k, TTL) fuzz test."""
     from pyspark.sql import Window
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from bigdatabowl_spark.session import configure
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
-    configure(spark)
-    stage = _stage_event_buckets(sf_dir)
     batch = spark.read.parquet(stage)
     stream = (
         spark.readStream.schema(batch.schema)
@@ -978,10 +986,12 @@ def stream_stateful_totals_eventtime_multibatch(
             ts_us.alias("ts_us"),
             F.timestamp_micros(ts_us).alias("event_time"),
         )
-        .withWatermark("event_time", "1 hour")
+        .withWatermark("event_time", wm_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _running_totals_eventtime_mb,
+            lambda key, pdfs, state: _running_totals_eventtime_mb(
+                key, pdfs, state, ttl_ms
+            ),
             outputStructType=_MB_SCHEMA,
             stateStructType=_EVENT_STATE_SCHEMA,
             outputMode="update",
@@ -1025,6 +1035,34 @@ def stream_stateful_totals_eventtime_multibatch(
             F.col("evictions").cast("long").alias("evictions"),
         )
     )
+
+
+@register(
+    "stream_stateful_totals_eventtime_multibatch",
+    "ST4,ST2,S5,A1",
+    _MB_ORACLE,
+)
+def stream_stateful_totals_eventtime_multibatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-stream evict-then-readmit, oracle-certified (VERDICT r8 item 5):
+    the purchase-only events run as 8 file-per-batch micro-batches, so keys
+    idle past the 8 h event-time TTL tombstone MID-STREAM and restart from
+    zero when they re-arrive; the DuckDB twin unrolls the whole per-batch
+    watermark schedule (see the module comment above _stage_event_buckets)
+    and predicts, per key, the final segment's count/total AND the total
+    eviction count. A wrong timer firing, a missed readmission, or an extra
+    tombstone each change `evictions` or `n_events` and hash-fail the row —
+    at sf0.01 that's 113 mid-stream evictions and 18 readmitted keys under
+    check, not just the final watermark's eviction set. The (k, TTL,
+    delay, filter) configuration here is the pinned default; the fuzz
+    test runs other configurations through the same runner + oracle
+    template."""
+    from bigdatabowl_spark.session import configure
+
+    configure(spark)
+    stage = _stage_event_buckets(sf_dir)
+    return run_multibatch_totals(spark, stage)
 
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402

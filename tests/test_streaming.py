@@ -1068,3 +1068,38 @@ def test_multibatch_staging_is_sf_keyed(spark, sf_dir):
     assert after != before
     # restore for any later test in the session
     _stage_event_buckets(sf_dir)
+
+
+def test_multibatch_oracle_model_generalizes(spark, sf_dir):
+    """The multibatch oracle is a MODEL of Spark's per-batch watermark +
+    event-time-timer schedule, not a constant tuned to one lucky
+    configuration: re-run the same staged-bucket pipeline and the same
+    SQL template across different bucket counts, TTLs, and event-type
+    slices and require hash-grade equality every time. Any error in the
+    model — wrong watermark basis, off-by-one on the eviction batch,
+    keys-with-data timing out, readmission arithmetic — shifts with (k,
+    TTL) and breaks at least one configuration here even if the pinned
+    catalog configuration happened to green."""
+    from bigdatabowl_spark.streaming.events import (
+        _mb_oracle_sql,
+        _stage_event_buckets,
+        run_multibatch_totals,
+    )
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_dir)
+    h = 3_600_000
+    configs = [
+        (4, 8 * h, "purchase"),
+        (6, 4 * h, "click"),
+        (10, 16 * h, "purchase"),
+        (12, 2 * h, "view"),
+    ]
+    for k, ttl_ms, flt in configs:
+        stage = _stage_event_buckets(
+            sf_dir, k=k, flt=flt, stage_name=f"events_mb_fuzz_{k}_{ttl_ms}_{flt}"
+        )
+        got = run_multibatch_totals(spark, stage, ttl_ms=ttl_ms)
+        want = con.execute(_mb_oracle_sql(k=k, ttl_ms=ttl_ms, flt=flt)).fetchdf()
+        diff = compare(got, want)
+        assert not diff, f"(k={k}, ttl={ttl_ms}, {flt}): {diff}"
