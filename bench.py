@@ -591,6 +591,16 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     # base_score ValueError)
     if "Join" not in opt:
         raise RuntimeError(f"encode join pruned from timed plan:\n{opt}")
+    # gc-only nudge between the sub-legs (NOT _gc_sweep — the staged docs
+    # localCheckpoint must survive into the bigram input): the two encode
+    # runs leave unreferenced broadcast vocabs + shuffle state whose
+    # deferred cleanup otherwise lands inside the timed bigram window
+    # (measured in-suite: bigram 13.0 s / 341 CPU-s vs 3.8 s / 88 isolated
+    # — same accumulated-JVM-state signature _gc_sweep fixes at stage
+    # boundaries)
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.5)
     c0 = _subtree_cpu_sample()
     t0 = time.perf_counter()
     bi = docs.select(
