@@ -1103,3 +1103,37 @@ def test_multibatch_oracle_model_generalizes(spark, sf_dir):
         want = con.execute(_mb_oracle_sql(k=k, ttl_ms=ttl_ms, flt=flt)).fetchdf()
         diff = compare(got, want)
         assert not diff, f"(k={k}, ttl={ttl_ms}, {flt}): {diff}"
+
+
+def test_multibatch_provider_independent(spark, sf_dir):
+    """The multibatch evict-then-readmit run under the RocksDB state store
+    must produce the EXACT catalog-query output. Beyond the single-batch
+    provider test, this covers timer persistence ACROSS micro-batches —
+    a timer armed in batch i must survive i+1's state-store commit/reload
+    cycle to fire in batch i+2 — and state re-creation for readmitted keys
+    after a RocksDB delete."""
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    q = CATALOG["stream_stateful_totals_eventtime_multibatch"]
+    rows = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.n_events, r.total_value, r.evictions)
+        for r in df.collect()
+    )
+    baseline = rows(q.builder(spark, sf_dir))
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = rows(q.builder(spark, sf_dir))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == baseline
+    # the discriminating population survived the provider swap too
+    assert any(ev >= 1 and n > 0 for _, n, _, ev in got)  # readmitted-alive
