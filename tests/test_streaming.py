@@ -1034,7 +1034,14 @@ def test_multibatch_fixture_discriminates(spark, sf_dir):
     from bigdatabowl_spark.plans.catalog import CATALOG
 
     q = CATALOG["stream_stateful_totals_eventtime_multibatch"]
-    rows = q.builder(spark, sf_dir).collect()
+    df = q.builder(spark, sf_dir)
+    # plan gate for the final-row selection: the row_number and the
+    # eviction-count windows both partition by user_id, so they must share
+    # ONE exchange — a refactor that splits them doubles the shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2, plan
+    rows = df.collect()
     readmitted_alive = [
         r for r in rows if r.evictions >= 1 and r.n_events > 0
     ]
