@@ -156,15 +156,8 @@ def bench_eppa_kernel(spark) -> tuple[float, float, float]:
 
     eppa_field_surface(_synthetic_play(spark, 1, N_EPPA_PLAYS)).count()
     play = _synthetic_play(spark, N_EPPA_FRAMES, N_EPPA_PLAYS)
-    sec = cpu = None
-    for _ in range(2):  # min-of-2, same policy as the catalog queries
-        c0 = _subtree_cpu_sample()
-        t0 = time.perf_counter()
-        n = eppa_field_surface(play).count()
-        dt = time.perf_counter() - t0
-        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-        if sec is None or dt < sec:
-            sec, cpu = dt, dc
+    # min-of-2 with paired CPU, same policy as the catalog queries
+    sec, cpu, n = _timed_min(lambda: eppa_field_surface(play).count())
     frames = n / 6600
     return round(sec, 3), round(frames / sec, 3), round(cpu, 3)
 
@@ -232,38 +225,21 @@ def bench_skew_join(
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        salted_sec = unsalted_sec = salted_cpu = unsalted_cpu = None
-        for _ in range(2):
-            c0 = _subtree_cpu_sample()
-            t0 = time.perf_counter()
-            r_salt = agg(salted_join(big, small.hint("merge"), "k", "l_orderkey", 32))
-            dt = time.perf_counter() - t0
-            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-            if salted_sec is None or dt < salted_sec:
-                salted_sec, salted_cpu = dt, dc
-
-            c0 = _subtree_cpu_sample()
-            t0 = time.perf_counter()
-            r_plain = agg(big.join(small.hint("merge"), "k"))
-            dt = time.perf_counter() - t0
-            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-            if unsalted_sec is None or dt < unsalted_sec:
-                unsalted_sec, unsalted_cpu = dt, dc
+        salted_sec, salted_cpu, r_salt = _timed_min(
+            lambda: agg(salted_join(big, small.hint("merge"), "k", "l_orderkey", 32))
+        )
+        unsalted_sec, unsalted_cpu, r_plain = _timed_min(
+            lambda: agg(big.join(small.hint("merge"), "k"))
+        )
         assert (r_salt["n"], r_salt["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
             r_salt,
             r_plain,
         )
         big64 = big.repartition(64).localCheckpoint()  # staged, untimed
 
-        aqe_off_sec = aqe_off_cpu = None
-        for _ in range(2):
-            c0 = _subtree_cpu_sample()
-            t0 = time.perf_counter()
-            r_off = agg(big64.join(small.hint("merge"), "k"))
-            dt = time.perf_counter() - t0
-            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-            if aqe_off_sec is None or dt < aqe_off_sec:
-                aqe_off_sec, aqe_off_cpu = dt, dc
+        aqe_off_sec, aqe_off_cpu, r_off = _timed_min(
+            lambda: agg(big64.join(small.hint("merge"), "k"))
+        )
         assert (r_off["n"], r_off["qsum"]) == (r_plain["n"], r_plain["qsum"]), (
             r_off,
             r_plain,
@@ -280,19 +256,17 @@ def bench_skew_join(
         for k, v in aqe_confs.items():
             spark.conf.set(k, v)
         try:
-            aqe_sec = aqe_cpu = None
-            for _ in range(2):
+            def aqe_run():
+                # a FRESH plan per run: AQE mutates the executed plan in
+                # place, and the post-loop skew=true assert must read the
+                # plan of the run it gates
                 joined = big64.join(small.hint("merge"), "k").agg(
                     F.count("*").alias("n"),
                     F.sum(F.floor(F.col("l_extendedprice"))).alias("qsum"),
                 )
-                c0 = _subtree_cpu_sample()
-                t0 = time.perf_counter()
-                r_aqe = joined.collect()[0]
-                dt = time.perf_counter() - t0
-                dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-                if aqe_sec is None or dt < aqe_sec:
-                    aqe_sec, aqe_cpu = dt, dc
+                return joined, joined.collect()[0]
+
+            aqe_sec, aqe_cpu, (joined, r_aqe) = _timed_min(aqe_run)
             plan = joined._jdf.queryExecution().executedPlan().toString()
             # the executed plan must carry skew=true at bench scale (sf0.1);
             # at smoke scale (sf0.001) the hot partition is under even the
@@ -431,6 +405,27 @@ def _release_persistent_rdds(spark) -> None:
         sc._jsc.sc().unpersistRDD(rid, True)
 
 
+def _timed_min(fn, runs: int = 2):
+    """(min wall, paired cpu, last result) over `runs` executions of fn.
+
+    The ONE implementation of the bench's measurement invariant: CPU is
+    PAIRED with the min-wall run — an independent min over the CPU
+    samples would let a reap-undercounted 0 from the other run win
+    (VERDICT r6 item 3). Every leg and the catalog loop go through this
+    helper so the invariant can't drift per-site."""
+    best = best_cpu = None
+    res = None
+    for _ in range(runs):
+        c0 = _subtree_cpu_sample()
+        t0 = time.perf_counter()
+        res = fn()
+        dt = time.perf_counter() - t0
+        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
+        if best is None or dt < best:
+            best, best_cpu = dt, dc
+    return best, best_cpu, res
+
+
 def _gc_sweep(spark, pause_sec: float = 2.0) -> None:
     """Reset JVM/suite state before a scale leg (VERDICT r8 item 2, settled
     by r9's CPU pairing): after the ~190-query catalog sweep the 10M-edge
@@ -479,32 +474,33 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
         .cast("long")
         .alias("dst"),
     )
-    c0 = _subtree_cpu_sample()
-    t0 = time.perf_counter()
     degs = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
     )
-    graph = (
-        edges.repartition("src")
-        .join(
-            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
-            .hint("shuffle_hash"),
-            "src",
+
+    def build_graph():
+        return (
+            edges.repartition("src")
+            .join(
+                degs.select(
+                    F.col("node").alias("src"), F.col("deg").alias("deg_src")
+                ).hint("shuffle_hash"),
+                "src",
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    graph_sec = time.perf_counter() - t0
-    graph_cpu = _cpu_delta_sec(c0, _subtree_cpu_sample())
+
+    graph_sec, graph_cpu, graph = _timed_min(build_graph, runs=1)
     from bigdatabowl_spark.plans.round4 import _pr_superstep
 
-    ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
-    c0 = _subtree_cpu_sample()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        # materialize each superstep: timed work is real
-        ranks = _pr_superstep(graph, ranks).localCheckpoint()
-    steps_sec = time.perf_counter() - t0
-    steps_cpu = _cpu_delta_sec(c0, _subtree_cpu_sample())
+    def run_supersteps():
+        ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
+        for _ in range(3):
+            # materialize each superstep: timed work is real
+            ranks = _pr_superstep(graph, ranks).localCheckpoint()
+        return ranks
+
+    steps_sec, steps_cpu, _ = _timed_min(run_supersteps, runs=1)
     return (
         round(graph_sec, 3),
         round(steps_sec, 3),
@@ -551,10 +547,7 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     n_tokens = n_docs * toks_per_doc
     from pyspark.sql import Window
 
-    encode_sec = encode_cpu = None
-    for _ in range(2):  # min-of-2, the catalog convention
-        c0 = _subtree_cpu_sample()
-        t0 = time.perf_counter()
+    def encode_run():
         toks = docs.select("doc_id", F.posexplode("arr").alias("pos", "tok"))
         top = (
             toks.groupBy("tok")
@@ -579,10 +572,10 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
         )
         sink = encoded.agg(F.sum("token_id").alias("checksum"))
         sink.collect()
-        dt = time.perf_counter() - t0
-        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-        if encode_sec is None or dt < encode_sec:
-            encode_sec, encode_cpu = dt, dc
+        return sink
+
+    # min-of-2 with paired CPU, the catalog convention
+    encode_sec, encode_cpu, sink = _timed_min(encode_run)
     # the leg's own plan gate (not just the catalog twin's): the encode
     # join must survive in the optimized plan it just timed
     opt = sink._jdf.queryExecution().optimizedPlan().toString()
@@ -601,23 +594,23 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     for _ in range(2):
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.5)
-    c0 = _subtree_cpu_sample()
-    t0 = time.perf_counter()
-    bi = docs.select(
-        F.explode(
-            F.expr(
-                "transform(slice(arr, 1, size(arr) - 1),"
-                " (x, i) -> struct(x AS a, arr[i + 1] AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    # aggregate the counts (not count() of the agg) so the 25M-key groupBy
-    # output is consumed, not pruned to a row count
-    bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).agg(
-        F.sum("n_ab").alias("checksum")
-    ).collect()
-    bigram_sec = time.perf_counter() - t0
-    bigram_cpu = _cpu_delta_sec(c0, _subtree_cpu_sample())
+
+    def bigram_run():
+        bi = docs.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(arr, 1, size(arr) - 1),"
+                    " (x, i) -> struct(x AS a, arr[i + 1] AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        # aggregate the counts (not count() of the agg) so the 25M-key
+        # groupBy output is consumed, not pruned to a row count
+        bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).agg(
+            F.sum("n_ab").alias("checksum")
+        ).collect()
+
+    bigram_sec, bigram_cpu, _ = _timed_min(bigram_run, runs=1)
     _release_persistent_rdds(spark)  # the staged-corpus localCheckpoint
     return (
         round(encode_sec, 3),
@@ -669,18 +662,11 @@ def main() -> None:
         if q is None:
             continue
         n_runs = 1 if name in SINGLE_RUN else 2
-        best = best_cpu = None
-        for _ in range(n_runs):
-            c0 = _subtree_cpu_sample()
-            t0 = time.perf_counter()
-            df = q.builder(spark, sf_dir)
-            df.count()
-            dt = time.perf_counter() - t0
-            dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-            # CPU is PAIRED with the min-wall run (an independent min would
-            # let a reap-undercounted 0 from the other run win)
-            if best is None or dt < best:
-                best, best_cpu = dt, dc
+        # CPU is PAIRED with the min-wall run inside _timed_min (an
+        # independent min would let a reap-undercounted 0 win)
+        best, best_cpu, _ = _timed_min(
+            lambda: q.builder(spark, sf_dir).count(), runs=n_runs
+        )
         timings[name] = round(best, 3)
         cpu_secs[name] = round(best_cpu, 3)
         # progress to STDERR (stdout carries only the final JSON line):
@@ -702,18 +688,12 @@ def main() -> None:
     from bigdatabowl_spark.kernels.defense import OptimizeConfig, optimize_defense
     from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
 
-    sur_best = sur_cpu = None
-    for _ in range(2):
-        c0 = _subtree_cpu_sample()
-        t0 = time.perf_counter()
-        optimize_defense(
+    sur_best, sur_cpu, _ = _timed_min(
+        lambda: optimize_defense(
             tracking_from_events(spark, sf_dir),
             cfg=OptimizeConfig(objective="surrogate"),
         ).count()
-        dt = time.perf_counter() - t0
-        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-        if sur_best is None or dt < sur_best:
-            sur_best, sur_cpu = dt, dc
+    )
     timings["m6_optimize_defense_surrogate"] = round(sur_best, 3)
     cpu_secs["m6_optimize_defense_surrogate"] = round(sur_cpu, 3)
     print(

@@ -454,16 +454,19 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
     seen_bid = -1  # highest batchId already folded into the streak
     streak = 0  # consecutive zero-input, offset-stable batches
     prev_ends: str | None = None  # endOffsets of the last folded batch
+    offsetless = 0  # batches whose progress carried no readable endOffset
 
-    def _ends(lp) -> str:
+    def _ends(lp) -> str | None:
         # opaque, order-stable rendering of every source's endOffset
         # (file source: {"logOffset": N}; values may be dict or str
-        # depending on the progress JSON path)
-        return _json.dumps(
-            [s.get("endOffset") for s in lp.get("sources", [])],
-            sort_keys=True,
-            default=str,
-        )
+        # depending on the progress JSON path). Returns None when NO
+        # source offset is readable — a constant fallback string here
+        # would make ends == prev_ends vacuously true and silently
+        # reopen the adjacent-empty-files hole this guard closes.
+        offs = [s.get("endOffset") for s in lp.get("sources", [])]
+        if not offs or all(o is None for o in offs):
+            return None
+        return _json.dumps(offs, sort_keys=True, default=str)
 
     while _time.monotonic() < deadline:
         if not q.isActive:
@@ -479,12 +482,20 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
                 continue  # already accounted for
             seen_bid = bid
             ends = _ends(lp)
-            if lp["numInputRows"] == 0 and prev_ends is not None and ends == prev_ends:
+            if ends is None:
+                offsetless += 1
+            if (
+                lp["numInputRows"] == 0
+                and ends is not None
+                and prev_ends is not None
+                and ends == prev_ends
+            ):
                 streak += 1
             else:
                 # data arrived, a zero-row batch still advanced the source
-                # offset (consumed an empty file), or this is the first
-                # batch we can see (no offset baseline) — not drain proof
+                # offset (consumed an empty file), this is the first batch
+                # we can see (no offset baseline), or the progress carried
+                # no readable offset at all — none of these is drain proof
                 streak = 0
             prev_ends = ends
         if streak >= 2:
@@ -498,8 +509,16 @@ def drain_available_now(q, timeout_sec: float = 180.0) -> None:
     if exc is not None:
         raise exc
     if not drained:
+        extra = (
+            f" ({offsetless} progress entries carried no readable source"
+            " endOffset — the offset-stability guard cannot certify"
+            " exhaustion for this source type)"
+            if offsetless
+            else ""
+        )
         raise TimeoutError(
             f"stream {q.name or q.id} did not drain within {timeout_sec}s"
+            + extra
         )
 
 
@@ -957,16 +976,25 @@ def _mb_oracle_sql(
 _MB_ORACLE = _mb_oracle_sql()
 
 
-def run_multibatch_totals(
+def start_multibatch_query(
     spark: SparkSession,
     stage: str,
     ttl_ms: int = EVENT_TTL_MS,
     wm_delay: str = "1 hour",
-) -> DataFrame:
-    """File-per-batch event-time-TTL'd totals over a staged bucket dir —
-    the multibatch pipeline body, shared by the catalog query (pinned
-    configuration) and the (k, TTL) fuzz test."""
-    from pyspark.sql import Window
+):
+    """Start the file-per-batch event-time-TTL'd totals stream over a
+    staged bucket dir (maxFilesPerTrigger=1, update-mode memory sink,
+    availableNow) and return (query, sink_name). The single pipeline
+    definition shared by run_multibatch_totals (catalog + fuzz test) and
+    scripts/scale_probe.py's stream_stateful family — a pipeline tweak
+    here reaches the probe automatically instead of drifting.
+
+    CALLERS must hold _state_partitions(spark) open from before this call
+    until the query terminates: the stateful operator's partition count
+    freezes at FIRST-batch planning, which races with .start() returning —
+    restoring the shuffle-partition conf too early would plan the state
+    store at the session's batch width (the 2-5× state-commit overhead
+    _state_partitions exists to avoid)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from bigdatabowl_spark.sources.tables import epoch_us_col
@@ -999,14 +1027,29 @@ def run_multibatch_totals(
         )
     )
     name = f"stateful_totals_mb_{next(_STATEFUL_RUNS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name
+
+
+def run_multibatch_totals(
+    spark: SparkSession,
+    stage: str,
+    ttl_ms: int = EVENT_TTL_MS,
+    wm_delay: str = "1 hour",
+) -> DataFrame:
+    """File-per-batch event-time-TTL'd totals over a staged bucket dir —
+    the multibatch pipeline body, shared by the catalog query (pinned
+    configuration) and the (k, TTL) fuzz test."""
+    from pyspark.sql import Window
+
     with _state_partitions(spark):
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        q, name = start_multibatch_query(spark, stage, ttl_ms, wm_delay)
         # event-time timeouts self-terminate under availableNow (watermark
         # stops advancing once the files are consumed) — same as the
         # single-batch twin

@@ -50,20 +50,12 @@ PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/bdb_scale_probe")
 
 
 def _timed(fn, runs: int = 2):
-    """(min wall, paired cpu, last result) over `runs` executions."""
-    from bench import _cpu_delta_sec, _subtree_cpu_sample
+    """(min wall, paired cpu, last result) over `runs` executions —
+    bench.py's _timed_min, the single implementation of the paired-CPU
+    measurement invariant."""
+    from bench import _timed_min
 
-    best = best_cpu = None
-    res = None
-    for _ in range(runs):
-        c0 = _subtree_cpu_sample()
-        t0 = time.perf_counter()
-        res = fn()
-        dt = time.perf_counter() - t0
-        dc = _cpu_delta_sec(c0, _subtree_cpu_sample())
-        if best is None or dt < best:
-            best, best_cpu = dt, dc
-    return best, best_cpu, res
+    return _timed_min(fn, runs)
 
 
 def _stage_docs(spark, tag: str, n_docs: int, toks_per_doc: int = 40,
@@ -256,77 +248,43 @@ def _stage_stream_events(spark, tag: str, n_rows: int, n_keys: int,
 def probe_stream(spark) -> dict:
     """Stateful-streaming scale leg (VERDICT r8 item 7): the event-time
     TTL'd running-totals pipeline (watermark + applyInPandasWithState +
-    timers, the stream_stateful_totals_eventtime_multibatch shape) over a
-    synthetic 8-file split at 100k rows/2k keys and 1M rows/20k keys —
-    state keys AND watermark churn both scale 10x. Reports wall, sec per
-    micro-batch, and the state store's own row/byte telemetry from the
-    final data batch's progress."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
+    timers) over a synthetic 8-file split at 100k rows/2k keys and
+    1M rows/20k keys — state keys AND watermark churn both scale 10x.
+    The pipeline is the catalog query's own start_multibatch_query (one
+    definition, no probe-local drift). Reports wall, sec per micro-batch,
+    and the state store's row/byte telemetry — PEAK across batches (the
+    scaling-with-keys number) and FINAL (post-eviction survivors)."""
     from bench import _release_persistent_rdds
-    from bigdatabowl_spark.sources.tables import epoch_us_col
     from bigdatabowl_spark.streaming.events import (
-        _EVENT_STATE_SCHEMA,
-        _MB_SCHEMA,
-        _running_totals_eventtime_mb,
         _state_partitions,
+        start_multibatch_query,
     )
 
-    runs = iter(range(1_000_000))
-
     def run(stage: str) -> dict:
-        batch = spark.read.parquet(os.path.join(stage, "bucket00.parquet"))
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stage)
-        )
-        ts_us = epoch_us_col(stream, "ts")
-        sdf = (
-            stream.select(
-                "user_id",
-                F.col("value").cast("double").alias("value"),
-                ts_us.alias("ts_us"),
-                F.timestamp_micros(ts_us).alias("event_time"),
-            )
-            .withWatermark("event_time", "1 hour")
-            .groupBy("user_id")
-            .applyInPandasWithState(
-                _running_totals_eventtime_mb,
-                outputStructType=_MB_SCHEMA,
-                stateStructType=_EVENT_STATE_SCHEMA,
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout,
-            )
-        )
-        name = f"probe_stream_{next(runs)}"
         with _state_partitions(spark):
-            q = (
-                sdf.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
-            )
+            q, name = start_multibatch_query(spark, stage)
             t0 = time.perf_counter()
             q.awaitTermination()
             wall = time.perf_counter() - t0
         progress = list(q.recentProgress)
         n_batches = len(progress)
-        state_rows = state_bytes = 0
-        for p in progress:  # last batch that reported state telemetry
+        peak_rows = peak_bytes = final_rows = final_bytes = 0
+        for p in progress:
             ops = p.get("stateOperators") or []
             if ops:
-                state_rows = ops[0].get("numRowsTotal", 0)
-                state_bytes = ops[0].get("memoryUsedBytes", 0)
+                final_rows = ops[0].get("numRowsTotal", 0)
+                final_bytes = ops[0].get("memoryUsedBytes", 0)
+                peak_rows = max(peak_rows, final_rows)
+                peak_bytes = max(peak_bytes, final_bytes)
         n_out = spark.table(name).count()
         return {
             "sec": round(wall, 3),
             "n_batches": n_batches,
             "sec_per_batch": round(wall / max(n_batches, 1), 3),
-            "state_rows": state_rows,
-            "state_bytes": state_bytes,
+            "state_rows_peak": peak_rows,
+            "state_bytes_peak": peak_bytes,
+            "state_rows_final": final_rows,
+            "state_bytes_final": final_bytes,
             "sink_rows": n_out,
         }
 

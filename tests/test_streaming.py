@@ -1067,10 +1067,18 @@ def test_multibatch_staging_is_sf_keyed(spark, sf_dir):
     with open(marker) as fh:
         payload = fh.read()
     assert sf_dir.rstrip("/") in payload and _MB_STAGE_VERSION in payload
-    # foreign sf: marker mismatch forces a restage (mtime of bucket00 moves)
+    # foreign sf: marker mismatch forces a restage (mtime of bucket00
+    # moves). Pick a scale DIFFERENT from the session's sf_dir — a
+    # hardcoded foreign sf would spuriously fail whenever the suite runs
+    # at that scale (SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01)
+    foreign = (
+        "/root/testdata/sf0.01"
+        if not sf_dir.rstrip("/").endswith("sf0.01")
+        else "/root/testdata/sf0.001"
+    )
     b0 = os.path.join(stage, "bucket00.parquet")
     before = os.path.getmtime(b0)
-    _stage_event_buckets("/root/testdata/sf0.01")
+    _stage_event_buckets(foreign)
     after = os.path.getmtime(os.path.join(_mb_stage_dir(), "bucket00.parquet"))
     assert after != before
     # restore for any later test in the session
