@@ -7,6 +7,24 @@ import pyspark.sql.functions as F
 from bigdatabowl_spark.streaming.events import tumbling_counts_batch, tumbling_counts_stream, WINDOW_US
 
 
+def _atomic_write_parquet(pdf, dest) -> None:
+    """Write a feed file OUTSIDE the streaming source's visible namespace,
+    then rename into place. A parquet written in-place can be listed by
+    FileStreamSource mid-write: the truncated footer kills the query, and
+    the test's wait_for then polls a dead stream to timeout (observed
+    once in-suite for the dedup readmission test — the row 'never
+    arrived' because the query had died on the partial file). Dot-prefixed
+    names are invisible to Spark's file index; os.replace is atomic on
+    the same filesystem."""
+    import os
+
+    dest = str(dest)
+    d, base = os.path.split(dest)
+    tmp = os.path.join(d, f".tmp_{base}")
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, dest)
+
+
 def test_stream_matches_batch(spark, sf_dir):
     batch = (
         tumbling_counts_batch(spark, sf_dir)
@@ -243,9 +261,12 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     src.mkdir()
 
     def write_batch(name, rows):
-        pd.DataFrame(rows, columns=["event_time", "k"]).astype(
-            {"event_time": "datetime64[us]"}
-        ).to_parquet(src / f"{name}.parquet")
+        _atomic_write_parquet(
+            pd.DataFrame(rows, columns=["event_time", "k"]).astype(
+                {"event_time": "datetime64[us]"}
+            ),
+            src / f"{name}.parquet",
+        )
 
     # batch 1: two events in window [00:00, 00:10) + one at 01:00 that
     # advances the watermark (10 min) far past that window's end
@@ -580,8 +601,8 @@ def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def feed(name, rows):
-        pd.DataFrame(rows, columns=["user_id", "value"]).to_parquet(
-            str(src / name), index=False
+        _atomic_write_parquet(
+            pd.DataFrame(rows, columns=["user_id", "value"]), src / name
         )
 
     feed("b0.parquet", [(1, 1.25), (1, 2.00), (2, 5.50)])
@@ -616,6 +637,9 @@ def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
     def wait_for(pred, timeout=60):
         t0 = time.time()
         while time.time() - t0 < timeout:
+            exc = q.exception()
+            if exc is not None:
+                raise exc  # dead query: fail loud, not as a 60 s timeout
             if pred(rows()):
                 return True
             time.sleep(0.3)
@@ -685,7 +709,7 @@ def test_eventtime_ttl_evicts_and_readmits(spark, tmp_path):
     def feed(name, rows):  # rows: (user_id, value, ts_us)
         pdf = pd.DataFrame(rows, columns=["user_id", "value", "ts_us"])
         pdf["ts_us"] = pdf["ts_us"].astype("int64")
-        pdf.to_parquet(str(src / name), index=False)
+        _atomic_write_parquet(pdf, src / name)
 
     # user 1 last seen at t=100 s; user 2 at t=50 000 s. TTL 10 s, delay
     # 1 s → final watermark 49 999 s; 100 + 10 < 49 999 evicts user 1 only.
@@ -969,8 +993,8 @@ def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
     base = 1_700_000_000_000_000  # event-time anchor, micros
 
     def feed(name, rows):
-        pd.DataFrame(rows, columns=["k", "ts_us"]).to_parquet(
-            str(src / name), index=False
+        _atomic_write_parquet(
+            pd.DataFrame(rows, columns=["k", "ts_us"]), src / name
         )
 
     # b0: first A and first C
@@ -1001,6 +1025,9 @@ def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
     def wait_for(pred, timeout=60):
         t0 = time.time()
         while time.time() - t0 < timeout:
+            exc = q.exception()
+            if exc is not None:
+                raise exc  # dead query: fail loud, not as a 60 s timeout
             if pred(rows()):
                 return True
             time.sleep(0.3)
