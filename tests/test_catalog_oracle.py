@@ -46,6 +46,8 @@ def test_no_oracle_emits_hugeint(spark, sf_dir):
     round-2 pack_sequences failure class. DESCRIBE-only, so it's cheap and
     catches any oracle whose window/plain SUM arithmetic escapes un-CAST.
     """
+    import duckdb
+
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
     from bigdatabowl_spark.plans.round5 import ensure_kernel_staged
@@ -63,7 +65,17 @@ def test_no_oracle_emits_hugeint(spark, sf_dir):
     for name, q in CATALOG.items():
         if q.oracle is None:
             continue
-        for col, dtyp, *_ in con.execute("DESCRIBE " + q.oracle).fetchall():
+        try:
+            desc = con.execute("DESCRIBE " + q.oracle).fetchall()
+        except duckdb.IOException:
+            # Any other oracle that reads bytes its builder stages (the dart
+            # forest, defense placements, IO-scratch roundtrips, ...) fails
+            # DESCRIBE on a cold machine: run the builder once — every
+            # staged-reading builder self-heals its stage — then retry.
+            # Warm machines never take this path.
+            q.builder(spark, sf_dir)
+            desc = con.execute("DESCRIBE " + q.oracle).fetchall()
+        for col, dtyp, *_ in desc:
             if "HUGEINT" in dtyp.upper() or "UBIGINT" in dtyp.upper():
                 offenders.append((name, col, dtyp))
     assert not offenders, f"oracle columns need CAST(... AS BIGINT): {offenders}"
