@@ -9,6 +9,16 @@ equi-join on bucket keys, which is the 100 TB-safe shape. Dot products are
 computed with higher-order functions (zip_with/aggregate) — JVM-side, no
 Python. Signs in the LSH path use integer-quantized arithmetic so bucket
 assignment is bit-deterministic across engines and partitionings.
+
+Zero-norm vectors (an all-zero embedding — blank input upstream) have no
+defined cosine: every cosine here divides via try_divide, yielding NULL —
+the same NULL DuckDB's double x/0 produces — instead of an ANSI
+divide-by-zero error. NULL cosines rank last under DESC in both engines
+(Spark desc = NULLS LAST, DuckDB default NULLS LAST) and fail every
+`cosine >= threshold` filter, so zero vectors are never near-dups and
+never beat a real neighbor (pinned by tests/test_embed_fuzz.py's
+zero-vector corpus). The numpy bucket kernel reaches the same outcome:
+0/0 = NaN fails the in-kernel mask, so NaN pairs never leave the kernel.
 """
 
 from __future__ import annotations
@@ -71,7 +81,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+        F.try_divide(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -227,7 +237,7 @@ def ivf_topk(
         F.col(vec_col),
         F.col("nrm"),
         F.col("cid"),
-        (dot(F.col(vec_col), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+        F.try_divide(dot(F.col(vec_col), F.col("cvec")), F.col("nrm") * F.col("cnrm")).alias("cos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cid"))
     ranked = scored.withColumn("crn", F.row_number().over(w))
@@ -249,7 +259,7 @@ def ivf_topk(
     pairs = cand.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnrm") * F.col("nnrm"))).alias("cosine"),
+        F.try_divide(dot(F.col("qvec"), F.col("nvec")), F.col("qnrm") * F.col("nnrm")).alias("cosine"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -293,7 +303,7 @@ def cosine_near_dups(
     scored = pairs.select(
         "keep_id",
         "drop_id",
-        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 8).alias("cosine"),
+        F.round(F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 8).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
     return scored.groupBy("drop_id").agg(
         F.count("*").alias("n_dups"),

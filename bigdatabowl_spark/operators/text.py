@@ -58,11 +58,15 @@ def quality_select(text_col: str = "text") -> list[Column]:
     punct_chars = n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))
     stop_hits = lang_hits(txt, "en")
     avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    # try_divide: punct_ratio is NULL for empty documents (n_chars = 0) —
+    # DuckDB's double x/0 is NULL, and ANSI Spark would otherwise throw.
+    # n_words is never 0 (split('') yields ['']), so the other ratios are
+    # plain divisions.
     return [
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         F.round(avg_word_len, 6).alias("avg_word_len"),
-        (punct_chars.cast("double") / n_chars).alias("punct_ratio"),
+        F.try_divide(punct_chars.cast("double"), n_chars).alias("punct_ratio"),
         (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
     ]
 

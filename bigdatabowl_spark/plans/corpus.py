@@ -249,9 +249,13 @@ def m10_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(toks).cast("double")
     n_chars = F.length(txt)
     awl = F.round((n_chars - (F.size(toks) - 1)).cast("double") / F.size(toks), 6)
-    punct = (n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))).cast(
-        "double"
-    ) / n_chars
+    # try_divide: an empty document has no defined punct ratio — NULL, like
+    # DuckDB's double x/0 — which NULLs z, the score, and keep_doc, so empty
+    # docs never pass the filter in either engine (ANSI Spark would throw).
+    punct = F.try_divide(
+        (n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))).cast("double"),
+        n_chars,
+    )
     stop = text.lang_hits(txt, "en").cast("double") / F.size(toks)
     z = (
         F.lit(_LOGIT_B)

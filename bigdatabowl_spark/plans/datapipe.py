@@ -79,7 +79,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str):
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str):
-    """Quality scoring: length / punctuation / stopword ratios per document."""
+    """Quality scoring: length / punctuation / stopword ratios per document.
+
+    Empty documents (n_chars = 0) get a NULL punct_ratio via try_divide —
+    the same NULL DuckDB's double x/0 produces — instead of an ANSI
+    divide-by-zero error (caught by tests/test_dedup_fuzz.py's empty-doc
+    corpora). n_words is never 0: split('') yields [''].
+    """
     docs = t(spark, sf_dir, "documents")
     txt = F.col("text")
     toks = text.tokens(txt)
@@ -91,7 +97,7 @@ def text_quality(spark: SparkSession, sf_dir: str):
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         F.round((n_chars - (n_words - 1)).cast("double") / n_words, 6).alias("avg_word_len"),
-        (punct_chars.cast("double") / n_chars).alias("punct_ratio"),
+        F.try_divide(punct_chars.cast("double"), n_chars).alias("punct_ratio"),
         (text.lang_hits(txt, "en").cast("double") / n_words).alias("stopword_ratio"),
     )
 
@@ -144,8 +150,15 @@ def text_langid(spark: SparkSession, sf_dir: str):
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
-           list_reduce(list_transform(string_split(text, ' '),
-                                      x -> CAST(ascii(x)*131 + length(x) AS BIGINT)),
+           -- list_prepend(0, ...): DuckDB's list_reduce seeds the accumulator
+           -- with the FIRST element *unreduced*, so a 1-token doc whose word
+           -- code >= 1000003 (unicode codepoints reach there via ascii()*131)
+           -- would escape the modulo that Spark's aggregate(0, ...) applies;
+           -- congruence hides the difference for >=2-token docs. Seeding 0
+           -- makes the fold identical (tests/test_dedup_fuzz.py caught this).
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(text, ' '),
+                                      x -> CAST(ascii(x)*131 + length(x) AS BIGINT))),
                        (acc, x) -> (acc * 8191 + x) % 1000003) AS fingerprint
     FROM documents
     """,

@@ -1,0 +1,192 @@
+"""Randomized cross-engine fuzz of the documents-only dedup/text family.
+
+The edge-oracle tests plant specific near-dup constructions; this file
+attacks the same 20 catalog queries with SEEDED RANDOM corpora built to
+maximize collision pressure (tiny vocabularies, exact-dup pairs, one-token
+mutations, token permutations, pathological single-token repeats, double
+spaces, empty/sub-shingle docs, unicode + URL-ish tokens) and re-runs the
+full builder-vs-DuckDB harness on each corpus — the identical comparison
+the driver applies, but over corpora the sf tables never produce.
+
+Two queries get a THIRD, pure-Python engine on top of the DuckDB twin:
+- ngram_jaccard_pairs: brute-force shingle-set Jaccard over all pairs,
+  compared pair-for-pair and value-for-value (IEEE-exact — both engines
+  divide the same two int64s).
+- minhash_lsh_pairs: planted identical-text pairs MUST collide in all 4
+  bands (identical shingle sets ⇒ identical 8-hash signature), and no
+  reported pair may claim more shared bands than exist.
+
+Reference parity: the reference dedups via pandas drop_duplicates on
+exact text (BigDataBowl repo, data prep); the banded/bucketed family is
+the §2.11 extension surface SURVEY.md documents.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from tests.oracle_harness import run_all
+
+BASE_SF = "/root/testdata/sf0.001"
+
+# Every catalog query whose Spark builder and DuckDB oracle read ONLY the
+# documents table (verified by inspecting each oracle's FROM clauses).
+FUZZ_QUERIES = [
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_apply",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "simhash_hamming_pairs",
+    "prefix_filter_jaccard",
+    "containment_pairs",
+    "repeated_ngram_spans",
+    "dup_span_coverage",
+    "text_tokens_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "chunk_documents",
+    "m10_quality_logit",
+    "quality_percentile_filter",
+    "bpe_pair_counts",
+    "tfidf_topterms",
+]
+
+_UNICODE_TOKENS = ["héllo", "wörld", "a.b", "x,y!", "€42", "世界", "http://ex.com/p?q=1"]
+
+
+def _gen_corpus(seed: int, n_docs: int = 160) -> list[tuple]:
+    """Collision-pressure corpus: tiny vocab + planted dup structures."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(6, 24))]
+    vocab += rng.sample(_UNICODE_TOKENS, rng.randint(0, len(_UNICODE_TOKENS)))
+
+    def rand_doc() -> str:
+        # Weight the sub-shingle lengths (0-2 tokens) heavily: they exercise
+        # the empty-shingle-array paths of every banded pipeline.
+        n = rng.choice([0, 1, 2, 3] + [rng.randint(4, 40) for _ in range(4)])
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    texts: list[str] = []
+    while len(texts) < n_docs:
+        t = rand_doc()
+        texts.append(t)
+        r = rng.random()
+        if r < 0.15:
+            texts.append(t)  # exact duplicate
+        elif r < 0.30 and t:
+            toks = t.split(" ")  # near-dup: mutate one token
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            texts.append(" ".join(toks))
+        elif r < 0.35 and t:
+            toks = t.split(" ")  # same bag, different order
+            rng.shuffle(toks)
+            texts.append(" ".join(toks))
+        elif r < 0.40:
+            # pathological repetition: one distinct shingle, huge counts
+            texts.append(" ".join([rng.choice(vocab)] * rng.randint(3, 60)))
+        elif r < 0.45 and t:
+            # double space ⇒ empty token mid-stream (split keeps it in both
+            # engines; shingles then contain the empty token)
+            texts.append(t.replace(" ", "  ", 1))
+    texts = texts[:n_docs]
+    # guaranteed non-trivial identical pair for the LSH all-bands invariant
+    anchor = " ".join(rng.choice(vocab) for _ in range(12))
+    texts[-2], texts[-1] = anchor, anchor
+    return [
+        (i, t, rng.choice(["en", "de", "fr", "xx"]), rng.choice(["web", "wiki", "pdf"]), len(t))
+        for i, t in enumerate(texts)
+    ]
+
+
+def _write_sf_dir(tmp_path, rows) -> str:
+    """Synthetic sf_dir: fuzz documents.parquet + symlinks for the rest."""
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    from bigdatabowl_spark.sources.tables import TABLES
+
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{BASE_SF}/{name}.parquet", tmp_path / f"{name}.parquet")
+    return str(tmp_path)
+
+
+def _shingle_set(text: str, n: int = 3) -> frozenset:
+    toks = text.split(" ")
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_dedup_family_fuzz_matches_oracle(spark, tmp_path, seed):
+    rows = _gen_corpus(seed)
+    sf = _write_sf_dir(tmp_path, rows)
+    res = run_all(spark, sf, FUZZ_QUERIES)
+    assert set(res) == set(FUZZ_QUERIES)
+    failures = {k: v for k, v in res.items() if v}
+    assert not failures, f"seed {seed}: {failures}"
+
+
+@pytest.mark.parametrize("seed", [404])
+def test_ngram_jaccard_matches_pure_python(spark, tmp_path, seed):
+    """Third engine: brute-force Python shingle Jaccard, exact values."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = _gen_corpus(seed)
+    sf = _write_sf_dir(tmp_path, rows)
+    got = {
+        (r.doc1, r.doc2): (r.n_inter, r.n1, r.n2, r.jaccard)
+        for r in CATALOG["ngram_jaccard_pairs"].builder(spark, sf).collect()
+    }
+    want = {}
+    sets = {doc_id: _shingle_set(text) for doc_id, text, *_ in rows}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= 0.1:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]), inter / union)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [505])
+def test_minhash_lsh_band_invariants(spark, tmp_path, seed):
+    """Identical texts share the full signature ⇒ collide in all 4 bands;
+    shared-band counts are bounded by the band count for every pair."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = _gen_corpus(seed)
+    sf = _write_sf_dir(tmp_path, rows)
+    pairs = {
+        (r.doc1, r.doc2): r.n_shared_bands
+        for r in CATALOG["minhash_lsh_pairs"].builder(spark, sf).collect()
+    }
+    assert pairs, "collision-pressure corpus produced no LSH candidates"
+    assert all(1 <= n <= 4 for n in pairs.values()), pairs
+    # every identical-text pair with ≥1 shingle must collide in all 4 bands
+    by_text: dict[str, list[int]] = {}
+    for doc_id, text, *_ in rows:
+        if len(text.split(" ")) >= 3:
+            by_text.setdefault(text, []).append(doc_id)
+    planted = [
+        (a, b)
+        for ids in by_text.values()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    ]
+    assert planted, "corpus lost its planted identical pairs"
+    for a, b in planted:
+        assert pairs.get((a, b)) == 4, (a, b, pairs.get((a, b)))
