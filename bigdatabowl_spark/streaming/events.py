@@ -151,8 +151,8 @@ def sliding_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ST3,W1,A25",
     """
     WITH ordered AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
-               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                          OR LAG(epoch_us(ts)) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -160,7 +160,7 @@ def sliding_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts_us,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM ordered
     )
@@ -174,9 +174,16 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side: the built-in `session_window` (same operator Structured
     Streaming uses for stateful sessionization). Oracle side: the classic
     gaps-and-islands rewrite — lag → new-session flag → running sum →
-    group. Window start = first event time in both formulations; Spark's
-    session end is exclusive at last+gap, matching the `>= gap` island
-    boundary.
+    group. Window start = first event time in both formulations. Boundary
+    semantics (measured, and pinned by tests/test_events_fuzz.py's exact
+    whole-minute gap jumps): an event arriving EXACTLY gap after the last
+    MERGES into the session — Spark's merge test is start <= prev end, so
+    the matching island rule is strict `> gap`, NOT `>=` (the original
+    `>=` oracle split one session the operator merges; sf timestamps are
+    microsecond-random and can never land on the boundary, so only fuzzed
+    whole-minute data exposes it). The running sum must also tiebreak on
+    event_id like the lag window does, or same-microsecond rows could be
+    renumbered across sessions under an unlucky peer order.
 
     Reference analogue: event-ordered session boundaries (snap →
     pass_forward span, SURVEY §2.9 / J13).
