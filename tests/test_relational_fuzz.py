@@ -1,0 +1,178 @@
+"""Randomized cross-engine fuzz of the TPC-H-ish relational family.
+
+Completes the per-family data-fuzz sweep (documents → test_dedup_fuzz,
+embeddings → test_embed_fuzz, events → test_events_fuzz): regenerate
+customer/orders/lineitem with FK-consistent but adversarial structure —
+customers with ZERO orders (outer/anti-join paths), orders with ZERO
+lineitems, exact o_totalprice/l_extendedprice tie bombs (global and
+per-group top-N determinism), hot-key skew onto one customer and one
+nation, boundary dates (leap days, year edges), same-day ship/order
+dates, min-magnitude prices (0.01), zero discount/tax — and re-run all
+47 catalog queries whose footprint is within {customer, orders,
+lineitem, nation, region, supplier, part} through the builder-vs-DuckDB
+harness. Dimension tables stay symlinked to sf0.001 (their keys are the
+0..24 / 0..4 / 0..9 / 0..199 contract the generator honors).
+
+Schema/domain contract honored (TESTDATA.md): the generator emits the
+same name patterns ('Customer#%09d'), status/priority/segment/flag
+domains, round-2 money values, and whole-day-or-later shipdates the sf
+generator uses — the adversarial part is the SHAPE, not the schema.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle_harness import run_all
+
+BASE_SF = "/root/testdata/sf0.001"
+
+RELATIONAL_QUERIES = [
+    # customer-only
+    "f_strings_keys", "s1_csv_roundtrip", "blocking_pairs",
+    # lineitem-only
+    "a1_pricing_summary", "a10_quantiles", "a16_corr_moments",
+    "a19_calibration", "p5_null_handling", "p1_conjunctive_lookup",
+    "j6_rejoin_computed", "o4_deterministic_order", "o6_zorder_layout",
+    "s16_npy_datasource", "stream_npy_artifacts", "s17_npy_writer_roundtrip",
+    "s19_dpp_star_join", "zonemap_prune_stats", "mad_robust_stats",
+    "triangle_count", "pagerank_fixed", "pagerank_bucketed",
+    "a7c_sketch_certify", "pagerank_converge",
+    # orders-only
+    "w4_topk_per_group", "f12_time_parts", "p9_conditional_tiers",
+    "m1_tree_ensemble_score", "o5_deterministic_shuffle",
+    "s10_partitioned_resume", "s14_upsert_merge", "table_diff",
+    "m1b_forest_score", "m1c_forest_udf_score", "m1d_forest_compiled_score",
+    "m1e_dart_forest_score",
+    # multi-table
+    "a12_two_level_agg", "o2_global_topn", "j11_selfjoin_compare",
+    "j4_derived_scalar", "j5_derived_key_join", "u5_except_intersect",
+    "s3_multi_scan_union", "skew_salted_join", "bloom_semi_prune",
+    "dq_checks", "j1_broadcast_enrich", "u4_semi_anti", "j3_region_rollup",
+    "j14_label_join",
+]
+
+_STATUS = ["P", "O", "F"]
+_PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_SEG = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]
+_RF = ["A", "N", "R"]
+_LS = ["O", "F"]
+_BOUNDARY_DATES = [
+    dt.datetime(1996, 2, 29),
+    dt.datetime(2000, 2, 29),
+    dt.datetime(1999, 12, 31),
+    dt.datetime(2000, 1, 1),
+]
+
+
+def _money(rng, lo_cents: int = 1, hi_cents: int = 1_000_000) -> float:
+    return rng.randint(lo_cents, hi_cents) / 100.0
+
+
+def _gen_tables(seed: int):
+    rng = random.Random(seed)
+    n_c, n_o = 60, 420
+
+    cust = {
+        "c_custkey": list(range(n_c)),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_c)],
+        # nation skew: 70% of customers in nation 0
+        "c_nationkey": [0 if rng.random() < 0.7 else rng.randrange(25) for _ in range(n_c)],
+        # ties (planted equal balances), a zero, and negatives
+        "c_acctbal": [rng.choice([0.0, -500.0, 1234.56, _money(rng, -100000, 1000000)]) for _ in range(n_c)],
+        "c_mktsegment": [rng.choice(_SEG) for _ in range(n_c)],
+    }
+
+    # ~25% of customers get no orders at all (anti/outer-join fodder);
+    # one customer is white-hot (skew_salted_join's AQE/salting path)
+    with_orders = [c for c in range(n_c) if rng.random() < 0.75] or [0]
+    hot = rng.choice(with_orders)
+    tie_price = 5000.0  # global top-N tie bomb
+
+    orders = {k: [] for k in (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")}
+    for o in range(n_o):
+        orders["o_orderkey"].append(o)
+        orders["o_custkey"].append(hot if rng.random() < 0.4 else rng.choice(with_orders))
+        orders["o_orderstatus"].append(rng.choice(_STATUS))
+        orders["o_totalprice"].append(tie_price if rng.random() < 0.1 else _money(rng))
+        if rng.random() < 0.05:
+            d = rng.choice(_BOUNDARY_DATES)
+        else:
+            d = dt.datetime(1995, 1, 1) + dt.timedelta(days=rng.randrange(2400))
+        orders["o_orderdate"].append(d)
+        orders["o_orderpriority"].append(rng.choice(_PRIO))
+
+    line = {k: [] for k in (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate")}
+    for o in range(n_o):
+        n_lines = rng.choice([0, 0, 1, 2, 3, 4, 8])  # ~29% orders empty
+        for ln in range(1, n_lines + 1):
+            line["l_orderkey"].append(o)
+            line["l_partkey"].append(rng.randrange(200))
+            line["l_suppkey"].append(rng.randrange(10))
+            line["l_linenumber"].append(ln)
+            line["l_quantity"].append(float(rng.randint(1, 50)))
+            line["l_extendedprice"].append(
+                rng.choice([0.01, 777.77, _money(rng)])  # min-magnitude + tie bomb
+            )
+            line["l_discount"].append(rng.randint(0, 10) / 100.0)
+            line["l_tax"].append(rng.randint(0, 8) / 100.0)
+            line["l_returnflag"].append(rng.choice(_RF))
+            line["l_linestatus"].append(rng.choice(_LS))
+            line["l_shipdate"].append(
+                orders["o_orderdate"][o] + dt.timedelta(days=rng.choice([0, 1, 30, 122]))
+            )
+    return cust, orders, line
+
+
+_SCHEMAS = {
+    "customer": pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]),
+    "orders": pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ]),
+    "lineitem": pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]),
+}
+
+
+def _write_sf_dir(tmp_path, cust, orders, line) -> str:
+    for name, cols in (("customer", cust), ("orders", orders), ("lineitem", line)):
+        pq.write_table(pa.table(cols, schema=_SCHEMAS[name]), tmp_path / f"{name}.parquet")
+    from bigdatabowl_spark.sources.tables import TABLES
+
+    for name in TABLES:
+        if name not in ("customer", "orders", "lineitem"):
+            os.symlink(f"{BASE_SF}/{name}.parquet", tmp_path / f"{name}.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("seed", [2101, 2202, 2303])
+def test_relational_family_fuzz_matches_oracle(spark, tmp_path, seed):
+    cust, orders, line = _gen_tables(seed)
+    sf = _write_sf_dir(tmp_path, cust, orders, line)
+    res = run_all(spark, sf, RELATIONAL_QUERIES)
+    assert set(res) == set(RELATIONAL_QUERIES)
+    failures = {k: v for k, v in res.items() if v}
+    assert not failures, f"seed {seed}: {failures}"
