@@ -207,6 +207,53 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of session_windows_batch: readStream →
+    watermark → session_window aggregation, the stateful MERGING-window
+    operator (unlike tumbling/sliding, a session's extent is data-driven
+    state that grows as events arrive). Same gap, same output schema, so
+    tests can assert batch ≡ stream row-for-row.
+
+    Emission semantics (measured, tests/test_streaming.py): in APPEND
+    mode a session is emitted only once the watermark passes its end
+    (last event + gap), and the final watermark of a bounded run is
+    max_event_time − delay — it never reaches past the data — so any
+    session whose last event lies within (gap + delay) of the global max
+    stays in state, unflushed, at drain. That is correct unbounded-stream
+    semantics (the session could still grow), not a defect; a bounded
+    replay that must account for every event uses COMPLETE mode, which
+    re-emits all sessions each batch straight from the store. The twin
+    test asserts both: complete ≡ batch exactly, and append ≡ batch
+    minus precisely the watermark-open tail. Caller attaches a sink and
+    starts it.
+    """
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
+    )
+    return (
+        with_ts.withWatermark("event_time", "30 minutes")
+        .groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 @register(
     "stream_dedup",
     "ST5,DD1,P12,U2",

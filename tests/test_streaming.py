@@ -53,6 +53,85 @@ def test_stream_matches_batch(spark, sf_dir):
     assert all(r.window_start_us % WINDOW_US == 0 for r in win)
 
 
+def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful MERGING-window operator: streaming session_window under
+    a watermark must emit exactly the batch operator's sessions, row for
+    row — on sf data AND on fuzz data with exact whole-minute gap jumps
+    and tie bombs (the boundary class test_events_fuzz pinned on the batch
+    side: an event exactly gap after the last MERGES)."""
+    from bigdatabowl_spark.sources.tables import load_table
+    from bigdatabowl_spark.streaming.events import (
+        SESSION_GAP_US,
+        session_windows_batch,
+        session_windows_stream,
+    )
+    from tests.test_events_fuzz import _gen_events, _write_sf_dir
+
+    def run_twin(tag, data_dir, mode):
+        q = (
+            session_windows_stream(spark, data_dir)
+            .writeStream.format("memory")
+            .queryName(f"session_twin_{tag}")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.session_start_us, r.n_events)
+            for r in spark.sql(f"SELECT * FROM session_twin_{tag}").collect()
+        )
+
+    for tag, data_dir in (
+        ("sf", sf_dir),
+        ("fuzz", _write_sf_dir(tmp_path, _gen_events(777))),
+    ):
+        want = sorted(
+            (r.user_id, r.session_start_us, r.n_events)
+            for r in session_windows_batch(spark, data_dir).collect()
+        )
+        assert want, f"{tag}: no sessions produced"
+        got = run_twin(f"{tag}_complete", data_dir, "complete")
+        assert got == want, f"{tag}: complete-mode stream diverges from batch"
+
+    # Append mode emits exactly the sessions the final watermark closes:
+    # end (= last event + gap) <= max_ts - delay. Sessions whose last
+    # event falls within (gap + delay) of the global max stay in state —
+    # correct unbounded semantics, pinned here via a python islands
+    # replay that recomputes each session's last-event time. sf data
+    # only: its microsecond-random stamps can't tie the eviction
+    # boundary, so the <= vs < edge can't flap the assertion.
+    rows = sorted(
+        (r.user_id, r.ts_us, r.event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us", "event_id")
+        .collect()
+    )
+    max_ts = max(ts for _, ts, _ in rows)
+    sessions: dict[tuple, tuple] = {}  # (user, start) -> (n, last)
+    cur: dict[int, tuple] = {}  # user -> (start, n, last)
+    for user, ts, _eid in rows:
+        if user in cur and ts - cur[user][2] <= SESSION_GAP_US:
+            start, n, _ = cur[user]
+            cur[user] = (start, n + 1, ts)
+        else:
+            if user in cur:
+                start, n, last = cur[user]
+                sessions[(user, start)] = (n, last)
+            cur[user] = (ts, 1, ts)
+    for user, (start, n, last) in cur.items():
+        sessions[(user, start)] = (n, last)
+    delay_us = 1_800_000_000  # the twin's 30-minute watermark
+    expected_append = sorted(
+        (user, start, n)
+        for (user, start), (n, last) in sessions.items()
+        if last + SESSION_GAP_US <= max_ts - delay_us
+    )
+    got_append = run_twin("sf_append", sf_dir, "append")
+    assert got_append == expected_append, "append-mode watermark-closure set diverges"
+    assert len(got_append) < len(sessions), "tail session unexpectedly flushed"
+
+
 def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState running totals equal the batch aggregate
     after one availableNow pass."""
