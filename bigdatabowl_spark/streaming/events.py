@@ -207,7 +207,13 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def session_windows_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    stage: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Structured Streaming twin of session_windows_batch: readStream →
     watermark → session_window aggregation, the stateful MERGING-window
     operator (unlike tumbling/sliding, a session's extent is data-driven
@@ -226,17 +232,29 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     test asserts both: complete ≡ batch exactly, and append ≡ batch
     minus precisely the watermark-open tail. Caller attaches a sink and
     starts it.
+
+    `stage` points the source at a directory of *.parquet feed files
+    instead of sf_dir/events.parquet, and `max_files_per_trigger`
+    bounds each micro-batch — together they drive the CROSS-BATCH
+    session-merge path (a session whose events span micro-batches lives
+    in the state store between merges). A ts-sorted file split keeps
+    every later batch ahead of the earlier watermark, so no row is
+    late-dropped and the multibatch result must equal the batch one
+    (tests/test_streaming.py::test_session_multibatch_merge).
     """
     from bigdatabowl_spark.session import configure
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
     configure(spark)
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
+    src_dir = (stage or sf_dir).rstrip("/")
+    glob = "*.parquet" if stage else "events.parquet"
+    batch = spark.read.parquet(
+        src_dir if stage else f"{src_dir}/events.parquet"
     )
+    reader = spark.readStream.schema(batch.schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
     with_ts = stream.withColumn(
         "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
     )

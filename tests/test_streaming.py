@@ -132,6 +132,57 @@ def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got_append) < len(sessions), "tail session unexpectedly flushed"
 
 
+def test_session_multibatch_merge(spark, tmp_path):
+    """Cross-batch session merging: fuzz events split ts-sorted into 5
+    feed files, streamed one file per micro-batch. Sessions spanning file
+    boundaries live in the state store between merges; the sorted split
+    keeps every later batch ahead of the earlier watermark (no late
+    drops), so the final complete-mode result must equal the one-shot
+    batch operator exactly."""
+    import pandas as pd
+
+    from bigdatabowl_spark.streaming.events import (
+        session_windows_batch,
+        session_windows_stream,
+    )
+    from tests.test_events_fuzz import _gen_events, _write_sf_dir
+
+    data_dir = _write_sf_dir(tmp_path, _gen_events(888))
+    want = sorted(
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in session_windows_batch(spark, data_dir).collect()
+    )
+
+    stage = tmp_path / "session_feed"
+    stage.mkdir()
+    pdf = pd.read_parquet(f"{data_dir}/events.parquet").sort_values(
+        ["ts", "event_id"], ignore_index=True
+    )
+    n_files = 5
+    for i in range(n_files):
+        chunk = pdf.iloc[i * len(pdf) // n_files : (i + 1) * len(pdf) // n_files]
+        _atomic_write_parquet(chunk, stage / f"feed_{i:02d}.parquet")
+
+    q = (
+        session_windows_stream(
+            spark, data_dir, stage=str(stage), max_files_per_trigger=1
+        )
+        .writeStream.format("memory")
+        .queryName("session_multibatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    got = sorted(
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in spark.sql("SELECT * FROM session_multibatch").collect()
+    )
+    assert n_batches >= n_files, f"expected >= {n_files} data batches, got {n_batches}"
+    assert got == want, "multibatch session merge diverges from batch operator"
+
+
 def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState running totals equal the batch aggregate
     after one availableNow pass."""
