@@ -230,8 +230,15 @@ def session_windows_stream(
     replay that must account for every event uses COMPLETE mode, which
     re-emits all sessions each batch straight from the store. The twin
     test asserts both: complete ≡ batch exactly, and append ≡ batch
-    minus precisely the watermark-open tail. Caller attaches a sink and
-    starts it.
+    minus precisely the watermark-open tail. Late-data filtering uses a
+    watermark that LAGS one batch behind the displayed one (batch N
+    filters with the value computed after batch N-2): a technically-late
+    row can still be admitted and merged while state is unevicted, and
+    once the lagged watermark passes a session's end the filter drops
+    late rows — which is exactly what prevents an overlapping duplicate
+    session in append mode (both directions measured and pinned by
+    tests/test_streaming.py::test_session_late_data_drop_semantics).
+    Caller attaches a sink and starts it.
 
     `stage` points the source at a directory of *.parquet feed files
     instead of sf_dir/events.parquet, and `max_files_per_trigger`

@@ -183,6 +183,120 @@ def test_session_multibatch_merge(spark, tmp_path):
     assert got == want, "multibatch session merge diverges from batch operator"
 
 
+def _run_session_feed(spark, tmp_path, batches, name):
+    """Stage one file per batch (mtime-ordered) and run the session twin
+    append-mode to a memory sink. Returns (sorted rows, total rows dropped
+    by watermark across batches)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from bigdatabowl_spark.streaming.events import session_windows_stream
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string()),
+        ]
+    )
+    stage = tmp_path / f"feed_{name}"
+    stage.mkdir()
+    now = time.time()
+    eid = 0
+    for i, rows in enumerate(batches):
+        dest = str(stage / f"feed_{i:02d}.parquet")
+        pq_.write_table(
+            pa.table(
+                {
+                    "event_id": list(range(eid, eid + len(rows))),
+                    "ts": [r[0] for r in rows],
+                    "user_id": [r[1] for r in rows],
+                    "event_type": ["click"] * len(rows),
+                    "value": [1.0] * len(rows),
+                    "props": ['{"k": 1}'] * len(rows),
+                },
+                schema=schema,
+            ),
+            dest,
+        )
+        eid += len(rows)
+        os.utime(dest, (now - 100 + i, now - 100 + i))
+    q = (
+        session_windows_stream(
+            spark, str(tmp_path), stage=str(stage), max_files_per_trigger=1
+        )
+        .writeStream.format("memory")
+        .queryName(f"session_late_{name}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = sorted(
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in spark.sql(f"SELECT * FROM session_late_{name}").collect()
+    )
+    return rows, dropped
+
+
+def test_session_late_data_drop_semantics(spark, tmp_path):
+    """Pin the measured LATE-DROP rule for streaming session windows: the
+    watermark that FILTERS input lags one batch behind the one progress
+    displays (Spark's classic rule — batch N filters with the watermark
+    computed after batch N-2's data). Two handcrafted feeds, one file per
+    micro-batch, 30-min gap = 30-min delay:
+
+    LAG-ADMIT: [u1@10:00] [u5@13:00] [u1@10:05] [u7@23:00] — the 10:05
+    row is 'late' vs the displayed 12:30 watermark, but the filter
+    watermark during its batch is still 9:30, so it is ADMITTED and
+    merges into u1's still-unevicted session (eviction lags identically).
+    No rows dropped; no duplicate or overlapping session is ever emitted.
+
+    TRUE-DROP: [u1@10:00] [u5@13:00] [u6@14:00] [u1@10:05] [u7@23:00] —
+    one extra batch advances the filter watermark to 12:30 before the
+    late row arrives; its session end (10:35) is below that, so it is
+    DROPPED (numRowsDroppedByWatermark = 1) and u1's already-emitted
+    session stays at 1 event — the drop is what PREVENTS an overlapping
+    duplicate session in append mode.
+
+    Both feeds leave the sentinel u7 session (end 23:30 > final watermark
+    22:30) unflushed — the append-tail rule test_session_stream_matches_
+    batch pins on sf data."""
+    import datetime as dt
+
+    D = dt.datetime(2024, 1, 5)
+    t = lambda h, m: D + dt.timedelta(hours=h, minutes=m)  # noqa: E731
+    to_us = lambda d: int((d - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)  # noqa: E731
+
+    got, dropped = _run_session_feed(
+        spark, tmp_path,
+        [[(t(10, 0), 1)], [(t(13, 0), 5)], [(t(10, 5), 1)], [(t(23, 0), 7)]],
+        "lag_admit",
+    )
+    assert dropped == 0
+    assert got == sorted(
+        [(1, to_us(t(10, 0)), 2), (5, to_us(t(13, 0)), 1)]
+    ), f"lag-admit semantics changed: {got}"
+
+    got, dropped = _run_session_feed(
+        spark, tmp_path,
+        [[(t(10, 0), 1)], [(t(13, 0), 5)], [(t(14, 0), 6)],
+         [(t(10, 5), 1)], [(t(23, 0), 7)]],
+        "true_drop",
+    )
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+    assert got == sorted(
+        [(1, to_us(t(10, 0)), 1), (5, to_us(t(13, 0)), 1), (6, to_us(t(14, 0)), 1)]
+    ), f"true-drop semantics changed: {got}"
+
+
 def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState running totals equal the batch aggregate
     after one availableNow pass."""
