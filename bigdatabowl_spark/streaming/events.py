@@ -146,6 +146,44 @@ def sliding_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of sliding_counts_batch: readStream →
+    watermark → window(10 min, 5 min) agg. Completes the per-shape twin
+    set (tumbling / sliding / session): the batch query's explicit
+    explode-2-windows expansion must agree with the streaming operator's
+    internal one on every window (tests/test_streaming.py)."""
+    from bigdatabowl_spark.session import configure
+    from bigdatabowl_spark.sources.tables import epoch_us_col
+
+    configure(spark)
+    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
+    )
+    return (
+        with_ts.withWatermark("event_time", "30 minutes")
+        .groupBy(
+            F.window("event_time", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("window_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "window_value",
+        )
+    )
+
+
 @register(
     "stream_session_windows",
     "ST3,W1,A25",

@@ -132,6 +132,42 @@ def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got_append) < len(sessions), "tail session unexpectedly flushed"
 
 
+def test_sliding_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding-window twin: the streaming window(10m, 5m) operator must
+    reproduce the batch query's explicit explode-2-windows expansion
+    row-for-row — on sf data and on fuzz data with tie bombs and
+    whole-minute jumps (window-boundary-exact timestamps)."""
+    from bigdatabowl_spark.streaming.events import (
+        sliding_counts_batch,
+        sliding_counts_stream,
+    )
+    from tests.test_events_fuzz import _gen_events, _write_sf_dir
+
+    for tag, data_dir in (
+        ("sf", sf_dir),
+        ("fuzz", _write_sf_dir(tmp_path, _gen_events(999))),
+    ):
+        want = sorted(
+            (r.window_start_us, r.event_type, r.n, r.window_value)
+            for r in sliding_counts_batch(spark, data_dir).collect()
+        )
+        assert want, f"{tag}: no windows produced"
+        q = (
+            sliding_counts_stream(spark, data_dir)
+            .writeStream.format("memory")
+            .queryName(f"sliding_twin_{tag}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.window_start_us, r.event_type, r.n, r.window_value)
+            for r in spark.sql(f"SELECT * FROM sliding_twin_{tag}").collect()
+        )
+        assert got == want, f"{tag}: sliding stream diverges from batch"
+
+
 def test_session_multibatch_merge(spark, tmp_path):
     """Cross-batch session merging: fuzz events split ts-sorted into 5
     feed files, streamed one file per micro-batch. Sessions spanning file
