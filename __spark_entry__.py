@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # fixes need fresh green rows — stream_session_windows (oracle boundary
 # rule '>=' -> '>' + event_id tiebreak), the try_divide empty-doc quality
 # family (text_quality, m10_quality_logit, quality_percentile_filter),
-# the re-seeded fingerprint oracle (text_tokens_fingerprint), and the
+# the re-seeded fingerprint oracle (text_tokens_fingerprint), the
 # try_divide cosine family (embed_knn_brute, embed_ivf_knn,
-# dedup_embed_cosine, sim_recall_certify). Then (b) the re-verification
+# dedup_embed_cosine, sim_recall_certify), and unpivot_features
+# (try_divide tok_density). Then (b) the re-verification
 # queue VERDICT r8 item 1 asked to finish: the 6 r4-latest queries, the
 # full 30-query r5-latest tier (which already contains three of the
 # touched quality queries), and the first 5 of the r6-latest tier
@@ -51,12 +52,12 @@ _RUN_FIRST = (
     "stream_stateful_totals_eventtime_multibatch", "stream_stateful_totals",
     "stream_session_windows", "text_quality", "text_tokens_fingerprint",
     "embed_knn_brute", "embed_ivf_knn", "dedup_embed_cosine",
-    "sim_recall_certify",
+    "sim_recall_certify", "unpivot_features",
     # (b) r4-latest tier — catalog order
     "semantic_dedup", "dq_checks", "cms_heavyhitters",
     "stream_dedup", "stream_static_enrich", "stream_foreach_merge",
-    # (b) r5-latest tier — catalog order (all 30; m10_quality_logit,
-    # quality_percentile_filter, f_json_props are also touch-affected)
+    # (b) r5-latest tier — catalog order (all 30; m10_quality_logit and
+    # quality_percentile_filter are also touch-affected)
     "corpus_pipeline", "p11_masked_update", "p15_existence_guard",
     "j6_rejoin_computed", "j11_selfjoin_compare", "j14_label_join",
     "a27_axis_reduce", "o4_deterministic_order", "f13_flat_index",
@@ -67,10 +68,11 @@ _RUN_FIRST = (
     "tfidf_topterms", "chunk_documents", "quality_percentile_filter",
     "skew_salted_join", "pagerank_fixed", "pagerank_bucketed",
     "table_diff", "a7c_sketch_certify", "stream_interval_join",
-    # (b) r6-latest tier — catalog order (first 5 — cap is 50)
+    # (b) r6-latest tier — catalog order (first 4 — cap is 50)
     "a1_pricing_summary", "a12_two_level_agg", "j1_broadcast_enrich",
-    "j3_region_rollup", "j4_derived_scalar",
+    "j3_region_rollup",
     # ---- 50-query cap lands here; below is the documented queue (r10) ----
+    "j4_derived_scalar",
     "j5_derived_key_join", "a10_quantiles", "a16_corr_moments",
     "a19_calibration", "f_strings_keys", "f12_time_parts", "dedup_exact",
     "minhash_lsh_pairs", "dedup_clusters", "dedup_apply",

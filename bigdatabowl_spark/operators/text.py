@@ -50,18 +50,24 @@ def lang_id(text: Column) -> Column:
 
 
 def quality_select(text_col: str = "text") -> list[Column]:
-    """Column list of quality features (use in .select)."""
+    """Column list of quality features (use in .select) — the SINGLE
+    definition of the feature arithmetic: plans/datapipe.text_quality and
+    plans/corpus.m10_quality_logit both build from these columns, so a
+    feature tweak (or the next empty-doc-style fix) lands in every
+    consumer and its DuckDB oracle stays the one thing to mirror.
+
+    try_divide: punct_ratio is NULL for empty documents (n_chars = 0) —
+    DuckDB's double x/0 is NULL, and ANSI Spark would otherwise throw.
+    n_words is never 0 (split('') yields ['']), so the other ratios are
+    plain divisions. Integer features cast to long to match the oracles'
+    BIGINT casts in the driver's type-tagged hash."""
     txt = F.col(text_col)
     toks = tokens(txt)
-    n_words = F.size(toks)
-    n_chars = F.length(txt)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(txt).cast("long")
     punct_chars = n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))
     stop_hits = lang_hits(txt, "en")
     avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
-    # try_divide: punct_ratio is NULL for empty documents (n_chars = 0) —
-    # DuckDB's double x/0 is NULL, and ANSI Spark would otherwise throw.
-    # n_words is never 0 (split('') yields ['']), so the other ratios are
-    # plain divisions.
     return [
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),

@@ -243,29 +243,23 @@ def m10_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-row projection, zero shuffle; the model broadcast is a closure
     of four literals (the S4 ndarray-artifact pattern at its smallest).
     """
+    # Features come from the single quality_select definition (the same
+    # columns text_quality emits); the linear term reads the aliased
+    # columns, so the arithmetic — including the NULL punct_ratio of an
+    # empty document (try_divide ≡ DuckDB x/0), which NULLs z, the score,
+    # and keep_doc so empty docs never pass the filter in either engine —
+    # can only be changed in one place.
     docs = t(spark, sf_dir, "documents")
-    txt = F.col("text")
-    toks = tokens(txt)
-    n_words = F.size(toks).cast("double")
-    n_chars = F.length(txt)
-    awl = F.round((n_chars - (F.size(toks) - 1)).cast("double") / F.size(toks), 6)
-    # try_divide: an empty document has no defined punct ratio — NULL, like
-    # DuckDB's double x/0 — which NULLs z, the score, and keep_doc, so empty
-    # docs never pass the filter in either engine (ANSI Spark would throw).
-    punct = F.try_divide(
-        (n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))).cast("double"),
-        n_chars,
-    )
-    stop = text.lang_hits(txt, "en").cast("double") / F.size(toks)
+    feats = docs.select("doc_id", *text.quality_select())
     z = (
         F.lit(_LOGIT_B)
-        + F.lit(_LOGIT_W[0]) * n_words
-        + F.lit(_LOGIT_W[1]) * awl
-        + F.lit(_LOGIT_W[2]) * punct
-        + F.lit(_LOGIT_W[3]) * stop
+        + F.lit(_LOGIT_W[0]) * F.col("n_words").cast("double")
+        + F.lit(_LOGIT_W[1]) * F.col("avg_word_len")
+        + F.lit(_LOGIT_W[2]) * F.col("punct_ratio")
+        + F.lit(_LOGIT_W[3]) * F.col("stopword_ratio")
     )
     score = F.round(sigmoid(z), 6)
-    return docs.select(
+    return feats.select(
         "doc_id",
         score.alias("quality_score"),
         (score > 0.5).cast("long").alias("keep_doc"),
@@ -912,7 +906,9 @@ def unpivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_chars").cast("double").alias("len_chars"),
         n_tokens.alias("n_tokens"),
-        (n_tokens / F.col("n_chars").cast("double")).alias("tok_density"),
+        # try_divide: empty doc → NULL density (DuckDB x/0), skipped by the
+        # min/max/sum aggregates identically in both engines
+        F.try_divide(n_tokens, F.col("n_chars").cast("double")).alias("tok_density"),
     )
     long = feats.unpivot(
         ids=["doc_id"],

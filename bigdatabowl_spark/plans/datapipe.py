@@ -81,25 +81,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str):
 def text_quality(spark: SparkSession, sf_dir: str):
     """Quality scoring: length / punctuation / stopword ratios per document.
 
-    Empty documents (n_chars = 0) get a NULL punct_ratio via try_divide —
-    the same NULL DuckDB's double x/0 produces — instead of an ANSI
-    divide-by-zero error (caught by tests/test_dedup_fuzz.py's empty-doc
-    corpora). n_words is never 0: split('') yields [''].
+    Feature arithmetic lives in operators/text.quality_select — the one
+    definition m10_quality_logit also builds on. Empty documents
+    (n_chars = 0) get a NULL punct_ratio via try_divide — the same NULL
+    DuckDB's double x/0 produces — instead of an ANSI divide-by-zero
+    error (caught by tests/test_dedup_fuzz.py's empty-doc corpora).
     """
     docs = t(spark, sf_dir, "documents")
-    txt = F.col("text")
-    toks = text.tokens(txt)
-    n_words = F.size(toks).cast("long")
-    n_chars = F.length(txt).cast("long")
-    punct_chars = n_chars - F.length(F.regexp_replace(txt, r"[^a-zA-Z0-9 ]", ""))
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_words.alias("n_words"),
-        F.round((n_chars - (n_words - 1)).cast("double") / n_words, 6).alias("avg_word_len"),
-        F.try_divide(punct_chars.cast("double"), n_chars).alias("punct_ratio"),
-        (text.lang_hits(txt, "en").cast("double") / n_words).alias("stopword_ratio"),
-    )
+    return docs.select("doc_id", *text.quality_select())
 
 
 @register(

@@ -42,6 +42,32 @@ def _state_partitions(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+
+def _events_source(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    stage: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The one definition of the streaming events source: schema inferred
+    from a batch read, pathGlobFilter so the multi-table sf dir only feeds
+    events.parquet (or every *.parquet of a staged feed dir), optional
+    per-batch file cap. Ten call sites previously hand-copied this block;
+    a change to the source contract (glob rule, schema inference, a new
+    reader option) now lands everywhere at once. Deliberately does NOT
+    configure() the session or attach time columns — sites differ there
+    (the multibatch pipeline manages conf around _state_partitions, and
+    each consumer derives ts_us/event_time in its own documented way)."""
+    src = (stage or sf_dir).rstrip("/")
+    glob = "*.parquet" if stage else "events.parquet"
+    schema = spark.read.parquet(src if stage else f"{src}/events.parquet").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(src)
+
+
 @register(
     "stream_tumbling_counts",
     "ST1,A1,A18",
@@ -78,14 +104,7 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatabowl_spark.session import configure
 
     configure(spark)
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    # filter to the events file — the sf dir holds every table's parquet,
-    # and the file stream source would otherwise ingest them all
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
     with_ts = stream.withColumn(
@@ -156,12 +175,7 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
     configure(spark)
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     with_ts = stream.withColumn(
         "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
     )
@@ -291,15 +305,9 @@ def session_windows_stream(
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
     configure(spark)
-    src_dir = (stage or sf_dir).rstrip("/")
-    glob = "*.parquet" if stage else "events.parquet"
-    batch = spark.read.parquet(
-        src_dir if stage else f"{src_dir}/events.parquet"
+    stream = _events_source(
+        spark, sf_dir, stage=stage, max_files_per_trigger=max_files_per_trigger
     )
-    reader = spark.readStream.schema(batch.schema).option("pathGlobFilter", glob)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(src_dir)
     with_ts = stream.withColumn(
         "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
     )
@@ -340,12 +348,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     name = f"stream_dedup_{next(_STATEFUL_RUNS)}"
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     with_ts = stream.withColumn(
         "event_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
     )
@@ -402,14 +405,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     name = f"stream_ivjoin_{next(_STATEFUL_RUNS)}"
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-
     def _side(event_type: str, prefix: str) -> DataFrame:
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir.rstrip("/"))
-        )
+        stream = _events_source(spark, sf_dir)
         return (
             stream.withColumn(
                 f"{prefix}_time", F.timestamp_micros(epoch_us_col(stream, "ts"))
@@ -512,12 +509,7 @@ def stateful_user_totals(
     from bigdatabowl_spark.session import configure
 
     configure(spark)
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     return (
         stream.select("user_id", F.col("value").cast("double").alias("value"))
         .groupBy("user_id")
@@ -777,12 +769,7 @@ def stateful_user_totals_eventtime(
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
     configure(spark)
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     # withWatermark rejects TIMESTAMP_NTZ; timestamp_micros(ts_us) builds a
     # TIMESTAMP from the tz-independent epoch micros — an absolute instant,
     # never a session-zone reinterpretation of the NTZ wall clock. The
@@ -1116,13 +1103,7 @@ def start_multibatch_query(
 
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
-    batch = spark.read.parquet(stage)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
+    stream = _events_source(spark, stage, stage=stage, max_files_per_trigger=1)
     ts_us = epoch_us_col(stream, "ts")
     sdf = (
         stream.select(
@@ -1302,12 +1283,7 @@ def stateful_user_totals_tws(
     from bigdatabowl_spark.sources.tables import epoch_us_col
 
     configure(spark)
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     ts_us = epoch_us_col(stream, "ts")
     return (
         stream.select(
@@ -1409,12 +1385,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     name = f"stream_static_enrich_{next(_STATEFUL_RUNS)}"
-    batch = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
     dim = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
@@ -1532,12 +1503,7 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def state_dirs(below: int | None = None) -> list[tuple[int, str]]:
         return merge_state_dirs(state_root, below)
 
-    batch_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_source(spark, sf_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_keyed_batch(state_root, batch_df, batch_id)

@@ -33,8 +33,12 @@ from tests.oracle_harness import run_all
 
 BASE_SF = "/root/testdata/sf0.001"
 
-# Every catalog query whose Spark builder and DuckDB oracle read ONLY the
-# documents table (verified by inspecting each oracle's FROM clauses).
+# Every catalog query whose DuckDB oracle reads ONLY the documents table
+# (recomputed from the live CATALOG by the guard test below) — 44 total,
+# minus encode_tokens and ngram_lm_score, whose random-corpus data fuzz
+# already lives in tests/test_text_fuzz.py with vocab-regime-targeted
+# generators this file's generator doesn't replicate.
+TEXT_FUZZ_COVERED = {"encode_tokens", "ngram_lm_score"}
 FUZZ_QUERIES = [
     "dedup_exact",
     "dedup_incremental",
@@ -57,9 +61,56 @@ FUZZ_QUERIES = [
     "quality_percentile_filter",
     "bpe_pair_counts",
     "tfidf_topterms",
+    "o7_global_rank",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "split_assign",
+    "pack_sequences",
+    "decontaminate_ngram",
+    "corpus_pipeline",
+    "mixture_sample",
+    "mixture_temperature",
+    "token_topk",
+    "pii_redact",
+    "url_host_agg",
+    "rollup_hierarchy",
+    "unpivot_features",
+    "ntile_stratify",
+    "kmv_distinct_sketch",
+    "psi_drift",
+    "oov_rate",
+    "cms_heavyhitters",
 ]
 
-_UNICODE_TOKENS = ["héllo", "wörld", "a.b", "x,y!", "€42", "世界", "http://ex.com/p?q=1"]
+
+def test_fuzz_list_covers_every_documents_only_query():
+    """The exhaustiveness the list claims, recomputed from the CATALOG so
+    a new documents-only query can't silently miss the fuzz."""
+    import re
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    tables = (
+        "region|nation|customer|supplier|part|orders|lineitem|documents|"
+        "embeddings|events"
+    )
+    only_docs = {
+        n
+        for n, q in CATALOG.items()
+        if q.oracle
+        and set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle))
+        == {"documents"}
+    }
+    assert only_docs == set(FUZZ_QUERIES) | TEXT_FUZZ_COVERED
+
+_UNICODE_TOKENS = [
+    "héllo", "wörld", "a.b", "x,y!", "€42", "世界", "http://ex.com/p?q=1",
+    # PII-shaped tokens so the redaction query has real work to compare
+    "bob@example.com", "555-123-4567",
+]
 
 
 def _gen_corpus(seed: int, n_docs: int = 160) -> list[tuple]:

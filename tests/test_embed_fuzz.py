@@ -103,6 +103,28 @@ def _write_sf_dir(tmp_path, vecs, seed: int) -> str:
     return str(tmp_path)
 
 
+def test_fuzz_list_covers_every_embeddings_only_query():
+    """Exhaustiveness guard: every catalog oracle reading only the
+    embeddings table is in EMBED_QUERIES."""
+    import re
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    tables = (
+        "region|nation|customer|supplier|part|orders|lineitem|documents|"
+        "embeddings|events"
+    )
+    only_emb = {
+        n
+        for n, q in CATALOG.items()
+        if q.oracle
+        and set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle))
+        == {"embeddings"}
+    }
+    assert only_emb == set(EMBED_QUERIES)
+
+
 @pytest.mark.parametrize("seed,with_zero", [(11, False), (22, False), (33, False), (55, True)])
 def test_embed_family_fuzz_matches_oracle(spark, tmp_path, seed, with_zero):
     """with_zero plants an all-zero vector: its cosine is NULL in BOTH

@@ -60,6 +60,11 @@ STREAM_QUERIES = [
     "stream_foreach_merge",
 ]
 
+# events × customer — the one cross-family catalog query; runs with the
+# stream seed (random events against the symlinked sf customer dim) but
+# sits outside the events-only exhaustiveness guard by construction.
+CROSS_FAMILY_QUERIES = ["stream_static_enrich"]
+
 _TYPES = ["click", "view", "signup", "purchase", "error"]
 _EPOCH = dt.datetime(2024, 1, 1)
 
@@ -122,6 +127,28 @@ def _write_sf_dir(tmp_path, cols) -> str:
     return str(tmp_path)
 
 
+def test_fuzz_list_covers_every_events_only_query():
+    """Exhaustiveness guard: every catalog oracle reading only the events
+    table is in BATCH_QUERIES or STREAM_QUERIES."""
+    import re
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    tables = (
+        "region|nation|customer|supplier|part|orders|lineitem|documents|"
+        "embeddings|events"
+    )
+    only_ev = {
+        n
+        for n, q in CATALOG.items()
+        if q.oracle
+        and set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle))
+        == {"events"}
+    }
+    assert only_ev == set(BATCH_QUERIES) | set(STREAM_QUERIES)
+
+
 @pytest.mark.parametrize("seed", [1201, 1202, 1203])
 def test_events_family_fuzz_matches_oracle(spark, tmp_path, seed):
     sf = _write_sf_dir(tmp_path, _gen_events(seed))
@@ -133,8 +160,9 @@ def test_events_family_fuzz_matches_oracle(spark, tmp_path, seed):
 
 @pytest.mark.parametrize("seed", [1301])
 def test_events_stream_fuzz_matches_oracle(spark, tmp_path, seed):
+    names = STREAM_QUERIES + CROSS_FAMILY_QUERIES
     sf = _write_sf_dir(tmp_path, _gen_events(seed))
-    res = run_all(spark, sf, STREAM_QUERIES)
-    assert set(res) == set(STREAM_QUERIES)
+    res = run_all(spark, sf, names)
+    assert set(res) == set(names)
     failures = {k: v for k, v in res.items() if v}
     assert not failures, f"seed {seed}: {failures}"

@@ -8,8 +8,9 @@ lineitems, exact o_totalprice/l_extendedprice tie bombs (global and
 per-group top-N determinism), hot-key skew onto one customer and one
 nation, boundary dates (leap days, year edges), same-day ship/order
 dates, min-magnitude prices (0.01), zero discount/tax — and re-run all
-47 catalog queries whose footprint is within {customer, orders,
-lineitem, nation, region, supplier, part} through the builder-vs-DuckDB
+49 catalog queries whose footprint is within {customer, orders,
+lineitem, nation, region, supplier, part} (exhaustiveness recomputed
+from the live CATALOG by a guard test) through the builder-vs-DuckDB
 harness. Dimension tables stay symlinked to sf0.001 (their keys are the
 0..24 / 0..4 / 0..9 / 0..199 contract the generator honors).
 
@@ -166,6 +167,29 @@ def _write_sf_dir(tmp_path, cust, orders, line) -> str:
         if name not in ("customer", "orders", "lineitem"):
             os.symlink(f"{BASE_SF}/{name}.parquet", tmp_path / f"{name}.parquet")
     return str(tmp_path)
+
+
+def test_fuzz_list_covers_every_relational_query():
+    """Exhaustiveness guard: every catalog oracle whose footprint stays
+    within the TPC-H-ish tables is in RELATIONAL_QUERIES."""
+    import re
+
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rel = {"region", "nation", "customer", "supplier", "part", "orders", "lineitem"}
+    tables = (
+        "region|nation|customer|supplier|part|orders|lineitem|documents|"
+        "embeddings|events"
+    )
+    in_rel = {
+        n
+        for n, q in CATALOG.items()
+        if q.oracle
+        and (tabs := set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle)))
+        and tabs <= rel
+    }
+    assert in_rel == set(RELATIONAL_QUERIES)
 
 
 @pytest.mark.parametrize("seed", [2101, 2202, 2303])
