@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bigdatabowl_spark.streaming.events import tumbling_counts_batch, tumbling_counts_stream, WINDOW_US
 
@@ -168,13 +169,19 @@ def test_sliding_stream_matches_batch(spark, sf_dir, tmp_path):
         assert got == want, f"{tag}: sliding stream diverges from batch"
 
 
-def test_session_multibatch_merge(spark, tmp_path):
-    """Cross-batch session merging: fuzz events split ts-sorted into 5
-    feed files, streamed one file per micro-batch. Sessions spanning file
-    boundaries live in the state store between merges; the sorted split
-    keeps every later batch ahead of the earlier watermark (no late
-    drops), so the final complete-mode result must equal the one-shot
-    batch operator exactly."""
+@pytest.mark.parametrize(
+    "seed,n_files,rocksdb",
+    [(888, 5, False), (889, 3, True), (890, 7, False)],
+)
+def test_session_multibatch_merge(spark, tmp_path, seed, n_files, rocksdb):
+    """Cross-batch session merging: fuzz events split ts-sorted into
+    `n_files` feed files, streamed one file per micro-batch. Sessions
+    spanning file boundaries live in the state store between merges; the
+    sorted split keeps every later batch ahead of the earlier watermark
+    (no late drops), so the final complete-mode result must equal the
+    one-shot batch operator exactly — under the default heap provider AND
+    under RocksDB (the 100 TB state posture; session-merge state
+    semantics must be provider-independent)."""
     import pandas as pd
 
     from bigdatabowl_spark.streaming.events import (
@@ -183,7 +190,7 @@ def test_session_multibatch_merge(spark, tmp_path):
     )
     from tests.test_events_fuzz import _gen_events, _write_sf_dir
 
-    data_dir = _write_sf_dir(tmp_path, _gen_events(888))
+    data_dir = _write_sf_dir(tmp_path, _gen_events(seed))
     want = sorted(
         (r.user_id, r.session_start_us, r.n_events)
         for r in session_windows_batch(spark, data_dir).collect()
@@ -194,26 +201,40 @@ def test_session_multibatch_merge(spark, tmp_path):
     pdf = pd.read_parquet(f"{data_dir}/events.parquet").sort_values(
         ["ts", "event_id"], ignore_index=True
     )
-    n_files = 5
     for i in range(n_files):
         chunk = pdf.iloc[i * len(pdf) // n_files : (i + 1) * len(pdf) // n_files]
         _atomic_write_parquet(chunk, stage / f"feed_{i:02d}.parquet")
 
-    q = (
-        session_windows_stream(
-            spark, data_dir, stage=str(stage), max_files_per_trigger=1
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if rocksdb:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
         )
-        .writeStream.format("memory")
-        .queryName("session_multibatch")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    try:
+        q = (
+            session_windows_stream(
+                spark, data_dir, stage=str(stage), max_files_per_trigger=1
+            )
+            .writeStream.format("memory")
+            .queryName(f"session_multibatch_{seed}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if rocksdb:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     got = sorted(
         (r.user_id, r.session_start_us, r.n_events)
-        for r in spark.sql("SELECT * FROM session_multibatch").collect()
+        for r in spark.sql(f"SELECT * FROM session_multibatch_{seed}").collect()
     )
     assert n_batches >= n_files, f"expected >= {n_files} data batches, got {n_batches}"
     assert got == want, "multibatch session merge diverges from batch operator"
