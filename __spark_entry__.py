@@ -26,62 +26,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-9 driver-run ordering. The driver caps each round at 50 queries, so
-# emit first (a) this round's new + implementation-touched queries:
-# stream_stateful_totals_eventtime_multibatch is new (8 file-per-batch
-# micro-batches; mid-stream evict-then-readmit and per-key eviction counts
-# oracle-checked by unrolling the per-batch watermark schedule in SQL);
-# stream_stateful_totals' drain protocol now also requires unchanged
-# source endOffsets across the zero-input streak; and the fuzz-driven
-# fixes need fresh green rows — stream_session_windows (oracle boundary
-# rule '>=' -> '>' + event_id tiebreak), the try_divide empty-doc quality
-# family (text_quality, m10_quality_logit, quality_percentile_filter),
-# the re-seeded fingerprint oracle (text_tokens_fingerprint), the
-# try_divide cosine family (embed_knn_brute, embed_ivf_knn,
-# dedup_embed_cosine, sim_recall_certify), and unpivot_features
-# (try_divide tok_density). Then (b) the re-verification
-# queue VERDICT r8 item 1 asked to finish: the 6 r4-latest queries, the
-# full 30-query r5-latest tier (which already contains three of the
-# touched quality queries), and the first 5 of the r6-latest tier
-# (catalog order). Entries past position 50 are the documented queue for
-# round 10: the r6 remainder in catalog order, kernel chains interleaved
-# before the `*_readside` twins whose staged parquet their oracles read
-# (test_entry guards that ordering).
+# Round-10 driver-run ordering. The driver caps each round at 50 queries.
+# This window finishes the freshness rotation VERDICT r9 item 1 asked for:
+# (a) the full r6-latest tier — 21 direct oracle-checked queries in catalog
+# order, then the 8 kernel readside twins, each interleaved AFTER the
+# rows-only kernel chain whose builder stages the parquet its oracle reads
+# (test_entry guards that ordering; the 8 kernel queries consume slots as
+# no_oracle rows, so the tier fills 37 of the 50). The dedup trio
+# minhash_lsh_pairs / dedup_clusters / dedup_apply (DD3/6/7) sits in this
+# tier and is additionally fuzz-hardened this round through
+# test_dedup_fuzz's collision-pressure corpus (VERDICT r9 item 3).
+# (b) The remaining 13 slots start the r7-latest tier in catalog order.
+# After this round no oracle-checked query's latest driver-green row is
+# older than r7. Entries past position 50 are the documented queue for
+# round 11: the r7-tier remainder in catalog order.
 _RUN_FIRST = (
-    # (a) new + touched this round
-    "stream_stateful_totals_eventtime_multibatch", "stream_stateful_totals",
-    "stream_session_windows", "text_quality", "text_tokens_fingerprint",
-    "embed_knn_brute", "embed_ivf_knn", "dedup_embed_cosine",
-    "sim_recall_certify", "unpivot_features",
-    # (b) r4-latest tier — catalog order
-    "semantic_dedup", "dq_checks", "cms_heavyhitters",
-    "stream_dedup", "stream_static_enrich", "stream_foreach_merge",
-    # (b) r5-latest tier — catalog order (all 30; m10_quality_logit and
-    # quality_percentile_filter are also touch-affected)
-    "corpus_pipeline", "p11_masked_update", "p15_existence_guard",
-    "j6_rejoin_computed", "j11_selfjoin_compare", "j14_label_join",
-    "a27_axis_reduce", "o4_deterministic_order", "f13_flat_index",
-    "f14_meshgrid", "f15_xor_flags", "f17_dot_projection",
-    "s16_npy_datasource", "stream_npy_artifacts", "s17_npy_writer_roundtrip",
-    "text_repetition", "mixture_sample", "token_topk",
-    "f_json_props", "m10_quality_logit", "bpe_pair_counts",
-    "tfidf_topterms", "chunk_documents", "quality_percentile_filter",
-    "skew_salted_join", "pagerank_fixed", "pagerank_bucketed",
-    "table_diff", "a7c_sketch_certify", "stream_interval_join",
-    # (b) r6-latest tier — catalog order (first 4 — cap is 50)
-    "a1_pricing_summary", "a12_two_level_agg", "j1_broadcast_enrich",
-    "j3_region_rollup",
-    # ---- 50-query cap lands here; below is the documented queue (r10) ----
-    "j4_derived_scalar",
-    "j5_derived_key_join", "a10_quantiles", "a16_corr_moments",
-    "a19_calibration", "f_strings_keys", "f12_time_parts", "dedup_exact",
-    "minhash_lsh_pairs", "dedup_clusters", "dedup_apply",
-    "embed_lsh_buckets",
-    "multimodal_decode", "s18_compaction_roundtrip",
-    "s19_dpp_star_join", "m5_tuning_dataset", "stream_eppa_kernel",
-    "m4_prior_surface", "encode_tokens", "ngram_lm_score",
-    "f_variant_props",
-    # r6 readside twins, each behind the kernel chain that stages its bytes
+    # (a) r6-latest tier — direct-oracle queries, catalog order
+    "j4_derived_scalar", "j5_derived_key_join", "a10_quantiles",
+    "a16_corr_moments", "a19_calibration", "f_strings_keys",
+    "f12_time_parts", "dedup_exact", "minhash_lsh_pairs",
+    "dedup_clusters", "dedup_apply", "embed_lsh_buckets",
+    "multimodal_decode", "s18_compaction_roundtrip", "s19_dpp_star_join",
+    "m5_tuning_dataset", "stream_eppa_kernel", "m4_prior_surface",
+    "encode_tokens", "ngram_lm_score", "f_variant_props",
+    # (a) r6 readside twins, each behind the kernel chain that stages
+    # its bytes
     "eppa_field_surface", "eppa_surface_readside",
     "eppa_pass_summary", "eppa_pass_readside",
     "eppa_player_stats", "eppa_player_readside",
@@ -90,6 +59,27 @@ _RUN_FIRST = (
     "a20b_gamma_mle_fit", "a20b_mle_readside",
     "analytics_player_rankings", "rankings_readside",
     "analytics_throw_calibration", "calibration_readside",
+    # (b) r7-latest tier — first 13 in catalog order
+    "j7_event_span", "j13_range_join", "u4_semi_anti",
+    "u5_except_intersect", "w4_topk_per_group", "a26_argmax_per_group",
+    "o2_global_topn", "a7_distinct_counts", "a24_masked_pivot",
+    "a8_relative_freq", "a15_event_sets", "a18_histogram_2d",
+    "a25_cumulative",
+    # ---- 50-query cap lands here; below is the documented queue (r11):
+    # the r7-latest remainder in catalog order ----
+    "j15_asof_join", "j16_full_outer", "f_kinematics",
+    "p9_conditional_tiers", "a17_autocorr", "text_langid",
+    "ngram_jaccard_pairs", "simhash_docs", "multimodal_resize",
+    "multimodal_frame_sample", "multimodal_features",
+    "decontaminate_ngram", "kmeans_lloyd", "a20_gamma_moments_fit",
+    "a21_adaptive_window_fit", "a22_histogram_smooth",
+    "a23_group_product", "a28_weighted_expectation",
+    "j10_prior_weighted_rank", "m1_tree_ensemble_score",
+    "p5_null_handling", "o5_deterministic_shuffle",
+    "p1_conjunctive_lookup", "m7_grouped_matrix", "s1_csv_roundtrip",
+    "s10_partitioned_resume", "s13_error_channel",
+    "etl_normalize_tracking", "m1b_forest_score", "m1c_forest_udf_score",
+    "m1d_forest_compiled_score", "pagerank_converge",
 )
 
 

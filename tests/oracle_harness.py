@@ -19,6 +19,22 @@ import pandas as pd
 from bigdatabowl_spark.sources.tables import TABLES
 
 
+def oracle_tables(oracle_sql: str) -> set[str]:
+    """Base-table footprint of an oracle SQL string, for the fuzz files'
+    exhaustiveness guards: any whole-word occurrence of a base-table name
+    counts (ADVICE r9 — the earlier `(?:FROM|JOIN)\\s+name` form missed
+    comma-style joins `FROM a, b` and newline-separated table lists, which
+    would silently misclassify a future oracle and dodge its data fuzz).
+    Over-matching is the safe direction: a stray word match can only ADD a
+    table to the footprint, pushing the query out of a single-table family
+    and into the (manually curated) cross-family set, where the guard
+    assert fails loudly instead of skipping the query. Verified identical
+    to the old classification over the whole live catalog at switch time."""
+    import re
+
+    return {t for t in TABLES if re.search(rf"\b{t}\b", oracle_sql)}
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:

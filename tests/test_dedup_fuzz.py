@@ -1,7 +1,9 @@
 """Randomized cross-engine fuzz of the documents-only dedup/text family.
 
 The edge-oracle tests plant specific near-dup constructions; this file
-attacks the same 20 catalog queries with SEEDED RANDOM corpora built to
+attacks the whole documents-only catalog family (FUZZ_QUERIES — kept
+exhaustive against the live catalog by the guard test below, minus the
+two queries test_text_fuzz covers) with SEEDED RANDOM corpora built to
 maximize collision pressure (tiny vocabularies, exact-dup pairs, one-token
 mutations, token permutations, pathological single-token repeats, double
 spaces, empty/sub-shingle docs, unicode + URL-ish tokens) and re-runs the
@@ -88,21 +90,14 @@ FUZZ_QUERIES = [
 def test_fuzz_list_covers_every_documents_only_query():
     """The exhaustiveness the list claims, recomputed from the CATALOG so
     a new documents-only query can't silently miss the fuzz."""
-    import re
-
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
+    from tests.oracle_harness import oracle_tables
 
-    tables = (
-        "region|nation|customer|supplier|part|orders|lineitem|documents|"
-        "embeddings|events"
-    )
     only_docs = {
         n
         for n, q in CATALOG.items()
-        if q.oracle
-        and set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle))
-        == {"documents"}
+        if q.oracle and oracle_tables(q.oracle) == {"documents"}
     }
     assert only_docs == set(FUZZ_QUERIES) | TEXT_FUZZ_COVERED
 

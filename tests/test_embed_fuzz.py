@@ -106,21 +106,14 @@ def _write_sf_dir(tmp_path, vecs, seed: int) -> str:
 def test_fuzz_list_covers_every_embeddings_only_query():
     """Exhaustiveness guard: every catalog oracle reading only the
     embeddings table is in EMBED_QUERIES."""
-    import re
-
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
+    from tests.oracle_harness import oracle_tables
 
-    tables = (
-        "region|nation|customer|supplier|part|orders|lineitem|documents|"
-        "embeddings|events"
-    )
     only_emb = {
         n
         for n, q in CATALOG.items()
-        if q.oracle
-        and set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle))
-        == {"embeddings"}
+        if q.oracle and oracle_tables(q.oracle) == {"embeddings"}
     }
     assert only_emb == set(EMBED_QUERIES)
 

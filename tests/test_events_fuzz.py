@@ -130,21 +130,14 @@ def _write_sf_dir(tmp_path, cols) -> str:
 def test_fuzz_list_covers_every_events_only_query():
     """Exhaustiveness guard: every catalog oracle reading only the events
     table is in BATCH_QUERIES or STREAM_QUERIES."""
-    import re
-
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
+    from tests.oracle_harness import oracle_tables
 
-    tables = (
-        "region|nation|customer|supplier|part|orders|lineitem|documents|"
-        "embeddings|events"
-    )
     only_ev = {
         n
         for n, q in CATALOG.items()
-        if q.oracle
-        and set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle))
-        == {"events"}
+        if q.oracle and oracle_tables(q.oracle) == {"events"}
     }
     assert only_ev == set(BATCH_QUERIES) | set(STREAM_QUERIES)
 

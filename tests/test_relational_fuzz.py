@@ -172,21 +172,16 @@ def _write_sf_dir(tmp_path, cust, orders, line) -> str:
 def test_fuzz_list_covers_every_relational_query():
     """Exhaustiveness guard: every catalog oracle whose footprint stays
     within the TPC-H-ish tables is in RELATIONAL_QUERIES."""
-    import re
-
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
+    from tests.oracle_harness import oracle_tables
 
     rel = {"region", "nation", "customer", "supplier", "part", "orders", "lineitem"}
-    tables = (
-        "region|nation|customer|supplier|part|orders|lineitem|documents|"
-        "embeddings|events"
-    )
     in_rel = {
         n
         for n, q in CATALOG.items()
         if q.oracle
-        and (tabs := set(re.findall(rf"\b(?:FROM|JOIN)\s+({tables})\b", q.oracle)))
+        and (tabs := oracle_tables(q.oracle))
         and tabs <= rel
     }
     assert in_rel == set(RELATIONAL_QUERIES)
