@@ -621,6 +621,146 @@ def bench_text_scale(spark, n_docs: int = 1_000_000, toks_per_doc: int = 20):
     )
 
 
+def run_scale_legs(sf_dir: str, leg: str) -> dict:
+    """ONE of the bench's scale legs (eppa | pagerank | text | m6) in THIS
+    process's own fresh SparkSession — invoked as
+    `python bench.py --scale-legs <leg> <sf_dir>` by main() AFTER the
+    catalog sweep, one subprocess (one JVM) per leg.
+
+    Three rounds of evidence (VERDICT r9 item 2) showed the in-suite scale
+    numbers measured the ~190-query catalog sweep's accumulated JVM state
+    (broadcast/shuffle cleanup backlog + old-gen pressure: pagerank 124
+    CPU-s/superstep in-suite vs 15 isolated, bigram 13.1 s driver vs 3.8
+    isolated) — `_gc_sweep` only partially drained it. A fresh JVM per leg
+    is the structural fix: a first cut ran all four legs in ONE subprocess
+    with `_gc_sweep`s between them, and the eppa kernel's 411 CPU-s still
+    bled into pagerank (3.6 s/superstep vs the 2.2-2.4 isolated probe), so
+    each leg gets its own process — the legs measure the operators, not
+    each other's garbage, and the driver artifact no longer needs an
+    "idle" caveat. The ~5 s JVM start per leg sits OUTSIDE every timed
+    window. CPU stays paired per timed window inside `_timed_min` (the
+    sampler walks this subprocess's own tree)."""
+    from bigdatabowl_spark.session import get_spark
+    import bigdatabowl_spark.plans  # noqa: F401
+
+    spark = get_spark(f"bdb-bench-scale-{leg}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"load_start": round(os.getloadavg()[0], 2)}
+
+    if leg == "eppa":
+        eppa_sec, eppa_fps, eppa_cpu = bench_eppa_kernel(spark)
+        out.update(
+            eppa_kernel_play=eppa_sec,
+            eppa_frames_per_sec=eppa_fps,
+            eppa_kernel_play_cpu=eppa_cpu,
+        )
+        print(f"[bench:scale] eppa_kernel_play: {eppa_sec:.3f}s "
+              f"{eppa_fps:.1f} fps", file=sys.stderr, flush=True)
+    elif leg == "pagerank":
+        (
+            pr_graph_sec, pr_steps_sec, pr_step_sec, pr_graph_cpu,
+            pr_steps_cpu,
+        ) = bench_pagerank_scale(spark)
+        out.update(
+            pagerank_10m_graph_build=pr_graph_sec,
+            pagerank_10m_3_supersteps=pr_steps_sec,
+            pagerank_10m_sec_per_superstep=pr_step_sec,
+            pagerank_10m_graph_build_cpu=pr_graph_cpu,
+            pagerank_10m_3_supersteps_cpu=pr_steps_cpu,
+        )
+        print(f"[bench:scale] pagerank: build {pr_graph_sec:.3f}s, "
+              f"{pr_step_sec:.3f}s/superstep", file=sys.stderr, flush=True)
+    elif leg == "text":
+        enc_sec, bigram_sec, enc_tps, enc_cpu, bigram_cpu = bench_text_scale(
+            spark
+        )
+        out.update(
+            text_1m_encode=enc_sec,
+            text_1m_bigram_counts=bigram_sec,
+            text_1m_encode_tokens_per_sec=enc_tps,
+            text_1m_encode_cpu=enc_cpu,
+            text_1m_bigram_counts_cpu=bigram_cpu,
+        )
+        print(f"[bench:scale] text: encode {enc_sec:.3f}s "
+              f"({enc_tps:.0f} tok/s), bigram {bigram_sec:.3f}s",
+              file=sys.stderr, flush=True)
+    elif leg == "m6":
+        # M6 exactness-cost pair, isolated (VERDICT r9 item 6): the catalog
+        # row and the in-suite surrogate leg keep the steady-state numbers;
+        # these two give the suite-noise-free band so the hybrid
+        # objective's cost trends round-over-round without an "idle"
+        # caveat. Both objectives share one JVM: the hybrid's extra work
+        # over the surrogate is exactly the quantity the pair reports, and
+        # the surrogate runs FIRST so the pricier hybrid never shadows it.
+        from bigdatabowl_spark.kernels.defense import (
+            OptimizeConfig,
+            optimize_defense,
+        )
+        from bigdatabowl_spark.plans.eppa_queries import tracking_from_events
+
+        m6s_sec, m6s_cpu, _ = _timed_min(
+            lambda: optimize_defense(
+                tracking_from_events(spark, sf_dir),
+                cfg=OptimizeConfig(objective="surrogate"),
+            ).count()
+        )
+        m6_sec, m6_cpu, _ = _timed_min(
+            lambda: optimize_defense(
+                tracking_from_events(spark, sf_dir)
+            ).count()
+        )
+        out.update(
+            m6_sec_isolated=round(m6_sec, 3),
+            m6_cpu_isolated=round(m6_cpu, 3),
+            m6_surrogate_sec_isolated=round(m6s_sec, 3),
+            m6_surrogate_cpu_isolated=round(m6s_cpu, 3),
+        )
+        print(f"[bench:scale] m6 isolated: hybrid {m6_sec:.3f}s, "
+              f"surrogate {m6s_sec:.3f}s", file=sys.stderr, flush=True)
+    else:
+        raise ValueError(f"unknown scale leg: {leg!r}")
+    out["load_end"] = round(os.getloadavg()[0], 2)
+    spark.stop()
+    return out
+
+
+def _spawn_scale_legs(sf_dir: str) -> dict:
+    """Run each scale leg in its own child python (own JVM), sequentially;
+    each child's stderr streams through (progress lines), its stdout
+    carries one JSON line. Merged dict of all four legs' fields."""
+    import subprocess
+
+    merged: dict = {}
+    for leg in ("eppa", "pagerank", "text", "m6"):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--scale-legs",
+                leg,
+                sf_dir,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=None,  # inherit: progress lines stay visible
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"scale leg {leg!r} subprocess failed (exit {proc.returncode})"
+            )
+        # last non-empty stdout line is the JSON payload (Spark banners and
+        # the child's own prints all go to stderr, but stay defensive)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        payload = json.loads(lines[-1])
+        merged[f"load_{leg}"] = (
+            payload.pop("load_start"),
+            payload.pop("load_end"),
+        )
+        merged.update(payload)
+    return merged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -719,27 +859,50 @@ def main() -> None:
     cpu_secs["skew_join_aqe_split"] = aqe_cpu
     cpu_secs["skew_join_aqe_off_64map"] = aqe_off_cpu
     loads["after_skew"] = round(os.getloadavg()[0], 2)
-    _gc_sweep(spark)
-    eppa_sec, eppa_fps, eppa_cpu = bench_eppa_kernel(spark)
-    timings["eppa_kernel_play"] = eppa_sec
-    cpu_secs["eppa_kernel_play"] = eppa_cpu
+    # Scale legs in a FRESH subprocess/JVM (VERDICT r9 item 2): the
+    # in-suite runs measured the catalog sweep's accumulated JVM state
+    # (bigram 13.1 s driver vs 3.8 isolated; pagerank 124 vs 15
+    # CPU-s/superstep), which _gc_sweep only partially drained. The main
+    # session is STOPPED first so each child JVM has the machine to
+    # itself; the keys below keep their historical names, so
+    # round-over-round diffs hold — the semantic change (suite-state-free
+    # numbers) is called out in the `scale_legs_isolation` headline field.
+    # spark.stop() alone is NOT enough: it stops the SparkContext but the
+    # py4j-launched JVM process (24g heap, full catalog-sweep tenured set)
+    # lives until THIS python process exits — shutting the gateway down
+    # terminates it so the leg subprocesses don't share the box with a
+    # zombie heap (first r10 run: pagerank 5.8 s/superstep with the zombie
+    # vs 2.4 solo).
+    gateway = spark.sparkContext._gateway
+    spark.stop()
+    gateway.shutdown()
+    # shutdown() only closes the py4j connections — the spark-submit/java
+    # child keeps running until this python process exits; terminate it
+    # (SIGTERM → rc 143, verified) so its heap is actually released
+    if getattr(gateway, "proc", None) is not None:
+        gateway.proc.terminate()
+        try:
+            gateway.proc.wait(timeout=30)
+        except Exception:
+            gateway.proc.kill()
+    scale = _spawn_scale_legs(sf_dir)
+    for leg in ("eppa", "pagerank", "text", "m6"):
+        loads[f"scale_{leg}"] = scale.pop(f"load_{leg}")
+    for key in (
+        "eppa_kernel_play",
+        "pagerank_10m_graph_build",
+        "pagerank_10m_3_supersteps",
+        "text_1m_encode",
+        "text_1m_bigram_counts",
+    ):
+        timings[key] = scale[key]
+        cpu_secs[key] = scale[f"{key}_cpu"]
     cpu_secs["eppa_kernel_play_isolated"] = eppa_iso_cpu
-    loads["after_eppa"] = round(os.getloadavg()[0], 2)
-    _gc_sweep(spark)
-    (
-        pr_graph_sec, pr_steps_sec, pr_step_sec, pr_graph_cpu, pr_steps_cpu,
-    ) = bench_pagerank_scale(spark)
-    timings["pagerank_10m_graph_build"] = pr_graph_sec
-    timings["pagerank_10m_3_supersteps"] = pr_steps_sec
-    cpu_secs["pagerank_10m_graph_build"] = pr_graph_cpu
-    cpu_secs["pagerank_10m_3_supersteps"] = pr_steps_cpu
-    _gc_sweep(spark)  # pagerank checkpoints + JVM state would throttle text
-    loads["after_pagerank"] = round(os.getloadavg()[0], 2)
-    enc_sec, bigram_sec, enc_tps, enc_cpu, bigram_cpu = bench_text_scale(spark)
-    timings["text_1m_encode"] = enc_sec
-    timings["text_1m_bigram_counts"] = bigram_sec
-    cpu_secs["text_1m_encode"] = enc_cpu
-    cpu_secs["text_1m_bigram_counts"] = bigram_cpu
+    cpu_secs["m6_isolated"] = scale["m6_cpu_isolated"]
+    cpu_secs["m6_surrogate_isolated"] = scale["m6_surrogate_cpu_isolated"]
+    eppa_fps = scale["eppa_frames_per_sec"]
+    pr_step_sec = scale["pagerank_10m_sec_per_superstep"]
+    enc_tps = scale["text_1m_encode_tokens_per_sec"]
     loads["end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
 
@@ -758,6 +921,14 @@ def main() -> None:
         "pagerank_10m_sec_per_superstep": pr_step_sec,
         "pagerank_converge_rounds": pr_conv_rounds,
         "text_1m_encode_tokens_per_sec": enc_tps,
+        # isolated M6 pair (VERDICT r9 item 6) — suite-noise-free band for
+        # the hybrid objective's exactness cost; in-suite twins are the
+        # m6_optimize_defense catalog row + the surrogate leg above
+        "m6_sec_isolated": scale["m6_sec_isolated"],
+        "m6_surrogate_sec_isolated": scale["m6_surrogate_sec_isolated"],
+        # the five scale-leg timings come from a fresh subprocess/JVM
+        # spawned after the catalog sweep (VERDICT r9 item 2)
+        "scale_legs_isolation": "fresh JVM subprocess per leg after catalog",
         "sf": sf,
         # wall subtotals per family + the 12 slowest queries — the full
         # 180-query map lives in bench_full_r{N}.json, NOT here: the
@@ -816,8 +987,17 @@ def main() -> None:
     # was the progress stream glued onto this line)
     sys.stdout.write("\n")
     print(json.dumps(headline), flush=True)
-    spark.stop()
+    # spark was already stopped before the scale-leg subprocess spawned
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-legs":
+        _leg = sys.argv[2]
+        _sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        _payload = run_scale_legs(_sf_dir, _leg)
+        sys.stdout.write("\n")  # fresh line, same guard as main()'s JSON
+        print(json.dumps(_payload), flush=True)
+    else:
+        main()
