@@ -64,8 +64,23 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str):
     comb_model_big_run_cpu.py:17-20)."""
     c = t(spark, sf_dir, "customer")
     path = _scratch(sf_dir, "customer_tsv")
-    c.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
-    back = read_csv_schema(spark, path, c.schema, sep="\t")
+    # nullValue=\N: the delimited sink's default writes NULL as an empty
+    # field, which the scan cannot tell from an empty STRING — an explicit
+    # null token round-trips both (found by tests/test_sources_fuzz.py:
+    # COUNT(c_name) dropped empty-string names). multiLine on the read
+    # side parses the quoted embedded newlines the writer legitimately
+    # emits — at the cost of per-file (not per-split) parallelism, which
+    # is the standard CSV trade; newline-bearing exports belong in parquet.
+    (
+        c.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back = read_csv_schema(
+        spark, path, c.schema, sep="\t", nullValue="\\N", multiLine=True
+    )
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         dec_sum("c_acctbal").alias("total_acctbal"),
@@ -100,7 +115,12 @@ def s10_partitioned_resume(spark: SparkSession, sf_dir: str):
     write_partitioned(o, path, ["o_orderstatus"])
     remaining = resume_filter(o, spark, path, "o_orderstatus")
     n_resumed = remaining.count()  # all partitions exist → 0
-    back = with_provenance(spark.read.parquet(path))
+    # explicit schema: a ZERO-ROW partitioned write materializes no data
+    # files, and a schema-less read of the empty layout fails with
+    # UNABLE_TO_INFER_SCHEMA (found by tests/test_sources_fuzz.py); the
+    # declared schema also pins the partition column to its real type
+    # instead of path-string inference
+    back = with_provenance(spark.read.schema(o.schema).parquet(path))
     return (
         back.filter(F.col("source_file").isNotNull())
         .groupBy("o_orderstatus")
@@ -340,14 +360,18 @@ def _build_npy_artifacts(spark: SparkSession, sf_dir: str, name: str) -> str:
     files — the S4 contract."""
     import numpy as np
 
+    from bigdatabowl_spark.sources.npy_source import stem_encode
+
     out_dir = _scratch(sf_dir, name)
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):
         if f.endswith(".npy"):
             os.remove(os.path.join(out_dir, f))
+    # stem_encode: flag values are DATA — '/', '=', '', NULL must each
+    # stay one flat filename (the reader decodes the stem back)
     for row in _flag_stats(spark, sf_dir).collect():
         np.save(
-            os.path.join(out_dir, f"{row['l_returnflag']}.npy"),
+            os.path.join(out_dir, f"{stem_encode(row['l_returnflag'])}.npy"),
             np.array([row["revenue"], row["n_items"]], dtype=np.float64),
         )
     return out_dir
@@ -620,10 +644,12 @@ def s19_dpp_star_join(spark: SparkSession, sf_dir: str):
 
     li = t(spark, sf_dir, "lineitem")
     fact_dir = _scratch(sf_dir, "s19_fact_by_flag")
-    li.select("l_returnflag", "l_orderkey", "l_extendedprice").write.mode(
-        "overwrite"
-    ).partitionBy("l_returnflag").parquet(fact_dir)
-    fact = spark.read.parquet(fact_dir)
+    proj = li.select("l_returnflag", "l_orderkey", "l_extendedprice")
+    proj.write.mode("overwrite").partitionBy("l_returnflag").parquet(fact_dir)
+    # explicit schema: a zero-row partitioned layout has no data files to
+    # infer from, and the partition column stays string-typed by
+    # declaration (found by tests/test_sources_fuzz.py)
+    fact = spark.read.schema(proj.schema).parquet(fact_dir)
     dim = spark.createDataFrame(
         [("A", "archive"), ("N", "live"), ("R", "archive")],
         "l_returnflag string, flag_class string",

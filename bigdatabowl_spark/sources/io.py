@@ -49,10 +49,33 @@ def with_provenance(df: DataFrame) -> DataFrame:
     )
 
 
+# Hive-layout directory name for a NULL partition value. An EMPTY-STRING
+# value writes the SAME directory (verified against Spark 4.1) and reads
+# back as NULL — silent data corruption — so write_partitioned refuses it.
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
     """S10: partitioned columnar sink (per-play pickle dirs →
     partitionBy parquet; play_eppa_cpu.py:670-677). Dynamic partition
-    overwrite keeps re-runs idempotent per partition (S12)."""
+    overwrite keeps re-runs idempotent per partition (S12).
+
+    NULL partition values are fine (hive default-partition dir, round-trips
+    as NULL); EMPTY-STRING values are REFUSED — Spark writes them into the
+    same default-partition dir, so they'd silently read back as NULL (found
+    by tests/test_sources_fuzz.py). The guard is one column-pruned count on
+    the partition columns — noise next to the write it protects."""
+    empty_pred = F.lit(False)
+    for c in partition_cols:
+        empty_pred = empty_pred | (F.col(c).cast("string") == "")
+    n_empty = df.filter(empty_pred).count()
+    if n_empty:
+        raise ValueError(
+            f"write_partitioned: {n_empty} rows carry an EMPTY-STRING value "
+            f"in partition column(s) {partition_cols} — hive-style layouts "
+            "cannot represent '' distinct from NULL (both map to "
+            f"{NULL_PARTITION}); map '' to a sentinel before partitioning"
+        )
     (
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
@@ -62,24 +85,45 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
 
 
 def existing_partitions(spark: SparkSession, path: str, key: str) -> list[str]:
-    """S12: enumerate already-materialized partition values (the reference's
-    os.path.exists play-skip, comb_model_big_run_cpu.py:31-33)."""
+    """S12: enumerate already-materialized partition VALUES (the
+    reference's os.path.exists play-skip, comb_model_big_run_cpu.py:31-33).
+
+    Directory names are Spark-escaped (%XX for '=', '/', '%', control
+    chars — verified: 'a=b' → 'a%3Db'); unquote restores the value so the
+    comparison in resume_filter happens in VALUE space, not path space
+    (raw names made resume_filter re-write every special-charactered
+    partition forever — found by tests/test_sources_fuzz.py). A NULL
+    partition surfaces as the NULL_PARTITION marker string."""
+    from urllib.parse import unquote
+
     if not os.path.exists(path):
         return []
-    return [
-        d.split("=", 1)[1]
-        for d in os.listdir(path)
-        if d.startswith(f"{key}=") and not d.startswith("_")
-    ]
+    vals = []
+    for d in os.listdir(path):
+        if d.startswith(f"{key}=") and not d.startswith("_"):
+            raw = d.split("=", 1)[1]
+            vals.append(raw if raw == NULL_PARTITION else unquote(raw))
+    return vals
 
 
 def resume_filter(df: DataFrame, spark: SparkSession, path: str, key: str) -> DataFrame:
     """S12: drop rows whose partition already exists at the sink — combined
-    with write_partitioned this gives restartable long jobs."""
+    with write_partitioned this gives restartable long jobs.
+
+    Null-aware: rows with a NULL key are remaining only while the default
+    partition is missing (the old `~isin(done)` silently dropped them from
+    `remaining` FOREVER — a null-keyed partition could never resume)."""
     done = existing_partitions(spark, path, key)
     if not done:
         return df
-    return df.filter(~F.col(key).cast("string").isin(done))
+    null_done = NULL_PARTITION in done
+    values_done = [d for d in done if d != NULL_PARTITION]
+    k = F.col(key).cast("string")
+    keep_nonnull = k.isNotNull() & (
+        ~k.isin(values_done) if values_done else F.lit(True)
+    )
+    keep_null = k.isNull() & F.lit(not null_done)
+    return df.filter(keep_nonnull | keep_null)
 
 
 def split_error_channel(df: DataFrame, status_col: str = "status") -> tuple[DataFrame, DataFrame]:

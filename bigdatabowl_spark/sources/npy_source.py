@@ -25,6 +25,45 @@ from pyspark.sql.datasource import (
 )
 
 
+def stem_encode(value) -> str:
+    """Filename-safe artifact stem for an arbitrary key value.
+
+    Percent-encodes everything outside the URL-safe set (so '/', '=',
+    control chars, unicode all become %XX and one value is always one flat
+    filename), with two extra rules the plain quote() misses:
+    - NULL → '%N' — unreachable by encoding ('%' in quote output is always
+      followed by two hex digits, and 'N ' is not a hex pair), so no
+      string value can collide with the null marker;
+    - the EMPTY STRING → '%E' (same unreachability: '%' + one non-hex-pair
+      char) — its bare encoding would name the artifact '.npy', a dotfile;
+    - a LEADING '.' is re-encoded as '%2E' — quote() never touches '.',
+      but a '.'-leading stem would collide with the reader/writer dotfile
+      staging convention. Found by tests/test_sources_fuzz.py: a '/' in a
+      l_returnflag value pointed np.save at a subdirectory, and the ''
+      flag's artifact vanished behind the dotfile-stage skip."""
+    from urllib.parse import quote
+
+    if value is None:
+        return "%N"
+    enc = quote(str(value), safe="")
+    if enc == "":
+        return "%E"
+    if enc.startswith("."):
+        enc = "%2E" + enc[1:]
+    return enc
+
+
+def stem_decode(stem: str):
+    """Inverse of stem_encode ('%N' → None, '%E' → '')."""
+    from urllib.parse import unquote
+
+    if stem == "%N":
+        return None
+    if stem == "%E":
+        return ""
+    return unquote(stem)
+
+
 class NpyArtifactReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -47,8 +86,9 @@ class NpyArtifactReader(DataSourceReader):
             return
         arr = np.load(partition.value)
         stem = os.path.basename(partition.value)[: -len(".npy")]
+        key = stem_decode(stem)
         for i, v in enumerate(arr.ravel()):
-            yield (stem, i, float(v))
+            yield (key, i, float(v))
 
 
 class NpyArtifactDataSource(DataSource):
@@ -131,8 +171,8 @@ class NpyArtifactStreamReader(SimpleDataSourceStreamReader):
         out = []
         for f in names:
             arr = np.load(os.path.join(self.path, f))
-            stem = f[: -len(".npy")]
-            out.extend((stem, i, float(v)) for i, v in enumerate(arr.ravel()))
+            key = stem_decode(f[: -len(".npy")])
+            out.extend((key, i, float(v)) for i, v in enumerate(arr.ravel()))
         return out
 
     def read(self, start):
@@ -210,8 +250,12 @@ class NpyArtifactWriter(DataSourceWriter):
 
         tid = TaskContext.get().taskAttemptId()
         groups: dict = {}
+        # group by the ENCODED stem: everything downstream — tmp names,
+        # commit messages, final filenames, the overwrite sweep's listdir
+        # comparison — then lives in filename space consistently, and
+        # arbitrary key values (None, '/', '', unicode) stay one flat file
         for r in rows:
-            groups.setdefault(r[0], []).append((r[1], r[2]))
+            groups.setdefault(stem_encode(r[0]), []).append((r[1], r[2]))
         staged = []
         for stem, vals in groups.items():
             arr = np.array([v for _, v in sorted(vals)], dtype=np.float64)

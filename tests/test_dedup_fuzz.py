@@ -10,13 +10,18 @@ spaces, empty/sub-shingle docs, unicode + URL-ish tokens) and re-runs the
 full builder-vs-DuckDB harness on each corpus — the identical comparison
 the driver applies, but over corpora the sf tables never produce.
 
-Two queries get a THIRD, pure-Python engine on top of the DuckDB twin:
+The banded family gets a THIRD, pure-Python engine on top of the DuckDB
+twin:
 - ngram_jaccard_pairs: brute-force shingle-set Jaccard over all pairs,
   compared pair-for-pair and value-for-value (IEEE-exact — both engines
   divide the same two int64s).
 - minhash_lsh_pairs: planted identical-text pairs MUST collide in all 4
-  bands (identical shingle sets ⇒ identical 8-hash signature), and no
-  reported pair may claim more shared bands than exist.
+  bands (identical shingle sets ⇒ identical 8-hash signature), no
+  reported pair may claim more shared bands than exist, AND the full
+  candidate set — every pair with its shared-band count — equals a
+  from-scratch Python MinHash+banding replica's (_py_band_candidates).
+- dedup_clusters: union-find over the replica's candidate pairs must
+  reproduce the Spark hash-min components (id, size, canonical flag).
 
 Reference parity: the reference dedups via pandas drop_duplicates on
 exact text (BigDataBowl repo, data prep); the banded/bucketed family is
@@ -236,3 +241,102 @@ def test_minhash_lsh_band_invariants(spark, tmp_path, seed):
     assert planted, "corpus lost its planted identical pairs"
     for a, b in planted:
         assert pairs.get((a, b)) == 4, (a, b, pairs.get((a, b)))
+
+
+def _py_band_candidates(rows, n: int = 3, num_hashes: int = 8,
+                        band_size: int = 2) -> dict:
+    """Full pure-Python replica of the MinHash→LSH candidate pipeline
+    (operators/dedup.py: md5_long → sig_i = min((2i+1)·h + 97i+13 mod
+    2^31−1) → 4 bands × 2 rows): {(doc1, doc2): n_shared_bands} over ALL
+    band collisions. A THIRD engine at the candidate level — the DuckDB
+    twin shares the banding SQL shape with nobody here, and this replica
+    shares nothing with either, so agreement of all three pins the band
+    math itself, not just the final projection (VERDICT r9 item 3)."""
+    import hashlib
+    from collections import Counter
+
+    prime = 2_147_483_647
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, text, *_ in rows:
+        toks = text.split(" ")
+        sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if not sh:
+            continue  # <n tokens: no signature, matching both engines
+        hs = [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh]
+        sig = [
+            min(((2 * i + 1) * h + (97 * i + 13)) % prime for h in hs)
+            for i in range(num_hashes)
+        ]
+        for b in range(num_hashes // band_size):
+            key = (b, "_".join(str(sig[b * band_size + j]) for j in range(band_size)))
+            buckets.setdefault(key, []).append(doc_id)
+    cnt: Counter = Counter()
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cnt[(a, b)] += 1
+    return dict(cnt)
+
+
+@pytest.mark.parametrize("seed", [606, 707])
+def test_lsh_band_candidates_match_pure_python(spark, tmp_path, seed):
+    """DD3: the Spark banded candidate set — pairs AND shared-band counts —
+    equals the pure-Python replica's on the collision-pressure mutation
+    corpus (exact dups, one-token mutations, permutations, empty/short
+    docs). Any banding bug (hash, permutation constants, band packing,
+    bucket join) breaks this exactly."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = _gen_corpus(seed)
+    sf = _write_sf_dir(tmp_path, rows)
+    got = {
+        (r.doc1, r.doc2): r.n_shared_bands
+        for r in CATALOG["minhash_lsh_pairs"].builder(spark, sf).collect()
+    }
+    want = _py_band_candidates(rows)
+    assert want, "mutation corpus produced no band collisions"
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [606])
+def test_dedup_clusters_match_pure_python(spark, tmp_path, seed):
+    """DD6/DD7: union-find over the Python-replica candidate pairs yields
+    the same (cluster_id, cluster_size, is_canonical) per doc as the Spark
+    hash-min label propagation — the banded edge set and the component
+    labels certified by a third engine end-to-end."""
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    rows = _gen_corpus(seed)
+    sf = _write_sf_dir(tmp_path, rows)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = _py_band_candidates(rows)
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {x: find(x) for x in parent}
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    want = {
+        x: (c, sizes[c], x == c) for x, c in comp.items()
+    }
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in CATALOG["dedup_clusters"].builder(spark, sf).collect()
+    }
+    assert want, "mutation corpus produced no clusters"
+    assert got == want
