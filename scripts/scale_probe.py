@@ -269,18 +269,29 @@ def probe_stream(spark) -> dict:
         progress = list(q.recentProgress)
         n_batches = len(progress)
         peak_rows = peak_bytes = final_rows = final_bytes = 0
+        # per-batch series (VERDICT r9 item 4): RocksDB compaction is the
+        # thing that bends at 100× — if sec/batch CLIMBS as state rows
+        # accumulate across batches, state-store maintenance is intruding
+        # on the processing path; flat = amortized
+        batch_sec: list[float] = []
+        batch_state_rows: list[int] = []
         for p in progress:
+            dur = p.get("durationMs") or {}
+            batch_sec.append(round(dur.get("triggerExecution", 0) / 1000.0, 3))
             ops = p.get("stateOperators") or []
             if ops:
                 final_rows = ops[0].get("numRowsTotal", 0)
                 final_bytes = ops[0].get("memoryUsedBytes", 0)
                 peak_rows = max(peak_rows, final_rows)
                 peak_bytes = max(peak_bytes, final_bytes)
+            batch_state_rows.append(final_rows)
         n_out = spark.table(name).count()
         return {
             "sec": round(wall, 3),
             "n_batches": n_batches,
             "sec_per_batch": round(wall / max(n_batches, 1), 3),
+            "batch_sec": batch_sec,
+            "batch_state_rows": batch_state_rows,
             "state_rows_peak": peak_rows,
             "state_bytes_peak": peak_bytes,
             "state_rows_final": final_rows,
@@ -290,12 +301,33 @@ def probe_stream(spark) -> dict:
 
     s1 = _stage_stream_events(spark, "stream_x1", 100_000, 2_000)
     s10 = _stage_stream_events(spark, "stream_x10", 1_000_000, 20_000)
+    s100 = _stage_stream_events(spark, "stream_x100", 10_000_000, 200_000)
     r1 = min((run(s1) for _ in range(2)), key=lambda r: r["sec"])
     r10 = min((run(s10) for _ in range(2)), key=lambda r: r["sec"])
+    # the 10M-row/200k-key point runs ONCE: it exists to pin the fitted
+    # exponent's third point and the state-growth-vs-batch-time series,
+    # and a second pass would double a multi-minute leg for a number the
+    # batch_sec series already cross-checks internally
+    r100 = run(s100)
     _release_persistent_rdds(spark)
     r1["knob"] = "100k rows / 2k keys, 8 file-batches"
     r10["knob"] = "1M rows / 20k keys, 8 file-batches"
-    return {"small": r1, "large": r10}
+    r100["knob"] = "10M rows / 200k keys, 8 file-batches"
+    # 3-point least-squares exponent over log(sec) vs log(scale): the
+    # 1×/10× pair feeds main()'s generic `exponent` field unchanged;
+    # exponent_3pt is the sturdier fit the 100× point buys
+    xs = [math.log(s) for s in (1.0, 10.0, 100.0)]
+    ys = [math.log(max(r["sec"], 1e-9)) for r in (r1, r10, r100)]
+    xbar, ybar = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    return {
+        "small": r1,
+        "large": r10,
+        "xlarge": r100,
+        "exponent_3pt": round(slope, 3),
+    }
 
 
 def main() -> None:
