@@ -36,7 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # minhash_lsh_pairs / dedup_clusters / dedup_apply (DD3/6/7) sits in this
 # tier and is additionally fuzz-hardened this round through
 # test_dedup_fuzz's collision-pressure corpus (VERDICT r9 item 3).
-# (b) The remaining 13 slots start the r7-latest tier in catalog order.
+# (b) The five queries whose BUILDERS the round-10 sources-layout fuzz
+# changed (s1 null-token CSV round trip, s10 value-space resume +
+# schema'd read-back, the s16/stream_npy/s17 stem-codec artifact family)
+# get fresh driver rows; s19/s18, also touched, already sit in tier (a).
+# (c) The remaining 8 slots start the r7-latest tier in catalog order.
 # After this round no oracle-checked query's latest driver-green row is
 # older than r7. Entries past position 50 are the documented queue for
 # round 11: the r7-tier remainder in catalog order.
@@ -59,14 +63,17 @@ _RUN_FIRST = (
     "a20b_gamma_mle_fit", "a20b_mle_readside",
     "analytics_player_rankings", "rankings_readside",
     "analytics_throw_calibration", "calibration_readside",
-    # (b) r7-latest tier — first 13 in catalog order
+    # (b) builders changed by the r10 sources-layout fuzz fixes
+    "s1_csv_roundtrip", "s10_partitioned_resume", "s16_npy_datasource",
+    "stream_npy_artifacts", "s17_npy_writer_roundtrip",
+    # (c) r7-latest tier — first 8 in catalog order
     "j7_event_span", "j13_range_join", "u4_semi_anti",
     "u5_except_intersect", "w4_topk_per_group", "a26_argmax_per_group",
-    "o2_global_topn", "a7_distinct_counts", "a24_masked_pivot",
-    "a8_relative_freq", "a15_event_sets", "a18_histogram_2d",
-    "a25_cumulative",
+    "o2_global_topn", "a7_distinct_counts",
     # ---- 50-query cap lands here; below is the documented queue (r11):
     # the r7-latest remainder in catalog order ----
+    "a24_masked_pivot", "a8_relative_freq", "a15_event_sets",
+    "a18_histogram_2d", "a25_cumulative",
     "j15_asof_join", "j16_full_outer", "f_kinematics",
     "p9_conditional_tiers", "a17_autocorr", "text_langid",
     "ngram_jaccard_pairs", "simhash_docs", "multimodal_resize",
@@ -76,8 +83,7 @@ _RUN_FIRST = (
     "a23_group_product", "a28_weighted_expectation",
     "j10_prior_weighted_rank", "m1_tree_ensemble_score",
     "p5_null_handling", "o5_deterministic_shuffle",
-    "p1_conjunctive_lookup", "m7_grouped_matrix", "s1_csv_roundtrip",
-    "s10_partitioned_resume", "s13_error_channel",
+    "p1_conjunctive_lookup", "m7_grouped_matrix", "s13_error_channel",
     "etl_normalize_tracking", "m1b_forest_score", "m1c_forest_udf_score",
     "m1d_forest_compiled_score", "pagerank_converge",
 )
