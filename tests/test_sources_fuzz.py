@@ -370,3 +370,30 @@ def test_write_partitioned_refuses_empty_string_key(spark, tmp_path):
     assert sorted(((r.k, r.v) for r in back.collect()), key=str) == sorted(
         [(None, 2), ("A", 1), ("a=b", 3)], key=str
     )
+
+
+def test_stem_codec_roundtrip_properties():
+    """Property check (no Spark): for arbitrary key values the stem codec
+    round-trips exactly, never emits a path separator or a dotfile-
+    colliding leading '.', and is injective over the tried values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdatabowl_spark.sources.npy_source import stem_decode, stem_encode
+
+    seen: dict[str, object] = {}
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(st.none(), st.text(max_size=40)))
+    def check(value):
+        enc = stem_encode(value)
+        assert stem_decode(enc) == value
+        assert "/" not in enc and "\x00" not in enc
+        assert enc and not enc.startswith(".")
+        # filename with suffix must parse back to the same stem
+        assert f"{enc}.npy"[: -len(".npy")] == enc
+        if enc in seen:
+            assert seen[enc] == value  # injective
+        seen[enc] = value
+
+    check()
