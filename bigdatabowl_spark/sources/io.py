@@ -106,24 +106,47 @@ def existing_partitions(spark: SparkSession, path: str, key: str) -> list[str]:
     return vals
 
 
+# Above this many materialized partitions the done-list leaves the plan
+# literal and becomes a broadcast anti-join: a year of hourly partitions
+# (~9k) still folds fine as an isin, but a real resumable backfill can
+# carry 10^5-10^6 done values, and a filter expression that large chokes
+# plan construction long before execution.
+_RESUME_ISIN_MAX = 1000
+
+
 def resume_filter(df: DataFrame, spark: SparkSession, path: str, key: str) -> DataFrame:
     """S12: drop rows whose partition already exists at the sink — combined
     with write_partitioned this gives restartable long jobs.
 
     Null-aware: rows with a NULL key are remaining only while the default
     partition is missing (the old `~isin(done)` silently dropped them from
-    `remaining` FOREVER — a null-keyed partition could never resume)."""
+    `remaining` FOREVER — a null-keyed partition could never resume).
+
+    Scale: small done-lists stay a literal isin (folds to nothing in the
+    plan); past _RESUME_ISIN_MAX values the list becomes a one-column
+    DataFrame and the drop is a broadcast LEFT ANTI join — the plan shape
+    that survives a million materialized partitions."""
     done = existing_partitions(spark, path, key)
     if not done:
         return df
     null_done = NULL_PARTITION in done
     values_done = [d for d in done if d != NULL_PARTITION]
     k = F.col(key).cast("string")
-    keep_nonnull = k.isNotNull() & (
-        ~k.isin(values_done) if values_done else F.lit(True)
-    )
     keep_null = k.isNull() & F.lit(not null_done)
-    return df.filter(keep_nonnull | keep_null)
+    if len(values_done) <= _RESUME_ISIN_MAX:
+        keep_nonnull = k.isNotNull() & (
+            ~k.isin(values_done) if values_done else F.lit(True)
+        )
+        return df.filter(keep_nonnull | keep_null)
+    done_df = spark.createDataFrame(
+        [(v,) for v in values_done], f"__done_{key} string"
+    )
+    nonnull_remaining = df.filter(k.isNotNull()).join(
+        F.broadcast(done_df),
+        k == F.col(f"__done_{key}"),
+        "left_anti",
+    )
+    return nonnull_remaining.unionByName(df.filter(keep_null))
 
 
 def split_error_channel(df: DataFrame, status_col: str = "status") -> tuple[DataFrame, DataFrame]:

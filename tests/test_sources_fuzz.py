@@ -397,3 +397,31 @@ def test_stem_codec_roundtrip_properties():
         seen[enc] = value
 
     check()
+
+
+def test_resume_filter_anti_join_path(spark, tmp_path, monkeypatch):
+    """Past _RESUME_ISIN_MAX done-partitions the resume drop switches to a
+    broadcast anti-join; it must agree with the isin path exactly,
+    including NULL-key rows and value-space (unescaped) comparison."""
+    import bigdatabowl_spark.sources.io as io_mod
+
+    rows = [("a=b", 1), ("p2", 2), ("p3", 3), (None, 4), ("new", 5), (None, 6)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = str(tmp_path / "sink")
+    # materialize only a subset: a=b, p2, and the NULL partition
+    io_mod.write_partitioned(
+        df.filter("v in (1, 2, 4)"), out, ["k"]
+    )
+
+    expected = {("p3", 3), ("new", 5)}  # p3/new missing; NULL already done
+
+    isin_remaining = {
+        (r.k, r.v) for r in io_mod.resume_filter(df, spark, out, "k").collect()
+    }
+    assert isin_remaining == expected
+
+    monkeypatch.setattr(io_mod, "_RESUME_ISIN_MAX", 1)
+    anti_remaining = {
+        (r.k, r.v) for r in io_mod.resume_filter(df, spark, out, "k").collect()
+    }
+    assert anti_remaining == expected
