@@ -689,3 +689,21 @@ def test_pagerank_converge_early_exits(spark, sf_dir):
     rounds = {r.rounds_used for r in rows}
     assert len(rounds) == 1
     assert 1 <= rows[0].rounds_used < PR_MAX_ROUNDS, rows[0].rounds_used
+
+
+def test_resume_filter_large_done_list_broadcasts(spark, tmp_path, monkeypatch):
+    """Past _RESUME_ISIN_MAX the resume drop must plan as a BROADCAST left
+    anti join — a shuffled anti join on the done-list would move the whole
+    remaining fact table for a dimension-sized exclusion list (the 10^5-
+    partition backfill case resume_filter's threshold exists for)."""
+    import bigdatabowl_spark.sources.io as io_mod
+
+    df = spark.createDataFrame(
+        [(f"p{i}", i) for i in range(8)], "k string, v int"
+    )
+    out = str(tmp_path / "sink")
+    io_mod.write_partitioned(df.filter("v < 4"), out, ["k"])
+    monkeypatch.setattr(io_mod, "_RESUME_ISIN_MAX", 1)
+    plan = _plan(io_mod.resume_filter(df, spark, out, "k"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
