@@ -18,15 +18,17 @@ Families and their 10x axes:
 - pagerank      : 1M -> 10M edges (sec per superstep; graph build apart)
 - text_encode   : 1M -> 10M docs through bench_text_scale (vocab agg +
                   broadcast-join encode, corpus staged outside the timing)
-- prefix_filter : 20k -> 200k synthetic log-uniform docs (ppjoin prefix
-                  candidates + verify; the catalog's template-cluster
-                  corpus is deliberately pathological, so the probe uses
-                  a Zipf-ish corpus — the regime prefix filtering targets)
+- prefix_filter : 20k -> 200k -> 2M synthetic log-uniform docs (ppjoin
+                  prefix candidates + verify; the catalog's
+                  template-cluster corpus is deliberately pathological,
+                  so the probe uses a Zipf-ish corpus — the regime prefix
+                  filtering targets; 3-point fitted exponent)
 - dedup_clusters: same corpora through minhash-LSH banding + hash-min
-                  label propagation (operators/dedup.py)
+                  label propagation (operators/dedup.py; 3-point fit)
 - stream_stateful: event-time-TTL'd applyInPandasWithState totals over an
-                  8-file split, 100k rows/2k keys -> 1M/20k (sec per
-                  micro-batch; state rows + bytes from query telemetry)
+                  8-file split, 100k rows/2k keys -> 1M/20k -> 10M/200k
+                  (sec per micro-batch + per-batch series; state rows +
+                  bytes from query telemetry; 3-point fitted exponent)
 
 Usage: PYTHONPATH=/root/repo python scripts/scale_probe.py
 Writes bench_scale_probe_r{N}.json at the repo root (round-stamped like
@@ -162,6 +164,20 @@ def probe_text(spark) -> dict:
             "large": {"sec": e10, "tokens_per_sec": tps10, "knob": "10M docs"}}
 
 
+def _exponent_3pt(secs) -> float:
+    """Least-squares slope of log(sec) vs log(scale) over the 1x/10x/100x
+    points — the sturdier fit a third point buys: a 10x-only exponent can
+    under-read badly while fixed overheads still amortize (dedup-CC read
+    0.29 at 10x), and the 100x point shows the asymptote."""
+    xs = [math.log(x) for x in (1.0, 10.0, 100.0)]
+    ys = [math.log(max(v, 1e-9)) for v in secs]
+    xbar, ybar = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    return round(slope, 3)
+
+
 def _prefix_filter(spark, sf_dir: str) -> int:
     """The catalog prefix_filter_jaccard plan verbatim (its deterministic
     doc_id%5 slice applies identically at both probe sizes, so the 10x
@@ -174,16 +190,22 @@ def _prefix_filter(spark, sf_dir: str) -> int:
     return df.count()
 
 
-def probe_prefix(spark, d1: str, d10: str) -> dict:
+def probe_prefix(spark, d1: str, d10: str, d100: str) -> dict:
     t1, c1, n1 = _timed(lambda: _prefix_filter(spark, d1))
     t10, c10, n10 = _timed(lambda: _prefix_filter(spark, d10))
+    # third point runs once: it pins the fitted exponent, and the two
+    # smaller legs keep the min-of-2 convention
+    t100, c100, n100 = _timed(lambda: _prefix_filter(spark, d100), runs=1)
     return {"small": {"sec": round(t1, 3), "cpu_sec": round(c1, 3),
                       "pairs": n1, "knob": "20k docs"},
             "large": {"sec": round(t10, 3), "cpu_sec": round(c10, 3),
-                      "pairs": n10, "knob": "200k docs"}}
+                      "pairs": n10, "knob": "200k docs"},
+            "xlarge": {"sec": round(t100, 3), "cpu_sec": round(c100, 3),
+                       "pairs": n100, "knob": "2M docs"},
+            "exponent_3pt": _exponent_3pt((t1, t10, t100))}
 
 
-def probe_dedup(spark, d1: str, d10: str) -> dict:
+def probe_dedup(spark, d1: str, d10: str, d100: str) -> dict:
     from bench import _release_persistent_rdds
     from bigdatabowl_spark.plans.catalog import CATALOG
 
@@ -194,10 +216,14 @@ def probe_dedup(spark, d1: str, d10: str) -> dict:
 
     t1, c1, n1 = _timed(lambda: run(d1))
     t10, c10, n10 = _timed(lambda: run(d10))
+    t100, c100, n100 = _timed(lambda: run(d100), runs=1)
     return {"small": {"sec": round(t1, 3), "cpu_sec": round(c1, 3),
                       "rows": n1, "knob": "20k docs"},
             "large": {"sec": round(t10, 3), "cpu_sec": round(c10, 3),
-                      "rows": n10, "knob": "200k docs"}}
+                      "rows": n10, "knob": "200k docs"},
+            "xlarge": {"sec": round(t100, 3), "cpu_sec": round(c100, 3),
+                       "rows": n100, "knob": "2M docs"},
+            "exponent_3pt": _exponent_3pt((t1, t10, t100))}
 
 
 def _stage_stream_events(spark, tag: str, n_rows: int, n_keys: int,
@@ -313,20 +339,15 @@ def probe_stream(spark) -> dict:
     r1["knob"] = "100k rows / 2k keys, 8 file-batches"
     r10["knob"] = "1M rows / 20k keys, 8 file-batches"
     r100["knob"] = "10M rows / 200k keys, 8 file-batches"
-    # 3-point least-squares exponent over log(sec) vs log(scale): the
-    # 1×/10× pair feeds main()'s generic `exponent` field unchanged;
+    # the 1×/10× pair feeds main()'s generic `exponent` field unchanged;
     # exponent_3pt is the sturdier fit the 100× point buys
-    xs = [math.log(s) for s in (1.0, 10.0, 100.0)]
-    ys = [math.log(max(r["sec"], 1e-9)) for r in (r1, r10, r100)]
-    xbar, ybar = sum(xs) / 3, sum(ys) / 3
-    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
-        (x - xbar) ** 2 for x in xs
-    )
     return {
         "small": r1,
         "large": r10,
         "xlarge": r100,
-        "exponent_3pt": round(slope, 3),
+        "exponent_3pt": _exponent_3pt(
+            tuple(r["sec"] for r in (r1, r10, r100))
+        ),
     }
 
 
@@ -340,6 +361,7 @@ def main() -> None:
 
     d1 = _stage_docs(spark, "docs_x1", 20_000)
     d10 = _stage_docs(spark, "docs_x10", 200_000)
+    d100 = _stage_docs(spark, "docs_x100", 2_000_000)
 
     # SPARK_GRAFT_PROBE_ONLY=fam1,fam2 re-measures just those families and
     # merges into the existing round artifact (heavy legs run back-to-back
@@ -353,8 +375,8 @@ def main() -> None:
         ("eppa_kernel", lambda: probe_eppa(spark)),
         ("pagerank_superstep", lambda: probe_pagerank(spark)),
         ("text_encode", lambda: probe_text(spark)),
-        ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10)),
-        ("dedup_clusters", lambda: probe_dedup(spark, d1, d10)),
+        ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10, d100)),
+        ("dedup_clusters", lambda: probe_dedup(spark, d1, d10, d100)),
         ("stream_stateful", lambda: probe_stream(spark)),
     ]:
         if only_set is not None and fam not in only_set:
