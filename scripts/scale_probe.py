@@ -25,6 +25,9 @@ Families and their 10x axes:
                   filtering targets; 3-point fitted exponent)
 - dedup_clusters: same corpora through minhash-LSH banding + hash-min
                   label propagation (operators/dedup.py; 3-point fit)
+- dedup_incremental_batch: fixed 20k-doc batch vs pre-indexed 200k/2M
+                  history (DD9's production mode; measures the claim
+                  that batch cost does not grow with corpus size)
 - stream_stateful: event-time-TTL'd applyInPandasWithState totals over an
                   8-file split, 100k rows/2k keys -> 1M/20k -> 10M/200k
                   (sec per micro-batch + per-batch series; state rows +
@@ -226,6 +229,111 @@ def probe_dedup(spark, d1: str, d10: str, d100: str) -> dict:
             "exponent_3pt": _exponent_3pt((t1, t10, t100))}
 
 
+def _stage_dedup_index(spark, sf_dir: str, tag: str) -> str:
+    """Pre-compute (UNTIMED) the persisted dedup indices DD9's steady
+    state maintains for a history corpus: the exact-hash index (distinct
+    normalized-text md5) and the MinHash LSH band index ((band, key,
+    doc_id) — the exact band shape lsh_candidate_pairs explodes, one row
+    per doc per band). In production these are incrementally appended per
+    ingest batch; the probe materializes them once per corpus so the
+    TIMED leg is only what a daily batch pays."""
+    from bigdatabowl_spark.operators.dedup import (
+        minhash_signatures,
+        normalize_text,
+    )
+
+    out = os.path.join(PROBE_DIR, f"{tag}_index")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.select(
+        F.md5(normalize_text(F.col("text"))).alias("h")
+    ).distinct().write.mode("overwrite").parquet(os.path.join(out, "hash_index"))
+    sigs = minhash_signatures(docs, num_hashes=8)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")
+                    ).alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    bands.write.mode("overwrite").parquet(os.path.join(out, "band_index"))
+    with open(marker, "w") as f:
+        f.write(sf_dir + "\n")
+    return out
+
+
+def probe_incremental(spark, d1: str, d10: str, d100: str) -> dict:
+    """DD9's production-mode cost claim, measured: a fixed 20k-doc ingest
+    batch deduplicated against a PRE-INDEXED history of 200k vs 2M docs
+    (hash semi-join + MinHash band join vs the persisted indices; history
+    staging sits outside the timed window, as it does in production).
+    SCALE.md §4.6 claims batch cost does not RECOMPUTE history — the
+    timed leg contains only batch-side signature work plus the two index
+    joins, so the measured growth from 200k→2M history is exactly the
+    index-scan term, the honest residual corpus-size dependence."""
+    from bigdatabowl_spark.operators.dedup import (
+        minhash_signatures,
+        normalize_text,
+    )
+
+    batch = spark.read.parquet(os.path.join(d1, "documents.parquet"))
+    batch = batch.localCheckpoint()  # staged input, outside every timed run
+
+    def run(idx_dir: str) -> int:
+        hash_idx = spark.read.parquet(os.path.join(idx_dir, "hash_index"))
+        band_idx = spark.read.parquet(os.path.join(idx_dir, "band_index"))
+        bh = batch.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("h")
+        )
+        exact = bh.join(hash_idx, "h", "left_semi").select("doc_id")
+        sigs = minhash_signatures(batch, num_hashes=8)
+        bb = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ])
+            ).alias("bk"),
+        ).select(
+            F.col("doc_id").alias("batch_doc"), F.col("bk.band"), F.col("bk.key")
+        )
+        near = (
+            bb.join(band_idx, ["band", "key"])
+            .select("batch_doc", F.col("doc_id").alias("hist_doc"))
+            .distinct()
+        )
+        # consume both decision channels
+        return exact.count() + near.count()
+
+    i10 = _stage_dedup_index(spark, d10, "docs_x10")
+    i100 = _stage_dedup_index(spark, d100, "docs_x100")
+    t10, c10, n10 = _timed(lambda: run(i10))
+    t100, c100, n100 = _timed(lambda: run(i100))
+    ratio = t100 / max(t10, 1e-9)
+    return {
+        "small": {"sec": round(t10, 3), "cpu_sec": round(c10, 3),
+                  "decisions": n10, "knob": "20k batch vs 200k history"},
+        "large": {"sec": round(t100, 3), "cpu_sec": round(c100, 3),
+                  "decisions": n100, "knob": "20k batch vs 2M history"},
+        "batch_cost_ratio_10x_history": round(ratio, 2),
+    }
+
+
 def _stage_stream_events(spark, tag: str, n_rows: int, n_keys: int,
                          n_buckets: int = 8) -> str:
     """Synthetic events staged as n_buckets time-ordered parquet files
@@ -377,6 +485,7 @@ def main() -> None:
         ("text_encode", lambda: probe_text(spark)),
         ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10, d100)),
         ("dedup_clusters", lambda: probe_dedup(spark, d1, d10, d100)),
+        ("dedup_incremental_batch", lambda: probe_incremental(spark, d1, d10, d100)),
         ("stream_stateful", lambda: probe_stream(spark)),
     ]:
         if only_set is not None and fam not in only_set:
