@@ -28,6 +28,10 @@ Families and their 10x axes:
 - dedup_incremental_batch: fixed 20k-doc batch vs pre-indexed 200k/2M
                   history (DD9's production mode; measures the claim
                   that batch cost does not grow with corpus size)
+- bucketed_join : lineitem ⋈ orders at sf0.1, pre-bucketed (zero
+                  exchange) vs plain parquet (both sides shuffle) — the
+                  'small'/'large' slots hold bucketed/shuffled, so the
+                  ratio field reads as the shuffle-over-bucketed multiple
 - stream_stateful: event-time-TTL'd applyInPandasWithState totals over an
                   8-file split, 100k rows/2k keys -> 1M/20k -> 10M/200k
                   (sec per micro-batch + per-batch series; state rows +
@@ -227,6 +231,47 @@ def probe_dedup(spark, d1: str, d10: str, d100: str) -> dict:
             "xlarge": {"sec": round(t100, 3), "cpu_sec": round(c100, 3),
                        "rows": n100, "knob": "2M docs"},
             "exponent_3pt": _exponent_3pt((t1, t10, t100))}
+
+
+def probe_bucketed_join(spark) -> dict:
+    """SCALE.md §2's bucketed-join claim, measured: lineitem ⋈ orders on
+    the order key at sf0.1, (a) as a plain shuffle sort-merge join over
+    the parquet tables and (b) over pre-bucketed tables (32 buckets on
+    the join key — the one-time write sits OUTSIDE the timed window, as
+    the layout does in production). tests/test_scale_patterns.py already
+    PLAN-gates "no exchange on the bucketed join"; this leg prices it.
+    Both runs force the merge-join shape (broadcast would bypass the
+    comparison at this SF) and consume identical aggregates (asserted
+    equal). `small` = bucketed, `large` = shuffled, so main()'s generic
+    ratio field reads as the shuffle-over-bucketed cost multiple."""
+    from bigdatabowl_spark.sources.io import write_bucketed
+    from bigdatabowl_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "probe_orders_b", ["o_orderkey"], n_buckets=32)
+    write_bucketed(li, "probe_lineitem_b", ["l_orderkey"], n_buckets=32)
+
+    def agg(left, right):
+        joined = left.hint("merge").join(
+            right, left.o_orderkey == right.l_orderkey
+        )
+        return joined.agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("l_quantity"))).alias("qsum"),
+        ).collect()[0]
+
+    ob, lb = spark.table("probe_orders_b"), spark.table("probe_lineitem_b")
+    tb, cb, rb = _timed(lambda: agg(ob, lb))
+    ts, cs, rs = _timed(lambda: agg(o, li))
+    assert (rb["n"], rb["qsum"]) == (rs["n"], rs["qsum"]), (rb, rs)
+    return {
+        "small": {"sec": round(tb, 3), "cpu_sec": round(cb, 3),
+                  "knob": "bucketed (32 buckets, zero exchange)"},
+        "large": {"sec": round(ts, 3), "cpu_sec": round(cs, 3),
+                  "knob": "plain parquet (both sides shuffle)"},
+    }
 
 
 def _stage_dedup_index(spark, sf_dir: str, tag: str) -> str:
@@ -486,6 +531,7 @@ def main() -> None:
         ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10, d100)),
         ("dedup_clusters", lambda: probe_dedup(spark, d1, d10, d100)),
         ("dedup_incremental_batch", lambda: probe_incremental(spark, d1, d10, d100)),
+        ("bucketed_join", lambda: probe_bucketed_join(spark)),
         ("stream_stateful", lambda: probe_stream(spark)),
     ]:
         if only_set is not None and fam not in only_set:
