@@ -665,3 +665,52 @@ def s19_dpp_star_join(spark: SparkSession, sf_dir: str):
             F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "s20_jsonl_roundtrip",
+    "S20,S9,S2,A1",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT text) AS n_texts,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines corpus sink → schema'd scan round trip (S20).
+
+    JSONL is the interchange format LLM training corpora actually move in
+    (one document object per line); this query writes the documents table
+    through the JSON sink, reads it back with a DECLARED schema (no
+    inference job — at 100 TB schema-on-read over JSONL is a full extra
+    pass), and aggregates per language with text-sensitive distincts. The
+    oracle computes the same aggregate from the ORIGINAL parquet, so a
+    hash match proves the sink/scan pair is lossless — including unicode
+    text, embedded control characters (JSON-escaped by the writer), and
+    empty-vs-distinct documents (COUNT(DISTINCT text) moves if any text
+    mutates in transit).
+
+    Reference: the reference moves corpora as CSVs (normalize.py:13-15);
+    JSONL is the §2.11 extension surface for document pipelines.
+
+    Scale: the sink shards one JSONL file per task; the scan is
+    line-splittable (unlike multiLine JSON or quoted-newline CSV), so
+    both directions parallelize per split — this is why JSONL, not CSV,
+    is the corpus interchange posture at 100 TB.
+    """
+    docs = t(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "documents_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("text").alias("n_texts"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

@@ -59,6 +59,7 @@ def main() -> None:
         "|---|---|---|",
     ]
     MEANINGS = {
+        "S20": "JSONL corpus sink/scan round trip (LLM-corpus interchange)",
         "DD1": "exact dedup (hash-groupBy)",
         "DD2": "n-gram Jaccard near-dup",
         "DD3": "MinHash + LSH banding",

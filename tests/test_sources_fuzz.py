@@ -60,6 +60,7 @@ SOURCES_QUERIES = [
     "s19_dpp_star_join",
     "o6_zorder_layout",
     "zonemap_prune_stats",
+    "s20_jsonl_roundtrip",
 ]
 
 # Pure-IO operator ids from SURVEY §2.1 (+ the layout extensions O6/ZM1).
@@ -68,7 +69,7 @@ SOURCES_QUERIES = [
 # stream fuzz.
 _IO_OPS = {
     "S1", "S2", "S3", "S7", "S8", "S9", "S10", "S11", "S12", "S13",
-    "S14", "S15", "S16", "S17", "O6", "ZM1",
+    "S14", "S15", "S16", "S17", "S20", "O6", "ZM1",
 }
 
 # Oracle-checked queries carrying an IO op tag whose layout axis is owned
