@@ -40,9 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed (s1 null-token CSV round trip, s10 value-space resume +
 # schema'd read-back, the s16/stream_npy/s17 stem-codec artifact family)
 # get fresh driver rows; s19/s18, also touched, already sit in tier (a).
-# (b2) s20_jsonl_roundtrip is NEW this round (JSONL corpus sink/scan)
-# and gets its first driver row. (c) The remaining 7 slots start the
-# r7-latest tier in catalog order.
+# (b2) s20_jsonl_roundtrip and stream_jsonl_documents are NEW this round
+# (JSONL corpus sink/scan + its streaming ingest twin) and get their
+# first driver rows. (c) The remaining 6 slots start the r7-latest tier
+# in catalog order.
 # After this round no oracle-checked query's latest driver-green row is
 # older than r7. Entries past position 50 are the documented queue for
 # round 11: the r7-tier remainder in catalog order.
@@ -68,15 +69,15 @@ _RUN_FIRST = (
     # (b) builders changed by the r10 sources-layout fuzz fixes
     "s1_csv_roundtrip", "s10_partitioned_resume", "s16_npy_datasource",
     "stream_npy_artifacts", "s17_npy_writer_roundtrip",
-    # (b2) new this round: JSONL corpus round trip (first driver row)
-    "s20_jsonl_roundtrip",
-    # (c) r7-latest tier — first 7 in catalog order
+    # (b2) new this round: JSONL corpus round trip + streaming ingest twin
+    # (first driver rows)
+    "s20_jsonl_roundtrip", "stream_jsonl_documents",
+    # (c) r7-latest tier — first 6 in catalog order
     "j7_event_span", "j13_range_join", "u4_semi_anti",
     "u5_except_intersect", "w4_topk_per_group", "a26_argmax_per_group",
-    "o2_global_topn",
     # ---- 50-query cap lands here; below is the documented queue (r11):
     # the r7-latest remainder in catalog order ----
-    "a7_distinct_counts", "a24_masked_pivot", "a8_relative_freq", "a15_event_sets",
+    "o2_global_topn", "a7_distinct_counts", "a24_masked_pivot", "a8_relative_freq", "a15_event_sets",
     "a18_histogram_2d", "a25_cumulative",
     "j15_asof_join", "j16_full_outer", "f_kinematics",
     "p9_conditional_tiers", "a17_autocorr", "text_langid",

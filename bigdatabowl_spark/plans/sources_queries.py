@@ -714,3 +714,62 @@ def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@register(
+    "stream_jsonl_documents",
+    "S20,S5,A1",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_hash_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def stream_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL corpus ingest (S20 × S5): the documents table staged
+    as a JSONL directory and consumed through ``spark.readStream.json``
+    with a declared schema — the continuous-crawl arrival pattern for LLM
+    corpora (new shard files become micro-batch rows; no bespoke poller).
+    Complete-mode per-language aggregate over an availableNow run equals
+    the batch aggregate over the original parquet, which is the oracle —
+    certifying the streaming scan is as lossless as s20's batch scan. The
+    text-sensitivity witness is an order-free SUM of md5_long(text)
+    (COUNT(DISTINCT ...) is not streamable): any byte mutated in transit
+    moves the hash sum.
+
+    Scale: the file source checkpoints per-file offsets (restart-safe, the
+    recovery contract tests/test_streaming.py pins for parquet streams);
+    per-batch volume is bounded by maxFilesPerTrigger at real scale. The
+    aggregate state is one row per language — O(groups), not O(corpus).
+    """
+    from bigdatabowl_spark.operators.dedup import md5_long
+
+    docs = t(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "documents_jsonl_stream")
+    docs.write.mode("overwrite").json(path)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    name = f"jsonl_stream_{tag}"
+    q = (
+        spark.readStream.schema(docs.schema)
+        .json(path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long(F.col("text"))).alias("text_hash_sum"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory sink table dies with the query; pin the rows
+    return spark.table(name).localCheckpoint()

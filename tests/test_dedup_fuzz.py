@@ -41,7 +41,7 @@ from tests.oracle_harness import run_all
 BASE_SF = "/root/testdata/sf0.001"
 
 # Every catalog query whose DuckDB oracle reads ONLY the documents table
-# (recomputed from the live CATALOG by the guard test below) — 45 total,
+# (recomputed from the live CATALOG by the guard test below) — 46 total,
 # minus encode_tokens and ngram_lm_score, whose random-corpus data fuzz
 # already lives in tests/test_text_fuzz.py with vocab-regime-targeted
 # generators this file's generator doesn't replicate.
@@ -90,6 +90,7 @@ FUZZ_QUERIES = [
     "oov_rate",
     "cms_heavyhitters",
     "s20_jsonl_roundtrip",
+    "stream_jsonl_documents",
 ]
 
 

@@ -61,6 +61,7 @@ SOURCES_QUERIES = [
     "o6_zorder_layout",
     "zonemap_prune_stats",
     "s20_jsonl_roundtrip",
+    "stream_jsonl_documents",
 ]
 
 # Pure-IO operator ids from SURVEY §2.1 (+ the layout extensions O6/ZM1).
