@@ -13,7 +13,10 @@ Sink/scan pairs exercised:
   overwrite + resume-skip of existing partitions + file provenance
   (S5 artifact re-materialization, S8, S10, S11, S12);
 - s13_error_channel: per-group kernel with try/except surfaced as a status
-  column and split into ok/error tables (S13).
+  column and split into ok/error tables (S13);
+- s20_jsonl_roundtrip / stream_jsonl_documents: JSONL corpus sink +
+  declared-schema scan, batch and streaming (S20 — the LLM-corpus
+  interchange format; line-splittable in both directions).
 """
 
 from __future__ import annotations
