@@ -61,27 +61,128 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
     overwrite keeps re-runs idempotent per partition (S12).
 
     NULL partition values are fine (hive default-partition dir, round-trips
-    as NULL); EMPTY-STRING values are REFUSED — Spark writes them into the
-    same default-partition dir, so they'd silently read back as NULL (found
-    by tests/test_sources_fuzz.py). The guard is one column-pruned count on
-    the partition columns — noise next to the write it protects."""
-    empty_pred = F.lit(False)
-    for c in partition_cols:
-        empty_pred = empty_pred | (F.col(c).cast("string") == "")
-    n_empty = df.filter(empty_pred).count()
-    if n_empty:
-        raise ValueError(
-            f"write_partitioned: {n_empty} rows carry an EMPTY-STRING value "
-            f"in partition column(s) {partition_cols} — hive-style layouts "
-            "cannot represent '' distinct from NULL (both map to "
-            f"{NULL_PARTITION}); map '' to a sentinel before partitioning"
+    as NULL); EMPTY-STRING values — and a genuine string value equal to the
+    NULL_PARTITION marker itself — are REFUSED: Spark writes both into the
+    hive default-partition directory, so they'd silently read back as NULL
+    and resume_filter would conflate them with the NULL partition (found by
+    tests/test_sources_fuzz.py; marker case flagged by round-10 review).
+
+    Single-pass guard: each STRING-typed partition column is wrapped in a
+    raise_error CASE inside the written projection itself, so validation
+    rides the write's only pass over the input. (The first cut ran a
+    pre-write `df.filter(...).count()` — for a *computed* input, the
+    normal case at scale, that executed the whole upstream plan twice.)
+    Non-string partition columns never cast to '' and stay unwrapped; a
+    violation aborts the job before any partition is committed (the
+    committer discards staged task output) and surfaces as ValueError."""
+    from pyspark.sql.types import StringType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    guarded, wrapped = [], False
+    for name in df.columns:
+        if name in partition_cols and isinstance(dtypes[name], StringType):
+            c = F.col(name)
+            msg = F.concat(
+                F.lit(
+                    f"write_partitioned: partition column '{name}' carries "
+                ),
+                F.when(c == "", F.lit("an EMPTY-STRING value")).otherwise(
+                    F.lit(f"the literal '{NULL_PARTITION}' marker string")
+                ),
+                F.lit(
+                    " — hive-style layouts cannot represent it distinct "
+                    f"from NULL (both map to the {NULL_PARTITION} "
+                    "directory); map it to a sentinel before partitioning"
+                ),
+            )
+            guarded.append(
+                F.when((c == "") | (c == NULL_PARTITION), F.raise_error(msg))
+                .otherwise(c)
+                .alias(name)
+            )
+            wrapped = True
+        else:
+            guarded.append(F.col(name))
+    out = df.select(*guarded) if wrapped else df
+    try:
+        (
+            out.write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
         )
-    (
-        df.write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
+    except Exception as e:  # surface the guard as the API's ValueError
+        text = str(e)
+        marker = "write_partitioned: partition column"
+        if marker in text:
+            start = text.index(marker)
+            raise ValueError(text[start:].splitlines()[0]) from e
+        raise
+
+
+def partition_encode(c: "F.Column") -> "F.Column":
+    """Injective, hive-representable encoding for a string partition-VALUE
+    column — the companion that makes write_partitioned's refusal of
+    ''/NULL_PARTITION actionable without dropping data:
+
+    - NULL passes through (hive's default partition round-trips NULL);
+    - ''            → '%E'   (unrepresentable raw: aliases to NULL);
+    - NULL_PARTITION → '%H'  (a genuine marker-valued string aliases to
+                              NULL in the directory name, unescaped);
+    - any value starting with '%' gets one '%' prepended, which makes the
+      two markers unreachable by real data ('%E' → '%%E');
+    - everything else is identity — Spark's own layout escaping handles
+      '=', '/', unicode, etc., and round-trips them.
+
+    partition_decode is the exact inverse; both are pure column
+    expressions (no UDF). Injectivity is property-tested in
+    tests/test_sources_fuzz.py against a plain-Python twin."""
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c == "", F.lit("%E"))
+        .when(c == NULL_PARTITION, F.lit("%H"))
+        .when(c.startswith("%"), F.concat(F.lit("%"), c))
+        .otherwise(c)
     )
+
+
+def partition_decode(c: "F.Column") -> "F.Column":
+    """Inverse of partition_encode ('%E' → '', '%H' → NULL_PARTITION,
+    '%…' → drop one leading '%', else identity)."""
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c == "%E", F.lit(""))
+        .when(c == "%H", F.lit(NULL_PARTITION))
+        .when(c.startswith("%"), F.substring(c, 2, 2147483647))
+        .otherwise(c)
+    )
+
+
+def partition_encode_value(v):
+    """Plain-Python twin of partition_encode (driver-side done-lists,
+    property tests)."""
+    if v is None:
+        return None
+    if v == "":
+        return "%E"
+    if v == NULL_PARTITION:
+        return "%H"
+    if v.startswith("%"):
+        return "%" + v
+    return v
+
+
+def partition_decode_value(v):
+    """Plain-Python twin of partition_decode."""
+    if v is None:
+        return None
+    if v == "%E":
+        return ""
+    if v == "%H":
+        return NULL_PARTITION
+    if v.startswith("%"):
+        return v[1:]
+    return v
 
 
 def existing_partitions(spark: SparkSession, path: str, key: str) -> list[str]:
@@ -93,7 +194,10 @@ def existing_partitions(spark: SparkSession, path: str, key: str) -> list[str]:
     comparison in resume_filter happens in VALUE space, not path space
     (raw names made resume_filter re-write every special-charactered
     partition forever — found by tests/test_sources_fuzz.py). A NULL
-    partition surfaces as the NULL_PARTITION marker string."""
+    partition surfaces as the NULL_PARTITION marker string; Spark writes a
+    GENUINE string value equal to that marker into the same directory name
+    unescaped, which is why write_partitioned refuses such values at write
+    time — layouts produced by this library can't reach the ambiguity."""
     from urllib.parse import unquote
 
     if not os.path.exists(path):

@@ -374,6 +374,87 @@ def test_write_partitioned_refuses_empty_string_key(spark, tmp_path):
     )
 
 
+def test_write_partitioned_refuses_null_partition_marker(spark, tmp_path):
+    """A GENUINE string value equal to '__HIVE_DEFAULT_PARTITION__' is
+    written unescaped into the same directory Spark uses for NULL, so
+    existing_partitions/resume_filter would conflate the two — same
+    corruption class as '' (round-10 review); refused at write time."""
+    from bigdatabowl_spark.sources.io import NULL_PARTITION, write_partitioned
+
+    df = spark.createDataFrame(
+        [(NULL_PARTITION, 1), ("A", 2)], "k string, v int"
+    )
+    with pytest.raises(ValueError, match="marker"):
+        write_partitioned(df, str(tmp_path / "p"), ["k"])
+
+
+def test_write_partitioned_single_pass(spark, tmp_path):
+    """The ''-guard must ride the write's own pass over the input — a
+    pre-write count() re-executed a COMPUTED input's whole upstream plan
+    (the normal case: the reference writes kernel output), doubling the
+    job at scale (VERDICT r10). An accumulator inside the lineage counts
+    how many rows the upstream plan actually produced across ALL actions:
+    exactly n_rows means one evaluation."""
+    import bigdatabowl_spark.sources.io as io_mod
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [("A", 1), ("B", 2), (None, 3), ("a=b", 4)], "k string, v int"
+    )
+
+    def tick(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    computed = base.repartition(2).mapInPandas(tick, base.schema)
+    out = str(tmp_path / "p")
+    io_mod.write_partitioned(computed, out, ["k"])
+    assert acc.value == 4, f"input plan evaluated {acc.value / 4:.1f} times"
+    back = spark.read.schema(base.schema).parquet(out)
+    assert back.count() == 4
+
+    # non-string partition columns are never wrapped (cast can't yield '')
+    # and the write stays single-pass for them too
+    acc2 = spark.sparkContext.accumulator(0)
+    ints = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+
+    def tick2(batches):
+        for pdf in batches:
+            acc2.add(len(pdf))
+            yield pdf
+
+    io_mod.write_partitioned(
+        ints.mapInPandas(tick2, ints.schema), str(tmp_path / "q"), ["k"]
+    )
+    assert acc2.value == 2
+
+
+def test_csv_null_token_collision(spark, tmp_path):
+    """Pins the KNOWN trade of s1's explicit null token: a field value
+    literally equal to the two-character string \\N is written unquoted
+    and reads back as NULL — inherent to any in-band sentinel (round-10
+    review). Documents the aliasing; newline-/sentinel-bearing exports
+    belong in parquet."""
+    from bigdatabowl_spark.sources.io import read_csv_schema
+
+    df = spark.createDataFrame(
+        [(1, "\\N"), (2, "plain"), (3, None)], "id int, s string"
+    )
+    path = str(tmp_path / "csv")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back = read_csv_schema(spark, path, df.schema, nullValue="\\N")
+    got = {r.id: r.s for r in back.collect()}
+    # id=1's genuine "\N" value collapsed into NULL — the documented alias
+    assert got == {1: None, 2: "plain", 3: None}
+
+
 def test_stem_codec_roundtrip_properties():
     """Property check (no Spark): for arbitrary key values the stem codec
     round-trips exactly, never emits a path separator or a dotfile-
@@ -399,6 +480,80 @@ def test_stem_codec_roundtrip_properties():
         seen[enc] = value
 
     check()
+
+
+def test_partition_value_codec_properties():
+    """partition_encode/decode (the companion to write_partitioned's
+    ''/marker refusal): exact round trip, injective, and the encoded
+    value is always hive-representable (never '' / NULL_PARTITION)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdatabowl_spark.sources.io import (
+        NULL_PARTITION,
+        partition_decode_value,
+        partition_encode_value,
+    )
+
+    seen: dict = {}
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.just(NULL_PARTITION),
+            st.just("%E"),
+            st.just("%H"),
+            st.text(max_size=30),
+        )
+    )
+    def check(value):
+        enc = partition_encode_value(value)
+        assert partition_decode_value(enc) == value
+        if value is not None:
+            assert enc != "" and enc != NULL_PARTITION
+        key = ("null",) if enc is None else enc
+        if key in seen:
+            assert seen[key] == value  # injective
+        seen[key] = value
+
+    check()
+
+
+def test_partition_value_codec_spark_roundtrip(spark, tmp_path):
+    """Column-expression codec == Python twin, and the encoded layout
+    round-trips EVERY pathological key — including the two values
+    write_partitioned refuses raw ('' and the NULL_PARTITION marker)."""
+    import pyspark.sql.functions as F
+
+    from bigdatabowl_spark.sources.io import (
+        NULL_PARTITION,
+        partition_decode,
+        partition_encode,
+        partition_encode_value,
+        write_partitioned,
+    )
+
+    keys = _PATH_KEYS + [NULL_PARTITION, "%E", "%H", "%", "%%E"]
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k string, v int")
+
+    enc_rows = df.select(
+        "k", partition_encode(F.col("k")).alias("enc")
+    ).collect()
+    for r in enc_rows:
+        assert r.enc == partition_encode_value(r.k), r
+
+    staged = df.select(partition_encode(F.col("k")).alias("k"), "v")
+    out = str(tmp_path / "codec")
+    write_partitioned(staged, out, ["k"])
+    back = (
+        spark.read.schema(staged.schema)
+        .parquet(out)
+        .select(partition_decode(F.col("k")).alias("k"), "v")
+    )
+    assert {(r.k, r.v) for r in back.collect()} == set(rows)
 
 
 def test_resume_filter_anti_join_path(spark, tmp_path, monkeypatch):
