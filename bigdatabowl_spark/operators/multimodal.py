@@ -38,9 +38,122 @@ DECODE_SCHEMA = StructType(
 
 
 def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Treat the UTF-8 bytes of a text column as an opaque media payload."""
+    """Treat the UTF-8 bytes of a text column as an opaque media payload.
+
+    If the input ALREADY carries a binary `payload` column it passes
+    through untouched — the fuzz path (tests/test_multimodal_fuzz.py)
+    feeds raw adversarial bytes to the same kernels the text-derived
+    catalog queries run."""
+    from pyspark.sql.types import BinaryType
+
+    if "payload" in df.columns and isinstance(
+        df.schema["payload"].dataType, BinaryType
+    ):
+        return df.select(F.col(id_col), "payload")
     return df.select(
         F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+# Stub codec contract shared by validate_payloads (JVM prefilter) and
+# decode_with_errors (kernel-side try/except): a payload "decodes" iff it
+# is non-null, non-empty, carries at least MIN_HEADER_BYTES, and its first
+# byte is < 0x80 (the stand-in for a magic-number check — real codecs
+# reject on magic before anything else). Deterministic and cheap so both
+# engines of the oracle harness can compute it.
+MIN_HEADER_BYTES = 4
+
+
+def validate_payloads(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """JVM-side payload triage → S13 status column (no Python).
+
+    At 100 TB the cheap rejections (null/empty/truncated/bad magic) should
+    never reach a Python worker: pure Column expressions classify every
+    payload so only plausible bytes flow into the decode kernel and the
+    rest split off through split_error_channel. Statuses: ok | error:null
+    | error:empty | error:truncated | error:badheader."""
+    c = F.col(payload_col)
+    first_byte = F.conv(F.hex(F.substring(c, 1, 1)), 16, 10).cast("int")
+    status = (
+        F.when(c.isNull(), F.lit("error:null"))
+        .when(F.octet_length(c) == 0, F.lit("error:empty"))
+        .when(F.octet_length(c) < MIN_HEADER_BYTES, F.lit("error:truncated"))
+        .when(first_byte >= 128, F.lit("error:badheader"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        F.col(id_col), c.alias(payload_col), status.alias("status")
+    )
+
+
+ERROR_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _decode_or_error(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode kernel with a PER-PAYLOAD error channel: one malformed
+    payload becomes one error ROW, never a dead Arrow batch (the S13
+    pattern inside mapInPandas — the reference aborts the whole play on
+    one bad frame, comb_model_big_run_cpu.py:27-45). The try/except is
+    belt-and-braces over validate_payloads' prefilter: a real codec fails
+    on bytes no header check can pre-screen."""
+
+    def one(payload):
+        try:
+            if payload is None:
+                return (None, None, None, None, "error:null")
+            n = len(payload)
+            if n == 0:
+                return (0, None, None, None, "error:empty")
+            if n < MIN_HEADER_BYTES:
+                return (n, None, None, None, "error:truncated")
+            if payload[0] >= 128:
+                return (n, None, None, None, "error:badheader")
+            # ---- STUB decode (no media libs in container): the metadata
+            # derivation mirrors _fake_decode exactly ----
+            return (
+                n,
+                64 + n % 512,
+                64 + (n * 7) % 512,
+                "img" if n % 2 == 0 else "aud",
+                "ok",
+            )
+        except Exception as e:  # a crash is one row, not a dead batch
+            return (None, None, None, None, f"error:{type(e).__name__}")
+
+    for pdf in batches:
+        decoded = [one(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "byte_len": pd.array(
+                    [d[0] for d in decoded], dtype="Int32"
+                ),
+                "width": pd.array([d[1] for d in decoded], dtype="Int32"),
+                "height": pd.array([d[2] for d in decoded], dtype="Int32"),
+                "format": [d[3] for d in decoded],
+                "status": [d[4] for d in decoded],
+            }
+        )
+
+
+def decode_with_errors(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Binary payload → typed metadata WITH an S13 status column.
+
+    Composes with sources.io.split_error_channel: ok rows feed the
+    pipeline, error rows land in the errors table with a typed reason.
+    Input may be a text table (payload = UTF-8 bytes) or any DataFrame
+    already carrying a binary `payload` column."""
+    return attach_binary(df, text_col, id_col).mapInPandas(
+        _decode_or_error, ERROR_DECODE_SCHEMA
     )
 
 

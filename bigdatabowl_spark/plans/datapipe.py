@@ -572,6 +572,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str):
     return multimodal.md5_features(docs, dims=4)
 
 
+@register(
+    "multimodal_error_channel",
+    "MM1,S13,M3",
+    """
+    WITH v AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               CASE WHEN text IS NULL THEN 'error:null'
+                    WHEN octet_length(encode(text)) = 0 THEN 'error:empty'
+                    WHEN octet_length(encode(text)) < 4 THEN 'error:truncated'
+                    WHEN unicode(substr(text, 1, 1)) >= 128 THEN 'error:badheader'
+                    ELSE 'ok' END AS status
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS byte_len,
+           CAST(CASE WHEN status = 'ok' THEN 64 + n % 512 END AS INTEGER) AS width,
+           CAST(CASE WHEN status = 'ok' THEN 64 + (n * 7) % 512 END AS INTEGER) AS height,
+           CASE WHEN status = 'ok'
+                THEN CASE WHEN n % 2 = 0 THEN 'img' ELSE 'aud' END END AS format,
+           status
+    FROM v
+    """,
+)
+def multimodal_error_channel(spark: SparkSession, sf_dir: str):
+    """Decode with a PER-PAYLOAD S13 error channel (VERDICT r10 item 5):
+    malformed payloads (null / empty / truncated / bad magic byte) become
+    typed error ROWS instead of dead Arrow batches or aborted jobs. The
+    kernel's per-payload try/except plus the JVM-side validate_payloads
+    prefilter are fuzzed with adversarial raw bytes in
+    tests/test_multimodal_fuzz.py; this catalog twin oracle-checks the
+    status semantics on the documents corpus (whose empty-string docs
+    exercise error:empty for real). Composes with
+    sources.io.split_error_channel downstream."""
+    docs = t(spark, sf_dir, "documents")
+    return multimodal.decode_with_errors(docs)
+
+
 _LSH_BUCKETS_CTE = """
     w AS (
         SELECT d.d, k.k,

@@ -73,6 +73,7 @@ FUZZ_QUERIES = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_features",
+    "multimodal_error_channel",
     "split_assign",
     "pack_sequences",
     "decontaminate_ngram",
