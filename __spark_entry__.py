@@ -26,58 +26,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-10 driver-run ordering. The driver caps each round at 50 queries.
-# This window finishes the freshness rotation VERDICT r9 item 1 asked for:
-# (a) the full r6-latest tier — 21 direct oracle-checked queries in catalog
-# order, then the 8 kernel readside twins, each interleaved AFTER the
-# rows-only kernel chain whose builder stages the parquet its oracle reads
-# (test_entry guards that ordering; the 8 kernel queries consume slots as
-# no_oracle rows, so the tier fills 37 of the 50). The dedup trio
-# minhash_lsh_pairs / dedup_clusters / dedup_apply (DD3/6/7) sits in this
-# tier and is additionally fuzz-hardened this round through
-# test_dedup_fuzz's collision-pressure corpus (VERDICT r9 item 3).
-# (b) The five queries whose BUILDERS the round-10 sources-layout fuzz
-# changed (s1 null-token CSV round trip, s10 value-space resume +
-# schema'd read-back, the s16/stream_npy/s17 stem-codec artifact family)
-# get fresh driver rows; s19/s18, also touched, already sit in tier (a).
-# (b2) s20_jsonl_roundtrip and stream_jsonl_documents are NEW this round
-# (JSONL corpus sink/scan + its streaming ingest twin) and get their
-# first driver rows. (c) The remaining 6 slots start the r7-latest tier
-# in catalog order.
-# After this round no oracle-checked query's latest driver-green row is
-# older than r7. Entries past position 50 are the documented queue for
-# round 11: the r7-tier remainder in catalog order.
+# Round-11 driver-run ordering. The driver caps each round at 50 queries.
+# This window completes the steady ≤3-round freshness cycle (VERDICT r10
+# item 1):
+# (a) the full r7-latest tier — all 37 remaining oracle-checked queries,
+# in the order r10 documented (catalog order);
+# (b) the two STALE rows-only kernel chains (`m6_optimize_defense`, last
+# driver row r8; `a7b_approx_sketches`, r5 — the repo's oldest row), each
+# with its certifying readside/certify twin right behind it so the chain
+# re-stages AND re-greens under current code (m6_defense_readside's
+# oracle reads the parquet m6's builder stages — test_entry guards the
+# ordering; a7c is independent but rotates with its partner);
+# (c) the two builders this round's io.py change touched —
+# s10_partitioned_resume (write_partitioned's ''-guard is now a
+# raise_error CASE inside the written projection, single pass) and
+# s19_dpp_star_join (staged through write_partitioned with the new
+# partition VALUE codec, dim side encoded so DPP still fires);
+# (d) the first 7 of the r8-latest tier in catalog order — the rotation's
+# steady-state drumbeat.
+# After this round no query's latest driver row (green or rows-only) is
+# older than r8. Entries past position 50 are the documented queue for
+# round 12: the r8-tier remainder in catalog order.
 _RUN_FIRST = (
-    # (a) r6-latest tier — direct-oracle queries, catalog order
-    "j4_derived_scalar", "j5_derived_key_join", "a10_quantiles",
-    "a16_corr_moments", "a19_calibration", "f_strings_keys",
-    "f12_time_parts", "dedup_exact", "minhash_lsh_pairs",
-    "dedup_clusters", "dedup_apply", "embed_lsh_buckets",
-    "multimodal_decode", "s18_compaction_roundtrip", "s19_dpp_star_join",
-    "m5_tuning_dataset", "stream_eppa_kernel", "m4_prior_surface",
-    "encode_tokens", "ngram_lm_score", "f_variant_props",
-    # (a) r6 readside twins, each behind the kernel chain that stages
-    # its bytes
-    "eppa_field_surface", "eppa_surface_readside",
-    "eppa_pass_summary", "eppa_pass_readside",
-    "eppa_player_stats", "eppa_player_readside",
-    "m2_value_model_width", "m2_width_readside",
-    "s4_prior_artifact_lifecycle", "s4_lifecycle_readside",
-    "a20b_gamma_mle_fit", "a20b_mle_readside",
-    "analytics_player_rankings", "rankings_readside",
-    "analytics_throw_calibration", "calibration_readside",
-    # (b) builders changed by the r10 sources-layout fuzz fixes
-    "s1_csv_roundtrip", "s10_partitioned_resume", "s16_npy_datasource",
-    "stream_npy_artifacts", "s17_npy_writer_roundtrip",
-    # (b2) new this round: JSONL corpus round trip + streaming ingest twin
-    # (first driver rows)
-    "s20_jsonl_roundtrip", "stream_jsonl_documents",
-    # (c) r7-latest tier — first 6 in catalog order
-    "j7_event_span", "j13_range_join", "u4_semi_anti",
-    "u5_except_intersect", "w4_topk_per_group", "a26_argmax_per_group",
-    # ---- 50-query cap lands here; below is the documented queue (r11):
-    # the r7-latest remainder in catalog order ----
-    "o2_global_topn", "a7_distinct_counts", "a24_masked_pivot", "a8_relative_freq", "a15_event_sets",
+    # (a) r7-latest tier — catalog order (37)
+    "o2_global_topn", "a7_distinct_counts", "a24_masked_pivot",
+    "a8_relative_freq", "a15_event_sets",
     "a18_histogram_2d", "a25_cumulative",
     "j15_asof_join", "j16_full_outer", "f_kinematics",
     "p9_conditional_tiers", "a17_autocorr", "text_langid",
@@ -91,6 +64,39 @@ _RUN_FIRST = (
     "p1_conjunctive_lookup", "m7_grouped_matrix", "s13_error_channel",
     "etl_normalize_tracking", "m1b_forest_score", "m1c_forest_udf_score",
     "m1d_forest_compiled_score", "pagerank_converge",
+    # (b) stale rows-only kernel chain + certifying twins. NOTE:
+    # a7b_approx_sketches (the repo's oldest driver row, r5) is NOT here —
+    # it was deliberately DE-CATALOGED in r7 (approx sketch values are
+    # engine-specific, so its row could only ever be no_oracle;
+    # relational.py:391-396); a7c_sketch_certify is its oracle-checked
+    # certificate and rotates in its stead.
+    "m6_optimize_defense", "m6_defense_readside",
+    "a7c_sketch_certify",
+    # (c) builders touched by this round's write_partitioned single-pass
+    # guard + partition value codec, plus the NEW multimodal S13 error
+    # channel (first driver row; adversarial-bytes fuzz in
+    # tests/test_multimodal_fuzz.py)
+    "s10_partitioned_resume", "s19_dpp_star_join",
+    "multimodal_error_channel",
+    # (d) r8-latest tier — first 7 in catalog order
+    "w1_lag_gaps", "w3_rolling_mean", "w5_share_of_total",
+    "resample_interpolate", "o7_global_rank", "funnel_steps",
+    "split_assign",
+    # ---- 50-query cap lands here; below is the documented queue (r12):
+    # the r8-tier remainder in catalog order ----
+    "pack_sequences", "s3_multi_scan_union", "w2_first_event_offset",
+    "s14_upsert_merge", "o6_zorder_layout", "s15_rollup_reuse",
+    "containment_pairs", "skew_salted_agg", "w8_zscore_anomaly",
+    "pii_redact", "url_host_agg", "rollup_hierarchy", "ntile_stratify",
+    "dedup_incremental", "mixture_temperature", "repeated_ngram_spans",
+    "kmv_distinct_sketch", "bloom_semi_prune", "scd2_history",
+    "psi_drift", "markov_transitions", "simhash_hamming_pairs",
+    "zonemap_prune_stats", "oov_rate", "dup_span_coverage",
+    "sessionize_batch", "blocking_pairs", "mad_robust_stats",
+    "time_range_rolling", "time_weighted_avg", "triangle_count",
+    "prefix_filter_jaccard", "cohort_retention", "pq_codes",
+    "m1e_dart_forest_score", "stream_tumbling_counts",
+    "stream_sliding_counts", "stream_stateful_totals_eventtime",
 )
 
 
