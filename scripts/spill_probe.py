@@ -1,0 +1,226 @@
+"""Spill-regime probe (VERDICT r10 item 6): same operator, same data,
+deliberately starved execution memory — the result must be HASH-IDENTICAL
+and the slowdown measured, because at 100× the first thing that changes
+is that shuffle/agg state stops fitting in memory.
+
+Workload: dedup_clusters (minhash → LSH band explode → bucket groupBy →
+pair join → hash-min label propagation) over the 2M-doc log-uniform
+corpus scale_probe.py stages — the most shuffle-heavy catalog chain.
+
+Two legs, each its own subprocess/JVM (the bench r10 isolation pattern):
+- roomy: the bench config (24g heap, spark.memory.fraction default 0.6);
+- tight: 4g heap, spark.memory.fraction 0.15 — execution memory per task
+  drops ~40×, forcing UnsafeExternalSorter/ExternalAppendOnlyMap spills.
+
+Each leg reports wall/CPU (bench's paired sampler), an ORDER-FREE result
+hash (row count + sum of per-row crc32 — partitioning/spill order cannot
+affect it), and the stage-aggregated memoryBytesSpilled /
+diskBytesSpilled / peakExecutionMemory from Spark's REST status API
+(spark.ui.enabled on for the probe legs only). The parent asserts the
+two hashes are equal and writes spill_probe_r{N}.json; SCALE.md quotes
+the spilled-vs-unspilled numbers.
+
+Usage: PYTHONPATH=/root/repo python scripts/spill_probe.py
+       PYTHONPATH=/root/repo python scripts/spill_probe.py --leg tight <dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LEG_CONF = {
+    # bench posture: everything fits — the baseline the tight leg is
+    # compared against
+    "roomy": {"spark.driver.memory": "24g"},
+    # ~40x less execution memory per task: 4g heap x 0.15 fraction vs
+    # 24g x 0.6 — deep in the spill regime for a 25M-row band shuffle,
+    # but enough UNMANAGED headroom (codegen, Arrow, result arrays) that
+    # the job survives rather than OOMs
+    "tight": {"spark.driver.memory": "4g", "spark.memory.fraction": "0.15"},
+}
+
+
+def _leg_session(leg: str):
+    from pyspark.sql import SparkSession
+
+    from bigdatabowl_spark.session import _BUILD_CONF, configure
+
+    b = (
+        SparkSession.builder.appName(f"bdb-spill-{leg}")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    )
+    for k, v in _BUILD_CONF.items():
+        b = b.config(k, v)
+    # REST status API is the spill-metrics source — UI on for probe legs
+    b = b.config("spark.ui.enabled", "true")
+    b = b.config("spark.sql.shuffle.partitions", "64")
+    for k, v in LEG_CONF[leg].items():
+        b = b.config(k, v)
+    return configure(b.getOrCreate())
+
+
+def _result_hash(df) -> dict:
+    """Order-free, partitioning-independent witness of the full result:
+    row count + sum of per-row crc32 over the canonicalized row string.
+    crc32 <= 2^32 and count <= ~10^7, so the sum stays well inside a
+    BIGINT — no overflow under ANSI mode."""
+    import pyspark.sql.functions as F
+
+    row_str = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in sorted(df.columns)]
+    )
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(row_str)).alias("crc_sum"),
+    ).collect()[0]
+    return {"rows": agg["n"], "crc_sum": int(agg["crc_sum"])}
+
+
+def _spill_metrics(spark) -> dict:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+    )
+    return {
+        "memory_spilled_mb": round(
+            sum(s.get("memoryBytesSpilled", 0) for s in stages) / 1e6, 1
+        ),
+        "disk_spilled_mb": round(
+            sum(s.get("diskBytesSpilled", 0) for s in stages) / 1e6, 1
+        ),
+        "peak_execution_memory_mb": round(
+            max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
+            / 1e6,
+            1,
+        ),
+        "n_stages": len(stages),
+    }
+
+
+def run_leg(leg: str, sf_dir: str) -> dict:
+    from bench import _ambient_cpu_frac, _timed_min, _release_persistent_rdds
+    import bigdatabowl_spark.plans  # noqa: F401
+    from bigdatabowl_spark.plans.catalog import CATALOG
+
+    ambient = _ambient_cpu_frac()
+    spark = _leg_session(leg)
+    spark.sparkContext.setLogLevel("ERROR")
+    # untimed warmup (bench r11 convention): JIT/codegen + python workers
+    import pyspark.sql.functions as F
+
+    spark.range(0, 2_000_000, 1, 32).select(F.sum(F.col("id") * 2)).collect()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+    builder = CATALOG["dedup_clusters"].builder
+    result: dict = {}
+
+    def job():
+        df = builder(spark, sf_dir)
+        result["hash"] = _result_hash(df)
+        _release_persistent_rdds(spark)  # label-prop checkpoints
+
+    wall, cpu, _ = _timed_min(job, runs=1)
+    out = {
+        "leg": leg,
+        "conf": LEG_CONF[leg],
+        "wall_sec": round(wall, 3),
+        "cpu_sec": round(cpu, 3),
+        "ambient_cpu_frac": ambient,
+        **result["hash"],
+        **_spill_metrics(spark),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if "--leg" in sys.argv:
+        i = sys.argv.index("--leg")
+        leg, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
+        print(json.dumps(run_leg(leg, sf_dir)), flush=True)
+        return
+
+    # stage the 2M-doc corpus with a roomy throwaway session, then kill
+    # the JVM so the legs own the box (bench.py's gateway teardown)
+    from bigdatabowl_spark.session import get_spark
+    from scripts.scale_probe import _stage_docs
+
+    spark = get_spark("bdb-spill-stage")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = _stage_docs(spark, "docs_x100", 2_000_000)
+    gateway = spark.sparkContext._gateway
+    spark.stop()
+    gateway.shutdown()
+    if getattr(gateway, "proc", None) is not None:
+        gateway.proc.terminate()
+        try:
+            gateway.proc.wait(timeout=30)
+        except Exception:
+            gateway.proc.kill()
+
+    legs = {}
+    for leg in ("roomy", "tight"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", leg, sf_dir],
+            stdout=subprocess.PIPE,
+            stderr=None,
+            cwd=ROOT,
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"spill leg {leg!r} failed ({proc.returncode})")
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        legs[leg] = json.loads(lines[-1])
+        print(f"[spill] {leg}: {legs[leg]['wall_sec']}s, "
+              f"disk spilled {legs[leg]['disk_spilled_mb']} MB, "
+              f"hash ({legs[leg]['rows']}, {legs[leg]['crc_sum']})",
+              file=sys.stderr, flush=True)
+
+    same = (
+        legs["roomy"]["rows"] == legs["tight"]["rows"]
+        and legs["roomy"]["crc_sum"] == legs["tight"]["crc_sum"]
+    )
+    if not same:
+        raise SystemExit(
+            f"HASH MISMATCH under spill: roomy={legs['roomy']} "
+            f"tight={legs['tight']}"
+        )
+    payload = {
+        "metric": "spill_probe_dedup_clusters_2m",
+        "hash_identical": True,
+        "slowdown": round(
+            legs["tight"]["wall_sec"] / max(legs["roomy"]["wall_sec"], 1e-9), 2
+        ),
+        "legs": legs,
+        "cpus": os.cpu_count(),
+    }
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob
+        import re
+
+        recorded = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(recorded, default=0) + 1)
+    path = os.path.join(ROOT, f"spill_probe_r{int(rnd):02d}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

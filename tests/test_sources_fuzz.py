@@ -84,6 +84,10 @@ _COVERED_ELSEWHERE = {
     # play-files fixture in tests/test_streaming.py and its oracle reads
     # kernel-staged parquet, not a table this file regenerates
     "stream_eppa_kernel",
+    # S13 error-channel over binary payloads: its adversarial axis is
+    # BYTES, not layout — owned by tests/test_multimodal_fuzz.py (raw
+    # binary fuzz) + test_dedup_fuzz (documents-corpus data fuzz)
+    "multimodal_error_channel",
 }
 
 
@@ -550,6 +554,43 @@ def test_partition_value_codec_spark_roundtrip(spark, tmp_path):
     write_partitioned(staged, out, ["k"])
     back = (
         spark.read.schema(staged.schema)
+        .parquet(out)
+        .select(partition_decode(F.col("k")).alias("k"), "v")
+    )
+    assert {(r.k, r.v) for r in back.collect()} == set(rows)
+
+
+def test_encoded_layout_resume_loop_converges(spark, tmp_path):
+    """The codec's full production loop: encode → write_partitioned →
+    crash (some partitions missing) → resume_filter on the ENCODED
+    column → write remainder → decoded read-back equals the full input.
+    Covers the two values a raw layout cannot carry ('' and the
+    NULL_PARTITION marker) plus NULL and escaped keys."""
+    import pyspark.sql.functions as F
+
+    from bigdatabowl_spark.sources.io import (
+        NULL_PARTITION,
+        partition_decode,
+        partition_encode,
+        resume_filter,
+        write_partitioned,
+    )
+
+    keys = ["A", "", NULL_PARTITION, "a=b", "%E", None, "🦆"]
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    enc = df.select(partition_encode(F.col("k")).alias("k"), "v")
+    out = str(tmp_path / "loop")
+
+    # first run "crashes" after materializing a strict subset
+    write_partitioned(enc.filter("v < 3"), out, ["k"])
+    remaining = resume_filter(enc, spark, out, "k")
+    assert {r.v for r in remaining.collect()} == {3, 4, 5, 6}
+
+    write_partitioned(remaining, out, ["k"])
+    assert resume_filter(enc, spark, out, "k").count() == 0
+    back = (
+        spark.read.schema(enc.schema)
         .parquet(out)
         .select(partition_decode(F.col("k")).alias("k"), "v")
     )
