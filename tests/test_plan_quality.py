@@ -174,6 +174,17 @@ def test_split_assign_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_multimodal_error_channel_is_map_only(spark, sf_dir):
+    """The S13 decode-with-errors stage is per-payload — scan →
+    mapInPandas, no Exchange, no Join: at 100 TB the error channel must
+    not cost a shuffle, and the payload column must stream through one
+    Arrow stage."""
+    plan = _catalog_plan(spark, sf_dir, "multimodal_error_channel")
+    assert "Exchange" not in plan, plan
+    assert not re.search(r"\bJoin\b", plan), plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_full_outer_reuses_aggregate_partitioning(spark, sf_dir):
     """j16: each side shuffles once for its aggregate and the full-outer
     join reuses that hash partitioning — exactly 2 exchanges, not 4."""
