@@ -3,9 +3,14 @@ deliberately starved execution memory — the result must be HASH-IDENTICAL
 and the slowdown measured, because at 100× the first thing that changes
 is that shuffle/agg state stops fitting in memory.
 
-Workload: dedup_clusters (minhash → LSH band explode → bucket groupBy →
-pair join → hash-min label propagation) over the 2M-doc log-uniform
-corpus scale_probe.py stages — the most shuffle-heavy catalog chain.
+Two workloads over the 2M-doc log-uniform corpus scale_probe.py stages,
+chosen to bracket the spill cost question:
+- dedup: dedup_clusters (minhash → LSH band explode → bucket groupBy →
+  pair join → hash-min label propagation) — CPU-BOUND (signature work
+  dominates), so spill I/O should overlap compute and cost ~nothing;
+- bigram: explode 78M token bigrams → groupBy(a,b) count → order-free
+  checksum — SHUFFLE-BOUND (the hash-aggregate state is the work), the
+  regime where spill is predicted to actually cost wall-clock.
 
 Two legs, each its own subprocess/JVM (the bench r10 isolation pattern):
 - roomy: the bench config (24g heap, spark.memory.fraction default 0.6);
@@ -106,7 +111,23 @@ def _spill_metrics(spark) -> dict:
     }
 
 
-def run_leg(leg: str, sf_dir: str) -> dict:
+def _bigram_counts(spark, sf_dir: str):
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(F.split(F.col("text"), " ").alias("arr"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(arr, 1, size(arr) - 1),"
+                " (x, i) -> struct(x AS a, arr[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return bi.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+
+
+def run_leg(leg: str, workload: str, sf_dir: str) -> dict:
     from bench import _ambient_cpu_frac, _timed_min, _release_persistent_rdds
     import bigdatabowl_spark.plans  # noqa: F401
     from bigdatabowl_spark.plans.catalog import CATALOG
@@ -122,17 +143,20 @@ def run_leg(leg: str, sf_dir: str) -> dict:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
-    builder = CATALOG["dedup_clusters"].builder
     result: dict = {}
 
     def job():
-        df = builder(spark, sf_dir)
+        if workload == "dedup":
+            df = CATALOG["dedup_clusters"].builder(spark, sf_dir)
+        else:
+            df = _bigram_counts(spark, sf_dir)
         result["hash"] = _result_hash(df)
         _release_persistent_rdds(spark)  # label-prop checkpoints
 
     wall, cpu, _ = _timed_min(job, runs=1)
     out = {
         "leg": leg,
+        "workload": workload,
         "conf": LEG_CONF[leg],
         "wall_sec": round(wall, 3),
         "cpu_sec": round(cpu, 3),
@@ -147,8 +171,10 @@ def run_leg(leg: str, sf_dir: str) -> dict:
 def main() -> None:
     if "--leg" in sys.argv:
         i = sys.argv.index("--leg")
-        leg, sf_dir = sys.argv[i + 1], sys.argv[i + 2]
-        print(json.dumps(run_leg(leg, sf_dir)), flush=True)
+        leg, workload, sf_dir = (
+            sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3]
+        )
+        print(json.dumps(run_leg(leg, workload, sf_dir)), flush=True)
         return
 
     # stage the 2M-doc corpus with a roomy throwaway session, then kill
@@ -169,40 +195,51 @@ def main() -> None:
         except Exception:
             gateway.proc.kill()
 
-    legs = {}
-    for leg in ("roomy", "tight"):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", leg, sf_dir],
-            stdout=subprocess.PIPE,
-            stderr=None,
-            cwd=ROOT,
-            text=True,
+    workloads: dict = {}
+    for workload in ("dedup", "bigram"):
+        legs = {}
+        for leg in ("roomy", "tight"):
+            proc = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--leg", leg, workload, sf_dir,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=None,
+                cwd=ROOT,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"spill leg {workload}/{leg!r} failed ({proc.returncode})"
+                )
+            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            legs[leg] = json.loads(lines[-1])
+            print(f"[spill] {workload}/{leg}: {legs[leg]['wall_sec']}s, "
+                  f"disk spilled {legs[leg]['disk_spilled_mb']} MB, "
+                  f"hash ({legs[leg]['rows']}, {legs[leg]['crc_sum']})",
+                  file=sys.stderr, flush=True)
+        same = (
+            legs["roomy"]["rows"] == legs["tight"]["rows"]
+            and legs["roomy"]["crc_sum"] == legs["tight"]["crc_sum"]
         )
-        if proc.returncode != 0:
-            raise RuntimeError(f"spill leg {leg!r} failed ({proc.returncode})")
-        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-        legs[leg] = json.loads(lines[-1])
-        print(f"[spill] {leg}: {legs[leg]['wall_sec']}s, "
-              f"disk spilled {legs[leg]['disk_spilled_mb']} MB, "
-              f"hash ({legs[leg]['rows']}, {legs[leg]['crc_sum']})",
-              file=sys.stderr, flush=True)
-
-    same = (
-        legs["roomy"]["rows"] == legs["tight"]["rows"]
-        and legs["roomy"]["crc_sum"] == legs["tight"]["crc_sum"]
-    )
-    if not same:
-        raise SystemExit(
-            f"HASH MISMATCH under spill: roomy={legs['roomy']} "
-            f"tight={legs['tight']}"
-        )
+        if not same:
+            raise SystemExit(
+                f"HASH MISMATCH under spill ({workload}): "
+                f"roomy={legs['roomy']} tight={legs['tight']}"
+            )
+        workloads[workload] = {
+            "hash_identical": True,
+            "slowdown": round(
+                legs["tight"]["wall_sec"]
+                / max(legs["roomy"]["wall_sec"], 1e-9),
+                2,
+            ),
+            "legs": legs,
+        }
     payload = {
-        "metric": "spill_probe_dedup_clusters_2m",
-        "hash_identical": True,
-        "slowdown": round(
-            legs["tight"]["wall_sec"] / max(legs["roomy"]["wall_sec"], 1e-9), 2
-        ),
-        "legs": legs,
+        "metric": "spill_probe_2m_docs",
+        "workloads": workloads,
         "cpus": os.cpu_count(),
     }
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
