@@ -649,6 +649,40 @@ def _ambient_cpu_frac(interval: float = 0.5) -> float:
 _CONTENDED_FRAC = 0.125
 
 
+def _shutdown_jvm(spark) -> None:
+    """Stop the session AND kill its JVM. spark.stop() alone stops the
+    SparkContext but the py4j-launched java process (full heap, tenured
+    set) lives until this python process exits — with that zombie sharing
+    the box, a subsequently spawned measurement JVM reads 2.4× slow
+    (r10: pagerank 5.8 vs 2.4 s/superstep). Shared by bench main, the
+    scale probe, and the spill probe."""
+    gateway = spark.sparkContext._gateway
+    spark.stop()
+    gateway.shutdown()
+    if getattr(gateway, "proc", None) is not None:
+        gateway.proc.terminate()  # SIGTERM → rc 143, verified
+        try:
+            gateway.proc.wait(timeout=30)
+        except Exception:
+            gateway.proc.kill()
+
+
+def _warmup_session(spark) -> None:
+    """Untimed first-job warmup for a fresh measurement JVM: JIT/codegen
+    for scan-agg, shuffle-join, and Arrow/python-worker paths (r10: the
+    un-warmed fresh-JVM graph-build leg read 6.7 s vs 2.8 s warm)."""
+    import pyspark.sql.functions as F
+
+    spark.range(0, 2_000_000, 1, 32).select(F.sum(F.col("id") * 2)).collect()
+    warm = spark.range(0, 100_000, 1, 16)
+    warm.join(
+        warm.withColumnRenamed("id", "id2"), F.col("id") == F.col("id2")
+    ).groupBy((F.col("id") % 100).alias("b")).count().count()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+
 def run_scale_legs(sf_dir: str, leg: str) -> dict:
     """ONE of the bench's scale legs (eppa | pagerank | text | m6) in THIS
     process's own fresh SparkSession — invoked as
@@ -679,20 +713,8 @@ def run_scale_legs(sf_dir: str, leg: str) -> dict:
     # untimed warmup: first-job JIT/codegen + Python-worker spawn otherwise
     # land inside the leg's first timed window (VERDICT r10 item 3: the
     # fresh-JVM graph-build leg read 6.7 s idle vs 2.8 s r9-warm — a
-    # standing fake regression). One scan-agg, one shuffle join, one
-    # mapInPandas batch cover the codegen paths every leg touches.
-    import pyspark.sql.functions as F
-
-    spark.range(0, 2_000_000, 1, 32).select(
-        F.sum(F.col("id") * 2)
-    ).collect()
-    warm = spark.range(0, 100_000, 1, 16)
-    warm.join(
-        warm.withColumnRenamed("id", "id2"), F.col("id") == F.col("id2")
-    ).groupBy((F.col("id") % 100).alias("b")).count().count()
-    spark.range(0, 64, 1, 32).mapInPandas(
-        lambda it: (pdf for pdf in it), "id long"
-    ).count()
+    # standing fake regression).
+    _warmup_session(spark)
     out: dict = {
         "load_start": round(os.getloadavg()[0], 2),
         "ambient_cpu_frac": ambient,
@@ -929,18 +951,7 @@ def main() -> None:
     # terminates it so the leg subprocesses don't share the box with a
     # zombie heap (first r10 run: pagerank 5.8 s/superstep with the zombie
     # vs 2.4 solo).
-    gateway = spark.sparkContext._gateway
-    spark.stop()
-    gateway.shutdown()
-    # shutdown() only closes the py4j connections — the spark-submit/java
-    # child keeps running until this python process exits; terminate it
-    # (SIGTERM → rc 143, verified) so its heap is actually released
-    if getattr(gateway, "proc", None) is not None:
-        gateway.proc.terminate()
-        try:
-            gateway.proc.wait(timeout=30)
-        except Exception:
-            gateway.proc.kill()
+    _shutdown_jvm(spark)
     scale = _spawn_scale_legs(sf_dir)
     ambient = {"start": ambient_start}
     contended = ambient_start > _CONTENDED_FRAC

@@ -504,39 +504,104 @@ def probe_stream(spark) -> dict:
     }
 
 
-def main() -> None:
+FAMILIES = (
+    "eppa_kernel",
+    "pagerank_superstep",
+    "text_encode",
+    "prefix_filter_jaccard",
+    "dedup_clusters",
+    "dedup_incremental_batch",
+    "bucketed_join",
+    "stream_stateful",
+)
+
+
+def run_family(fam: str, d1: str, d10: str, d100: str) -> dict:
+    """ONE probe family in THIS process's own fresh SparkSession — invoked
+    as `python scripts/scale_probe.py --family <fam> <d1> <d10> <d100>`.
+
+    The probe inherits bench.py's r10/r11 isolation lessons: eight heavy
+    families in ONE JVM measure each other's accumulated state (broadcast
+    / shuffle-cleanup backlog, old-gen pressure — the same signature that
+    inflated the in-suite bench legs 2-4× before per-leg JVMs), so each
+    family gets its own subprocess, an untimed warmup (first-job
+    JIT/codegen otherwise lands in the family's first timed window), and
+    a pre-session ambient-CPU probe for the contended flag."""
+    from bench import _ambient_cpu_frac, _warmup_session, _CONTENDED_FRAC
     from bigdatabowl_spark.session import get_spark
     import bigdatabowl_spark.plans  # noqa: F401 — populates CATALOG
 
-    spark = get_spark("bdb-scale-probe")
+    ambient = _ambient_cpu_frac()
+    spark = get_spark(f"bdb-scale-probe-{fam}")
     spark.sparkContext.setLogLevel("ERROR")
+    _warmup_session(spark)
+    fns = {
+        "eppa_kernel": lambda: probe_eppa(spark),
+        "pagerank_superstep": lambda: probe_pagerank(spark),
+        "text_encode": lambda: probe_text(spark),
+        "prefix_filter_jaccard": lambda: probe_prefix(spark, d1, d10, d100),
+        "dedup_clusters": lambda: probe_dedup(spark, d1, d10, d100),
+        "dedup_incremental_batch": lambda: probe_incremental(
+            spark, d1, d10, d100
+        ),
+        "bucketed_join": lambda: probe_bucketed_join(spark),
+        "stream_stateful": lambda: probe_stream(spark),
+    }
+    r = fns[fam]()
+    r["ambient_cpu_frac"] = ambient
+    r["contended"] = ambient > _CONTENDED_FRAC
+    spark.stop()
+    return r
+
+
+def main() -> None:
+    from bench import _shutdown_jvm
+    from bigdatabowl_spark.session import get_spark
+    import bigdatabowl_spark.plans  # noqa: F401 — populates CATALOG
+
+    if "--family" in sys.argv:
+        i = sys.argv.index("--family")
+        fam, d1, d10, d100 = sys.argv[i + 1 : i + 5]
+        print(json.dumps(run_family(fam, d1, d10, d100)), flush=True)
+        return
+
     loads = {"start": round(os.getloadavg()[0], 2)}
 
+    # corpora staged once by a throwaway session whose JVM is then KILLED
+    # (bench.py's teardown — a zombie heap sharing the box costs the first
+    # child family 2x), deterministic so every child reads the same bytes
+    spark = get_spark("bdb-scale-probe-stage")
+    spark.sparkContext.setLogLevel("ERROR")
     d1 = _stage_docs(spark, "docs_x1", 20_000)
     d10 = _stage_docs(spark, "docs_x10", 200_000)
     d100 = _stage_docs(spark, "docs_x100", 2_000_000)
+    _shutdown_jvm(spark)
 
     # SPARK_GRAFT_PROBE_ONLY=fam1,fam2 re-measures just those families and
-    # merges into the existing round artifact (heavy legs run back-to-back
-    # contend with each other's shuffle/page-cache cleanup — a solo rerun
-    # on an idle box is the honest number for a disputed family)
+    # merges into the existing round artifact
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     only_set = set(only.split(",")) if only else None
 
+    import subprocess
+
     out: dict = {}
-    for fam, fn in [
-        ("eppa_kernel", lambda: probe_eppa(spark)),
-        ("pagerank_superstep", lambda: probe_pagerank(spark)),
-        ("text_encode", lambda: probe_text(spark)),
-        ("prefix_filter_jaccard", lambda: probe_prefix(spark, d1, d10, d100)),
-        ("dedup_clusters", lambda: probe_dedup(spark, d1, d10, d100)),
-        ("dedup_incremental_batch", lambda: probe_incremental(spark, d1, d10, d100)),
-        ("bucketed_join", lambda: probe_bucketed_join(spark)),
-        ("stream_stateful", lambda: probe_stream(spark)),
-    ]:
+    for fam in FAMILIES:
         if only_set is not None and fam not in only_set:
             continue
-        r = fn()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--family", fam, d1, d10, d100],
+            stdout=subprocess.PIPE,
+            stderr=None,  # inherit: progress stays visible
+            cwd=ROOT,
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"probe family {fam!r} subprocess failed ({proc.returncode})"
+            )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        r = json.loads(lines[-1])
         ratio = r["large"]["sec"] / max(r["small"]["sec"], 1e-9)
         r["ratio_10x"] = round(ratio, 2)
         r["exponent"] = round(math.log(ratio) / math.log(10.0), 3)
@@ -566,7 +631,6 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v["exponent"] for k, v in out.items()}))
-    spark.stop()
 
 
 if __name__ == "__main__":
