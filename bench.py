@@ -23,6 +23,7 @@ snapshotted at every stage boundary for the same reason.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -448,7 +449,7 @@ def _gc_sweep(spark, pause_sec: float = 2.0) -> None:
         _time.sleep(pause_sec)
 
 
-def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
+def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000, apply_engine_conf: bool = True):
     """Superstep scaling for the no-broadcast pagerank plan on a synthetic
     ~10M-edge graph (VERDICT r5 item 7 — the sf fixture's co-purchase graph
     never stresses the rank join, so the broadcast-free posture was gated
@@ -491,14 +492,29 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
         )
 
     graph_sec, graph_cpu, graph = _timed_min(build_graph, runs=1)
-    from bigdatabowl_spark.plans.round4 import _pr_superstep
+    from bigdatabowl_spark.plans.round4 import (
+        _pr_superstep,
+        superstep_shuffle_conf,
+    )
 
     def run_supersteps():
-        ranks = degs.select("node", F.lit(1000000).cast("long").alias("rank"))
-        for _ in range(3):
-            # materialize each superstep: timed work is real
-            ranks = _pr_superstep(graph, ranks).localCheckpoint()
-        return ranks
+        # the engine's own big-graph posture (coalescing off past the
+        # node threshold — measured ~2x/superstep at 100M edges); the
+        # bench measures the plan users get. The probe's deep legs pass
+        # apply_engine_conf=False to keep the raw knob matrix visible.
+        ctx = (
+            superstep_shuffle_conf(spark, n_nodes)
+            if apply_engine_conf
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            ranks = degs.select(
+                "node", F.lit(1000000).cast("long").alias("rank")
+            )
+            for _ in range(3):
+                # materialize each superstep: timed work is real
+                ranks = _pr_superstep(graph, ranks).localCheckpoint()
+            return ranks
 
     steps_sec, steps_cpu, _ = _timed_min(run_supersteps, runs=1)
     return (

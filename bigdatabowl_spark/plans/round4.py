@@ -35,6 +35,8 @@ IEEE division for ratios, round(...,6) for the one libm op (ln in PSI1).
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1209,6 +1211,36 @@ def _pr_graph(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     return degs, graph
+
+
+# Measured r11 (bench_scale_probe_r11.json, deep pagerank legs, 100M
+# edges / 10M nodes): AQE's partition coalescing shrinks every superstep
+# shuffle toward the 64 MB advisory size, and the few fat partitions tax
+# the iterative hash join ~1.8-2.2× (32-40 s/superstep vs 18-19 with
+# coalescing off at 256 initial partitions; AQE fully off reads 12-17).
+# Coalescing exists for scan-shaped stages; a fixpoint join's bottleneck
+# is the per-partition hash map, so the fixpoint drivers disable it for
+# the loop when the graph is big enough to care. Below the threshold the
+# default stays: on a small graph coalescing is neutral-to-helpful
+# (fewer tiny tasks) and the sf-scale catalog rows keep their plans.
+_SUPERSTEP_NO_COALESCE_MIN_NODES = 500_000
+
+
+@contextlib.contextmanager
+def superstep_shuffle_conf(spark: SparkSession, n_nodes: int):
+    """Disable AQE partition coalescing for a fixpoint superstep loop over
+    a graph of `n_nodes` nodes (no-op under the threshold); restores the
+    prior setting on exit."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    if n_nodes < _SUPERSTEP_NO_COALESCE_MIN_NODES:
+        yield
+        return
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _pr_superstep(graph, ranks):

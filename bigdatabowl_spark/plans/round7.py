@@ -103,7 +103,11 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nodes| / cluster); the driver sees exactly one BIGINT per round.
     localCheckpoint between rounds truncates the iterative lineage
     (pagerank_bucketed precedent)."""
-    from bigdatabowl_spark.plans.round4 import _pr_graph, _pr_superstep
+    from bigdatabowl_spark.plans.round4 import (
+        _pr_graph,
+        _pr_superstep,
+        superstep_shuffle_conf,
+    )
 
     degs, graph = _pr_graph(spark, sf_dir)
     ranks = degs.select(
@@ -112,27 +116,35 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = ranks.count()  # one scalar; the ε threshold is per-node relative
 
     rounds_used = PR_MAX_ROUNDS
-    for rnd in range(1, PR_MAX_ROUNDS + 1):
-        nxt = _pr_superstep(graph, ranks).localCheckpoint()
-        delta = (
-            ranks.select("node", F.col("rank").alias("rank_prev"))
-            .join(nxt.select("node", F.col("rank").alias("rank_next")), "node", "full")
-            .agg(
-                F.sum(
-                    F.abs(
-                        F.coalesce(F.col("rank_prev"), F.lit(0))
-                        - F.coalesce(F.col("rank_next"), F.lit(0))
-                    )
-                ).alias("d")
+    # big graphs: AQE partition coalescing off for the loop — measured
+    # ~2x/superstep tax at 100M edges (round4.superstep_shuffle_conf);
+    # no-op at sf-catalog node counts
+    with superstep_shuffle_conf(spark, n_nodes):
+        for rnd in range(1, PR_MAX_ROUNDS + 1):
+            nxt = _pr_superstep(graph, ranks).localCheckpoint()
+            delta = (
+                ranks.select("node", F.col("rank").alias("rank_prev"))
+                .join(
+                    nxt.select("node", F.col("rank").alias("rank_next")),
+                    "node",
+                    "full",
+                )
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.coalesce(F.col("rank_prev"), F.lit(0))
+                            - F.coalesce(F.col("rank_next"), F.lit(0))
+                        )
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
             )
-            .collect()[0]["d"]
-        )
-        ranks = nxt
-        if delta is None:  # empty graph: SUM over zero rows — trivially fixed
-            delta = 0
-        if delta < PR_EPS_PPM * n_nodes:
-            rounds_used = rnd
-            break
+            ranks = nxt
+            if delta is None:  # empty graph: SUM over zero rows — fixed
+                delta = 0
+            if delta < PR_EPS_PPM * n_nodes:
+                rounds_used = rnd
+                break
 
     global last_rounds_used
     last_rounds_used = rounds_used

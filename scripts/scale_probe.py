@@ -135,23 +135,47 @@ def probe_pagerank(spark) -> dict:
     # The 1M→10M exponent is latency-bound (~0.3): a 1M-edge superstep is
     # dominated by fixed shuffle round-trips. The optional 100M point
     # (SPARK_GRAFT_PROBE_DEEP=1) shows the data-bound regime — and NAMES
-    # THE KNOB: at 32 shuffle partitions the 100M superstep goes
-    # superlinear (per-partition hash join outgrows executor memory
-    # comfort → spill; measured 37 s/superstep, exponent ~1.26 vs 10M),
-    # while at 256 partitions — per-partition bytes held constant, the
-    # posture SCALE.md §6 prescribes and a real cluster gets by scaling
-    # executors — it returns to linear (20 s, exponent ~0.99).
+    # THE KNOB, re-measured r11 under per-family isolation: with the
+    # session defaults (AQE + partition coalescing) the 100M superstep
+    # runs 32 s REGARDLESS of the static spark.sql.shuffle.partitions
+    # value — AQE coalesces every superstep shuffle toward the 64 MB
+    # advisory size, and those few fat partitions are a 1.7-1.9× tax on
+    # the iterative hash join. Disabling just the coalescing at 256
+    # initial partitions gives 19.1 s; AQE fully off at 256 gives 16.8 s
+    # (AQE off at the 64 default is OOM-borderline on the 24g heap — one
+    # of two r11 attempts died, which is the superlinear cliff the old
+    # comment attributed to "32 partitions"). Posture for iterative
+    # supersteps at scale: keep partitions fine (≥256 here), disable
+    # adaptive coalescing for the superstep stages — coalescing optimizes
+    # scan-shaped stages, not a fixpoint join whose per-partition hash
+    # map is the bottleneck.
     if os.environ.get("SPARK_GRAFT_PROBE_DEEP"):
-        for parts, label in ((None, "fixed_32_partitions"),
-                             (256, "scaled_256_partitions")):
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            if parts:
-                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        deep_legs = (
+            ("aqe_coalesce_default", {}),
+            ("aqe_no_coalesce_256", {
+                "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                "spark.sql.shuffle.partitions": "256",
+            }),
+            ("aqe_off_256", {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": "256",
+            }),
+        )
+        for label, conf in deep_legs:
+            prev = {k: spark.conf.get(k) for k in conf}
+            for k, v in conf.items():
+                spark.conf.set(k, v)
             try:
+                # apply_engine_conf=False: these legs measure the RAW knob
+                # matrix; the engine's own big-graph posture (coalescing
+                # off, round4.superstep_shuffle_conf) would override the
+                # aqe_coalesce_default leg into measuring itself
                 _, _, per_step_100, _, _ = bench_pagerank_scale(
-                    spark, n_edges=100_000_000, n_nodes=10_000_000)
+                    spark, n_edges=100_000_000, n_nodes=10_000_000,
+                    apply_engine_conf=False)
             finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
+                for k, v in prev.items():
+                    spark.conf.set(k, v)
             _release_persistent_rdds(spark)
             ratio = per_step_100 / max(per_step_10, 1e-9)
             out[f"xlarge_{label}"] = {

@@ -294,6 +294,35 @@ def test_tfidf_shares_doc_partitioning(spark, sf_dir):
     ), plan
 
 
+def test_superstep_shuffle_conf_gates_and_restores(spark):
+    """The big-graph fixpoint posture (AQE coalescing off — measured
+    1.4-2.2x/superstep tax at 100M edges, bench_scale_probe_r11.json):
+    no-op under the node threshold, sets+restores above it, restores even
+    when the loop body raises."""
+    import pytest as _pytest
+
+    from bigdatabowl_spark.plans.round4 import (
+        _SUPERSTEP_NO_COALESCE_MIN_NODES,
+        superstep_shuffle_conf,
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    assert prev == "true"  # session default; the gate must flip this
+
+    with superstep_shuffle_conf(spark, _SUPERSTEP_NO_COALESCE_MIN_NODES - 1):
+        assert spark.conf.get(key) == "true"  # small graph: no-op
+    with superstep_shuffle_conf(spark, _SUPERSTEP_NO_COALESCE_MIN_NODES):
+        assert spark.conf.get(key) == "false"  # big graph: coalescing off
+    assert spark.conf.get(key) == prev
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        with superstep_shuffle_conf(spark, 10**9):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev  # restored on exception
+
+
 def test_pagerank_bucketed_never_broadcasts_ranks(spark, sf_dir):
     """The billion-node PageRank variant must keep every superstep join a
     shuffle join: a single BroadcastExchange anywhere in the pipeline means
