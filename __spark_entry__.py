@@ -26,64 +26,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["a1_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-# Round-11 driver-run ordering. The driver caps each round at 50 queries.
-# This window completes the steady ≤3-round freshness cycle (VERDICT r10
-# item 1):
-# (a) the full r7-latest tier — all 37 remaining oracle-checked queries,
-# in the order r10 documented (catalog order);
-# (b) the two STALE rows-only kernel chains (`m6_optimize_defense`, last
-# driver row r8; `a7b_approx_sketches`, r5 — the repo's oldest row), each
-# with its certifying readside/certify twin right behind it so the chain
-# re-stages AND re-greens under current code (m6_defense_readside's
-# oracle reads the parquet m6's builder stages — test_entry guards the
-# ordering; a7c is independent but rotates with its partner);
-# (c) the two builders this round's io.py change touched —
-# s10_partitioned_resume (write_partitioned's ''-guard is now a
-# raise_error CASE inside the written projection, single pass) and
-# s19_dpp_star_join (staged through write_partitioned with the new
-# partition VALUE codec, dim side encoded so DPP still fires);
-# (d) the first 7 of the r8-latest tier in catalog order — the rotation's
-# steady-state drumbeat.
+# Round-12 driver-run ordering. The driver caps each round at 50 queries.
+# This window is exactly the queue round 11 documented (VERDICT r11 item
+# 1) — the full r8-latest tier — plus this round's touched builders and
+# the start of the r9 tier:
+# (a) the complete r8-latest tier — all 38 queries whose freshest driver
+# row is r8, in catalog order (identical to the list r11 published past
+# its cap marker);
+# (b) the three builders this round's work touched —
+# `dedup_clusters` (its hash-min label-propagation fixpoint now runs
+# under the same superstep_shuffle_conf guard as pagerank, measured
+# first; datapipe.py), `stream_foreach_merge` (its versioned-state
+# commit seam is fault-injected this round in
+# tests/test_stream_faults.py), and
+# `stream_stateful_totals_eventtime_multibatch` (spill-probed under a
+# starved RocksDB block cache in spill_probe_r12.json);
+# (c) the first 9 of the r9-latest tier in catalog order — the
+# rotation's steady-state drumbeat.
 # After this round no query's latest driver row (green or rows-only) is
-# older than r8. Entries past position 50 are the documented queue for
-# round 12: the r8-tier remainder in catalog order.
+# older than r9. Entries past position 50 are the documented queue for
+# round 13: the r9-tier remainder in catalog order (35 queries, 15
+# slots spare for round-13 touched builders).
 _RUN_FIRST = (
-    # (a) r7-latest tier — catalog order (37)
-    "o2_global_topn", "a7_distinct_counts", "a24_masked_pivot",
-    "a8_relative_freq", "a15_event_sets",
-    "a18_histogram_2d", "a25_cumulative",
-    "j15_asof_join", "j16_full_outer", "f_kinematics",
-    "p9_conditional_tiers", "a17_autocorr", "text_langid",
-    "ngram_jaccard_pairs", "simhash_docs", "multimodal_resize",
-    "multimodal_frame_sample", "multimodal_features",
-    "decontaminate_ngram", "kmeans_lloyd", "a20_gamma_moments_fit",
-    "a21_adaptive_window_fit", "a22_histogram_smooth",
-    "a23_group_product", "a28_weighted_expectation",
-    "j10_prior_weighted_rank", "m1_tree_ensemble_score",
-    "p5_null_handling", "o5_deterministic_shuffle",
-    "p1_conjunctive_lookup", "m7_grouped_matrix", "s13_error_channel",
-    "etl_normalize_tracking", "m1b_forest_score", "m1c_forest_udf_score",
-    "m1d_forest_compiled_score", "pagerank_converge",
-    # (b) stale rows-only kernel chain + certifying twins. NOTE:
-    # a7b_approx_sketches (the repo's oldest driver row, r5) is NOT here —
-    # it was deliberately DE-CATALOGED in r7 (approx sketch values are
-    # engine-specific, so its row could only ever be no_oracle;
-    # relational.py:391-396); a7c_sketch_certify is its oracle-checked
-    # certificate and rotates in its stead.
-    "m6_optimize_defense", "m6_defense_readside",
-    "a7c_sketch_certify",
-    # (c) builders touched by this round's write_partitioned single-pass
-    # guard + partition value codec, plus the NEW multimodal S13 error
-    # channel (first driver row; adversarial-bytes fuzz in
-    # tests/test_multimodal_fuzz.py)
-    "s10_partitioned_resume", "s19_dpp_star_join",
-    "multimodal_error_channel",
-    # (d) r8-latest tier — first 7 in catalog order
-    "w1_lag_gaps", "w3_rolling_mean", "w5_share_of_total",
-    "resample_interpolate", "o7_global_rank", "funnel_steps",
-    "split_assign",
-    # ---- 50-query cap lands here; below is the documented queue (r12):
-    # the r8-tier remainder in catalog order ----
+    # (a) r8-latest tier — catalog order (38)
     "pack_sequences", "s3_multi_scan_union", "w2_first_event_offset",
     "s14_upsert_merge", "o6_zorder_layout", "s15_rollup_reuse",
     "containment_pairs", "skew_salted_agg", "w8_zscore_anomaly",
@@ -97,6 +62,29 @@ _RUN_FIRST = (
     "prefix_filter_jaccard", "cohort_retention", "pq_codes",
     "m1e_dart_forest_score", "stream_tumbling_counts",
     "stream_sliding_counts", "stream_stateful_totals_eventtime",
+    # (b) builders touched by this round's work (superstep conf on the
+    # dedup fixpoint; streaming commit-seam fault injection; RocksDB
+    # spill probe)
+    "dedup_clusters", "stream_foreach_merge",
+    "stream_stateful_totals_eventtime_multibatch",
+    # (c) r9-latest tier — first 9 in catalog order
+    "a1_pricing_summary", "a12_two_level_agg", "j1_broadcast_enrich",
+    "j3_region_rollup", "text_quality", "text_tokens_fingerprint",
+    "embed_knn_brute", "embed_ivf_knn", "dedup_embed_cosine",
+    # ---- 50-query cap lands here; below is the documented queue (r13):
+    # the r9-tier remainder in catalog order ----
+    "corpus_pipeline", "p11_masked_update", "p15_existence_guard",
+    "j6_rejoin_computed", "j11_selfjoin_compare", "j14_label_join",
+    "a27_axis_reduce", "o4_deterministic_order", "f13_flat_index",
+    "f14_meshgrid", "f15_xor_flags", "f17_dot_projection",
+    "text_repetition", "mixture_sample", "token_topk", "f_json_props",
+    "m10_quality_logit", "bpe_pair_counts", "tfidf_topterms",
+    "chunk_documents", "quality_percentile_filter", "unpivot_features",
+    "skew_salted_join", "pagerank_fixed", "pagerank_bucketed",
+    "semantic_dedup", "table_diff", "dq_checks", "cms_heavyhitters",
+    "sim_recall_certify", "stream_session_windows", "stream_dedup",
+    "stream_interval_join", "stream_stateful_totals",
+    "stream_static_enrich",
 )
 
 

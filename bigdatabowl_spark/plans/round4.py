@@ -1216,8 +1216,10 @@ def _pr_graph(spark: SparkSession, sf_dir: str):
 # Measured r11 (bench_scale_probe_r11.json, deep pagerank legs, 100M
 # edges / 10M nodes): AQE's partition coalescing shrinks every superstep
 # shuffle toward the 64 MB advisory size, and the few fat partitions tax
-# the iterative hash join ~1.8-2.2× (32-40 s/superstep vs 18-19 with
-# coalescing off at 256 initial partitions; AQE fully off reads 12-17).
+# the iterative hash join ~1.4-2.2× across observed runs (the committed
+# artifact's legs sit at the bottom of that range: 20.3 s/superstep
+# default vs 14.6 with coalescing off at 256 initial partitions = 1.39×;
+# AQE fully off at 256 reads 15.5).
 # Coalescing exists for scan-shaped stages; a fixpoint join's bottleneck
 # is the per-partition hash map, so the fixpoint drivers disable it for
 # the loop when the graph is big enough to care. Below the threshold the
