@@ -664,6 +664,80 @@ def _ambient_cpu_frac(interval: float = 0.5) -> float:
 # (>4 of 32 cores) at its start — enough to visibly skew 32-thread legs
 _CONTENDED_FRAC = 0.125
 
+# The committed idle artifact is additionally gated on the 1-min load
+# average (VERDICT r11 "what's wrong" #1: the r11 idle run started at
+# load 2.32 — the instantaneous ambient probe read ~0 at its sample
+# instants, so a loadavg-visible background slipped past the contended
+# flag and inflated every sub-second row ~20%). The ambient probe stays
+# the contended signal DURING a run (loadavg is laggy and can't tell
+# neighbors from our own just-finished sweep); the loadavg gate guards
+# the *start* of a run that claims to be idle — the operator controls
+# that moment and can simply wait for the box to drain.
+_IDLE_GATE_LOAD = 0.5
+
+
+def _idle_gate(suffix: str) -> dict | None:
+    """For an `idle`-suffixed artifact: refuse to run while the 1-min
+    load average says the box isn't actually idle (override with
+    SPARK_GRAFT_IDLE_GATE_OVERRIDE=1, which records the violation in the
+    artifact instead of aborting). Returns the gate record to embed, or
+    None when the suffix doesn't claim idleness."""
+    if "idle" not in suffix:
+        return None
+    load1 = round(os.getloadavg()[0], 2)
+    gate = {"load_avg_1m": load1, "threshold": _IDLE_GATE_LOAD,
+            "passed": load1 < _IDLE_GATE_LOAD}
+    if not gate["passed"] and os.environ.get(
+        "SPARK_GRAFT_IDLE_GATE_OVERRIDE"
+    ) != "1":
+        print(
+            f"[bench] idle gate: load_avg(1m)={load1} >= {_IDLE_GATE_LOAD} — "
+            "an artifact claiming 'idle' must start on a drained box. Wait "
+            "for load to fall, or set SPARK_GRAFT_IDLE_GATE_OVERRIDE=1 to "
+            "record the violation instead.",
+            file=sys.stderr,
+            flush=True,
+        )
+        sys.exit(3)
+    return gate
+
+
+def _invalidate_kernel_staging() -> int:
+    """Remove every _STAGED_FROM marker under KERNEL_OUT so kernel-staging
+    catalog rows RE-STAGE during this sweep (builders self-heal a missing
+    marker by re-running the owning kernel). Without this, a warm staging
+    dir from any earlier run on the box silently satisfies the chain and
+    the bench row times a parquet re-read instead of the kernel —
+    r10's eppa_field_surface row read 0.097 s vs its real 3.5-4.5 s band
+    (VERDICT r11 "what's wrong" #2), corrupting round-over-round diffs.
+    Returns the number of markers removed."""
+    from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT, _SF_MARKER
+
+    n = 0
+    for root, _dirs, files in os.walk(KERNEL_OUT):
+        if _SF_MARKER in files:
+            os.remove(os.path.join(root, _SF_MARKER))
+            n += 1
+    return n
+
+
+def _staging_markers() -> dict[str, float]:
+    """Snapshot {staged-table marker path: mtime} under KERNEL_OUT —
+    diffing two snapshots around a timed run shows which staged tables
+    that run (re)wrote, i.e. whether a kernel-staging row recomputed or
+    reused (the `staged_during` provenance in the full artifact)."""
+    from bigdatabowl_spark.plans.eppa_queries import KERNEL_OUT, _SF_MARKER
+
+    out: dict[str, float] = {}
+    for root, _dirs, files in os.walk(KERNEL_OUT):
+        if _SF_MARKER in files:
+            p = os.path.join(root, _SF_MARKER)
+            try:
+                out[p] = os.stat(p).st_mtime
+            except OSError:
+                pass
+    return out
+
 
 def _shutdown_jvm(spark) -> None:
     """Stop the session AND kill its JVM. spark.stop() alone stops the
@@ -857,6 +931,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    suffix_env = os.environ.get("SPARK_GRAFT_BENCH_SUFFIX", "")
+    idle_gate = _idle_gate(suffix_env)  # may sys.exit(3) — see helper
     loads = {"start": round(os.getloadavg()[0], 2)}
     # neighbor-CPU probe before anything of ours runs (see _ambient_cpu_frac)
     ambient_start = _ambient_cpu_frac()
@@ -891,6 +967,12 @@ def main() -> None:
     all_names = BENCH_QUERIES + [n for n in CATALOG if n not in set(BENCH_QUERIES)]
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
+    # Deterministic staging state for the sweep: every kernel-staging row
+    # recomputes (or visibly reuses a table another row in THIS sweep just
+    # staged) — never a leftover from a previous run on the box
+    markers_invalidated = _invalidate_kernel_staging()
+    staged_during: dict[str, list[str]] = {}
+    marker_snap = _staging_markers()
     for name in all_names:
         q = CATALOG.get(name)
         if q is None:
@@ -903,6 +985,18 @@ def main() -> None:
         )
         timings[name] = round(best, 3)
         cpu_secs[name] = round(best_cpu, 3)
+        # staging provenance: which staged tables this row (re)wrote while
+        # being timed — a kernel-chain row with an empty entry REUSED bytes
+        # staged earlier in this same sweep (by-design for chain followers)
+        snap2 = _staging_markers()
+        wrote = [
+            os.path.basename(os.path.dirname(p))
+            for p, mt in snap2.items()
+            if marker_snap.get(p) != mt
+        ]
+        if wrote:
+            staged_during[name] = sorted(wrote)
+        marker_snap = snap2
         # progress to STDERR (stdout carries only the final JSON line):
         # a stalled sweep is diagnosable from the last line printed
         print(f"[bench] {name}: {best:.3f}s wall {best_cpu:.3f}s cpu",
@@ -1037,10 +1131,21 @@ def main() -> None:
         "ambient_cpu_frac": ambient,
         "load_avg": loads,
     }
+    if idle_gate is not None:
+        headline["idle_gate"] = idle_gate
     full = dict(
         headline,
         queries=timings,
         cpu_sec=cpu_secs,
+        # kernel-staging provenance (VERDICT r11 "what's wrong" #2): all
+        # _STAGED_FROM markers are invalidated before the sweep, and each
+        # row that (re)staged tables during its timed window is listed —
+        # a staging row absent from staged_during reused bytes staged
+        # earlier in THIS sweep, never a previous run's leftovers
+        staging=dict(
+            invalidated_markers=markers_invalidated,
+            staged_during=staged_during,
+        ),
         # reap-aware but not exact: see _cpu_delta_sec — PID reuse inside
         # the subtree between samples and init-orphaned workers leave
         # cpu_sec a tight estimate (ADVICE r7)

@@ -1,0 +1,100 @@
+"""Bench capture-discipline helpers (VERDICT r11 "what's wrong" #1/#2).
+
+The r11 idle artifact was captured at load_avg 2.32 and every sub-second
+row inflated ~20%; r10's eppa_field_surface bench row read 0.097 s
+because a previous run's staged kernel parquet silently satisfied the
+chain. These tests pin the two fixes: the loadavg gate on idle-suffixed
+artifacts, and the marker invalidation + per-row staging provenance.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from bigdatabowl_spark.plans import eppa_queries  # noqa: E402
+
+
+def test_idle_gate_ignores_non_idle_suffix(monkeypatch):
+    monkeypatch.setattr(os, "getloadavg", lambda: (99.0, 99.0, 99.0))
+    assert bench._idle_gate("") is None
+    assert bench._idle_gate("driver") is None
+
+
+def test_idle_gate_passes_on_drained_box(monkeypatch):
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.07, 0.2, 0.4))
+    gate = bench._idle_gate("idle")
+    assert gate == {
+        "load_avg_1m": 0.07,
+        "threshold": bench._IDLE_GATE_LOAD,
+        "passed": True,
+    }
+
+
+def test_idle_gate_refuses_loaded_box(monkeypatch):
+    monkeypatch.setattr(os, "getloadavg", lambda: (2.32, 1.0, 0.5))
+    monkeypatch.delenv("SPARK_GRAFT_IDLE_GATE_OVERRIDE", raising=False)
+    with pytest.raises(SystemExit) as exc:
+        bench._idle_gate("idle")
+    assert exc.value.code == 3
+
+
+def test_idle_gate_override_records_violation(monkeypatch):
+    monkeypatch.setattr(os, "getloadavg", lambda: (2.32, 1.0, 0.5))
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_GATE_OVERRIDE", "1")
+    gate = bench._idle_gate("idle")
+    assert gate is not None and gate["passed"] is False
+
+
+def _plant_staged_table(root: str, name: str, marker_text: str) -> str:
+    path = os.path.join(root, name)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.parquet"), "w") as f:
+        f.write("x")
+    marker = os.path.join(path, eppa_queries._SF_MARKER)
+    with open(marker, "w") as f:
+        f.write(marker_text)
+    return marker
+
+
+def test_invalidation_strips_every_marker_and_snapshot_diffs(
+    tmp_path, monkeypatch
+):
+    root = str(tmp_path / "kernel_out")
+    monkeypatch.setattr(eppa_queries, "KERNEL_OUT", root)
+    m1 = _plant_staged_table(root, "eppa_field_surface", "sfA|deadbeef")
+    _plant_staged_table(
+        os.path.join(root, "nested"), "m4_priors", "sfA|deadbeef"
+    )
+
+    snap = bench._staging_markers()
+    assert len(snap) == 2 and m1 in snap
+
+    assert bench._invalidate_kernel_staging() == 2
+    assert bench._staging_markers() == {}
+    # parquet bytes survive (overwrite staging rewrites them); only the
+    # freshness markers are gone, so builders self-heal by re-staging
+    assert os.path.exists(
+        os.path.join(root, "eppa_field_surface", "part-0.parquet")
+    )
+
+    # a re-staged table shows up as a diff against the pre-run snapshot —
+    # the per-row `staged_during` provenance in bench main
+    before = bench._staging_markers()
+    marker = _plant_staged_table(root, "eppa_field_surface", "sfA|cafe")
+    after = bench._staging_markers()
+    wrote = [p for p, mt in after.items() if before.get(p) != mt]
+    assert wrote == [marker]
+
+
+def test_invalidation_tolerates_missing_kernel_out(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        eppa_queries, "KERNEL_OUT", str(tmp_path / "never_created")
+    )
+    assert bench._invalidate_kernel_staging() == 0
+    assert bench._staging_markers() == {}
