@@ -3,14 +3,29 @@ deliberately starved execution memory — the result must be HASH-IDENTICAL
 and the slowdown measured, because at 100× the first thing that changes
 is that shuffle/agg state stops fitting in memory.
 
-Two workloads over the 2M-doc log-uniform corpus scale_probe.py stages,
-chosen to bracket the spill cost question:
+Four workloads, each pinning a different memory regime (r11 probed the
+first two; r12 added the last two — VERDICT r11 item 3):
 - dedup: dedup_clusters (minhash → LSH band explode → bucket groupBy →
-  pair join → hash-min label propagation) — CPU-BOUND (signature work
-  dominates), so spill I/O should overlap compute and cost ~nothing;
+  pair join → hash-min label propagation) over the 2M-doc corpus
+  scale_probe.py stages — CPU-BOUND (signature work dominates), so
+  spill I/O should overlap compute and cost ~nothing;
 - bigram: explode 78M token bigrams → groupBy(a,b) count → order-free
-  checksum — SHUFFLE-BOUND (the hash-aggregate state is the work), the
-  regime where spill is predicted to actually cost wall-clock.
+  checksum, same corpus — SHUFFLE-BOUND (the hash-aggregate state is
+  the work), the regime where spill is predicted to cost wall-clock;
+- kernel: the eppa applyInPandas field-surface kernel over the scale
+  probe's 32-play × 40-frame synthetic feed — the ARROW/PYTHON-WORKER
+  regime: tight additionally caps each Python worker's address space
+  (spark.executor.pyspark.memory → RLIMIT_AS), so the kernel's reused
+  per-process buffers and Arrow batches run against a hard ceiling;
+- stream: the RocksDB multibatch stateful pipeline (the
+  stream_stateful_totals_eventtime_multibatch plan body) over a
+  synthetic 100k-user × 8-bucket purchase feed — the STATE-STORE
+  regime: both legs pin the RocksDB provider, tight shrinks its block
+  cache to 1 MB and memtables to 2 MB, and the ~10 MB keyed working
+  set (every user recurs in every bucket) forces each micro-batch's
+  state reads through a cache that can't hold it. (The sf0.1 events
+  table's ~1.5k users fit inside even the starved cache — that run
+  would prove conf plumbing, not eviction.)
 
 Two legs, each its own subprocess/JVM (the bench r10 isolation pattern):
 - roomy: the bench config (24g heap, spark.memory.fraction default 0.6);
@@ -52,8 +67,44 @@ LEG_CONF = {
     "tight": {"spark.driver.memory": "4g", "spark.memory.fraction": "0.15"},
 }
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
 
-def _leg_session(leg: str):
+# Per-workload conf on TOP of the leg conf (r12: the two regimes r11 left
+# unprobed — VERDICT r11 item 3). The stream workload pins RocksDB on
+# BOTH legs so the tight leg isolates memory starvation, not a provider
+# swap; its starvation knob is the RocksDB block cache + memtable, the
+# state-store analogue of spark.memory.fraction (1 MB cache vs the
+# default 8 MB/store × 32 partitions, 2 MB memtables): every state
+# lookup past the first batch becomes an SST read through a cache that
+# can't hold the working set. The kernel workload's Python side is
+# additionally capped via spark.executor.pyspark.memory (RLIMIT_AS on
+# each worker), so the applyInPandas path — Arrow batches + the kernel's
+# reused per-process buffers — runs against a hard address-space ceiling
+# instead of 128 GiB of headroom.
+WORKLOAD_CONF: dict[str, dict[str, dict[str, str]]] = {
+    "dedup": {},
+    "bigram": {},
+    "kernel": {
+        "tight": {"spark.executor.pyspark.memory": "2g"},
+    },
+    "stream": {
+        "roomy": {
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+        },
+        "tight": {
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+            "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB": "1",
+            "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB": "2",
+            "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber": "2",
+        },
+    },
+}
+
+
+def _leg_session(leg: str, workload: str = "dedup"):
     from pyspark.sql import SparkSession
 
     from bigdatabowl_spark.session import _BUILD_CONF, configure
@@ -68,6 +119,8 @@ def _leg_session(leg: str):
     b = b.config("spark.ui.enabled", "true")
     b = b.config("spark.sql.shuffle.partitions", "64")
     for k, v in LEG_CONF[leg].items():
+        b = b.config(k, v)
+    for k, v in WORKLOAD_CONF.get(workload, {}).get(leg, {}).items():
         b = b.config(k, v)
     return configure(b.getOrCreate())
 
@@ -111,6 +164,48 @@ def _spill_metrics(spark) -> dict:
     }
 
 
+_SPILL_STREAM_USERS = 100_000
+_SPILL_STREAM_ROUNDS = 8
+
+
+def _stage_stream_feed() -> str:
+    """Synthesize the high-cardinality purchase feed the stream workload
+    runs over (pyarrow, driver-side, fully deterministic — both legs see
+    byte-identical buckets). The sf0.1 events table has only ~1.5k
+    distinct users, whose ENTIRE RocksDB state fits inside even the
+    starved 1 MB block cache — it proves conf plumbing, not eviction.
+    100k users × (n, cents, max_ms) state ≈ 10 MB working set ≫ the
+    tight leg's 1 MB cache + 2 MB memtable, and every user recurs in
+    every time bucket (6 h span, 8 h TTL — no mid-stream evictions), so
+    each micro-batch re-reads all 100k keys through the starved cache."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = "/tmp/bigdatabowl_spill_stream"
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(path):
+        return sf_dir
+    os.makedirs(sf_dir, exist_ok=True)
+    n_users, rounds = _SPILL_STREAM_USERS, _SPILL_STREAM_ROUNDS
+    user = np.tile(np.arange(n_users, dtype=np.int64), rounds)
+    rnd = np.repeat(np.arange(rounds, dtype=np.int64), n_users)
+    t0 = 1_700_000_000_000_000  # µs epoch anchor
+    span = 6 * 3600 * 1_000_000  # 6 h total < the 8 h event-time TTL
+    ts = t0 + rnd * (span // rounds) + (user % 997) * 1_000
+    value = ((user * 7 + rnd * 13) % 10_000) / 100.0
+    tbl = pa.table(
+        {
+            "user_id": pa.array(user),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "value": pa.array(value, type=pa.float64()),
+            "event_type": pa.array(["purchase"] * len(user)),
+        }
+    )
+    pq.write_table(tbl, path)
+    return sf_dir
+
+
 def _bigram_counts(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
@@ -133,7 +228,7 @@ def run_leg(leg: str, workload: str, sf_dir: str) -> dict:
     from bigdatabowl_spark.plans.catalog import CATALOG
 
     ambient = _ambient_cpu_frac()
-    spark = _leg_session(leg)
+    spark = _leg_session(leg, workload)
     spark.sparkContext.setLogLevel("ERROR")
     # untimed warmup (bench r11 convention): JIT/codegen + python workers
     import pyspark.sql.functions as F
@@ -144,14 +239,41 @@ def run_leg(leg: str, workload: str, sf_dir: str) -> dict:
     ).count()
 
     result: dict = {}
+    kernel_play = None
+    if workload == "kernel":
+        # the scale probe's large leg shape: 32 plays × 40 frames → 7.18M
+        # field rows through the applyInPandas kernel (built untimed)
+        from bench import _synthetic_play
+
+        kernel_play = _synthetic_play(spark, 40, 32).localCheckpoint()
 
     def job():
         if workload == "dedup":
             df = CATALOG["dedup_clusters"].builder(spark, sf_dir)
-        else:
+        elif workload == "bigram":
             df = _bigram_counts(spark, sf_dir)
+        elif workload == "kernel":
+            from bigdatabowl_spark.kernels.eppa import eppa_field_surface
+
+            df = eppa_field_surface(kernel_play)
+        else:  # stream — the RocksDB multibatch stateful pipeline
+            from bigdatabowl_spark.streaming.events import (
+                run_multibatch_totals,
+            )
+
+            df = run_multibatch_totals(spark, stream_stage)
         result["hash"] = _result_hash(df)
         _release_persistent_rdds(spark)  # label-prop checkpoints
+
+    stream_stage = None
+    if workload == "stream":
+        # feed synthesis + bucket staging are UNTIMED (both legs reuse
+        # the same marker-guarded staged dir, so neither leg pays it)
+        from bigdatabowl_spark.streaming.events import _stage_event_buckets
+
+        stream_stage = _stage_event_buckets(
+            _stage_stream_feed(), stage_name="events_spill_stream"
+        )
 
     wall, cpu, _ = _timed_min(job, runs=1)
     out = {
@@ -177,26 +299,48 @@ def main() -> None:
         print(json.dumps(run_leg(leg, workload, sf_dir)), flush=True)
         return
 
-    # stage the 2M-doc corpus with a roomy throwaway session, then kill
-    # the JVM so the legs own the box (bench.py's gateway teardown)
-    from bigdatabowl_spark.session import get_spark
-    from scripts.scale_probe import _stage_docs
+    # workload selection: default = the two r12 regimes (kernel Arrow
+    # path, RocksDB stateful stream); pass --workloads a,b,... for any
+    # subset incl. the r11 pair (dedup, bigram)
+    want = ("kernel", "stream")
+    if "--workloads" in sys.argv:
+        want = tuple(
+            sys.argv[sys.argv.index("--workloads") + 1].split(",")
+        )
 
-    spark = get_spark("bdb-spill-stage")
-    spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = _stage_docs(spark, "docs_x100", 2_000_000)
-    gateway = spark.sparkContext._gateway
-    spark.stop()
-    gateway.shutdown()
-    if getattr(gateway, "proc", None) is not None:
-        gateway.proc.terminate()
-        try:
-            gateway.proc.wait(timeout=30)
-        except Exception:
-            gateway.proc.kill()
+    docs_dir = None
+    if {"dedup", "bigram"} & set(want):
+        # stage the 2M-doc corpus with a roomy throwaway session, then
+        # kill the JVM so the legs own the box (bench.py gateway teardown)
+        from bigdatabowl_spark.session import get_spark
+        from scripts.scale_probe import _stage_docs
+
+        spark = get_spark("bdb-spill-stage")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs_dir = _stage_docs(spark, "docs_x100", 2_000_000)
+        gateway = spark.sparkContext._gateway
+        spark.stop()
+        gateway.shutdown()
+        if getattr(gateway, "proc", None) is not None:
+            gateway.proc.terminate()
+            try:
+                gateway.proc.wait(timeout=30)
+            except Exception:
+                gateway.proc.kill()
+
+    # kernel and stream synthesize their own deterministic data in the
+    # leg subprocess (kernel in-session, stream via marker-guarded
+    # pyarrow staging) — no sf dir needed
+    workload_dirs = {
+        "dedup": docs_dir,
+        "bigram": docs_dir,
+        "kernel": "-",
+        "stream": "-",
+    }
 
     workloads: dict = {}
-    for workload in ("dedup", "bigram"):
+    for workload in want:
+        sf_dir = workload_dirs[workload]
         legs = {}
         for leg in ("roomy", "tight"):
             proc = subprocess.run(
@@ -238,7 +382,7 @@ def main() -> None:
             "legs": legs,
         }
     payload = {
-        "metric": "spill_probe_2m_docs",
+        "metric": "spill_probe",
         "workloads": workloads,
         "cpus": os.cpu_count(),
     }
