@@ -160,7 +160,28 @@ def probe_pagerank(spark) -> dict:
                 "spark.sql.adaptive.enabled": "false",
                 "spark.sql.shuffle.partitions": "256",
             }),
+            # the matrix's fourth corner (VERDICT r11 item 5): AQE fully
+            # off at the session's 64-partition default — OOM-borderline
+            # on the 24g heap (1 of 2 r11 attempts died), so the leg is
+            # failure-tolerant and an OOM is itself the recorded result:
+            # it's WHY the engine posture keeps partitions fine (≥256)
+            # rather than merely disabling coalescing
+            ("aqe_off_64", {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": "64",
+            }),
         )
+        def _restore(prev_conf):
+            # best-effort: after the aqe_off_64 OOM cliff the JVM may be
+            # gone — a dead gateway must not mask the recorded failure
+            try:
+                for k, v in prev_conf.items():
+                    spark.conf.set(k, v)
+                _release_persistent_rdds(spark)
+                return True
+            except Exception:
+                return False
+
         for label, conf in deep_legs:
             prev = {k: spark.conf.get(k) for k in conf}
             for k, v in conf.items():
@@ -173,10 +194,15 @@ def probe_pagerank(spark) -> dict:
                 _, _, per_step_100, _, _ = bench_pagerank_scale(
                     spark, n_edges=100_000_000, n_nodes=10_000_000,
                     apply_engine_conf=False)
-            finally:
-                for k, v in prev.items():
-                    spark.conf.set(k, v)
-            _release_persistent_rdds(spark)
+            except Exception as exc:  # the aqe_off_64 OOM cliff, recorded
+                out[f"xlarge_{label}"] = {
+                    "failed": type(exc).__name__,
+                    "knob": f"100M edges, sec/superstep, {label}",
+                }
+                if not _restore(prev):
+                    break  # JVM died with the leg: matrix ends here
+                continue
+            _restore(prev)
             ratio = per_step_100 / max(per_step_10, 1e-9)
             out[f"xlarge_{label}"] = {
                 "sec": per_step_100,
@@ -248,13 +274,35 @@ def probe_dedup(spark, d1: str, d10: str, d100: str) -> dict:
     t1, c1, n1 = _timed(lambda: run(d1))
     t10, c10, n10 = _timed(lambda: run(d10))
     t100, c100, n100 = _timed(lambda: run(d100), runs=1)
-    return {"small": {"sec": round(t1, 3), "cpu_sec": round(c1, 3),
-                      "rows": n1, "knob": "20k docs"},
-            "large": {"sec": round(t10, 3), "cpu_sec": round(c10, 3),
-                      "rows": n10, "knob": "200k docs"},
-            "xlarge": {"sec": round(t100, 3), "cpu_sec": round(c100, 3),
-                       "rows": n100, "knob": "2M docs"},
-            "exponent_3pt": _exponent_3pt((t1, t10, t100))}
+    out = {"small": {"sec": round(t1, 3), "cpu_sec": round(c1, 3),
+                     "rows": n1, "knob": "20k docs"},
+           "large": {"sec": round(t10, 3), "cpu_sec": round(c10, 3),
+                     "rows": n10, "knob": "200k docs"},
+           "xlarge": {"sec": round(t100, 3), "cpu_sec": round(c100, 3),
+                      "rows": n100, "knob": "2M docs"},
+           "exponent_3pt": _exponent_3pt((t1, t10, t100))}
+    # Deep leg (VERDICT r11 item 6): does AQE partition coalescing tax
+    # dedup_clusters' hash-min fixpoint the way it taxes pagerank's?
+    # Measured counterfactual at the 2M-doc point with coalescing off for
+    # the WHOLE query. Expectation going in: no — the dup graph here is
+    # ~175k nodes (sub-threshold for round4.superstep_shuffle_conf), and
+    # dedup's cost is the CPU-bound signature/banding stages, not the CC
+    # loop's few small shuffles. The committed number decides.
+    if os.environ.get("SPARK_GRAFT_PROBE_DEEP"):
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            tnc, cnc, nnc = _timed(lambda: run(d100), runs=1)
+        finally:
+            spark.conf.set(key, prev)
+        assert nnc == n100, (nnc, n100)
+        out["xlarge_no_coalesce"] = {
+            "sec": round(tnc, 3), "cpu_sec": round(cnc, 3),
+            "knob": "2M docs, aqe coalescing off",
+            "vs_default": round(tnc / max(t100, 1e-9), 3),
+        }
+    return out
 
 
 def probe_bucketed_join(spark) -> dict:
