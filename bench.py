@@ -449,7 +449,7 @@ def _gc_sweep(spark, pause_sec: float = 2.0) -> None:
         _time.sleep(pause_sec)
 
 
-def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000, apply_engine_conf: bool = True):
+def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_000, apply_engine_conf: bool = True, hub_frac: float = 0.0):
     """Superstep scaling for the no-broadcast pagerank plan on a synthetic
     ~10M-edge graph (VERDICT r5 item 7 — the sf fixture's co-purchase graph
     never stresses the rank join, so the broadcast-free posture was gated
@@ -469,8 +469,21 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
     """
     import pyspark.sql.functions as F
 
+    # hub_frac > 0 makes the graph power-law-ish in the way that hurts
+    # the rank JOIN: that fraction of all edges originates from node 0,
+    # so the superstep join's shuffle has one partition carrying the
+    # hub's entire adjacency — the straggler shape AQE's skew split
+    # exists for. 0.0 (default) keeps the uniform graph every historical
+    # leg measured.
+    src_col = (F.col("id") % n_nodes).cast("long")
+    if hub_frac:
+        src_col = (
+            F.when(F.col("id") % int(round(1.0 / hub_frac)) == 0, F.lit(0))
+            .otherwise(src_col)
+            .cast("long")
+        )
     edges = spark.range(n_edges).select(
-        (F.col("id") % n_nodes).alias("src"),
+        src_col.alias("src"),
         F.pmod(F.hash((F.col("id") * 2654435761).cast("long")), F.lit(n_nodes))
         .cast("long")
         .alias("dst"),
@@ -480,6 +493,11 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
     )
 
     def build_graph():
+        # ROUND-ROBIN final layout, matching round4._pr_graph (r12): a
+        # src-partitioned checkpoint makes any hub's reduce partition
+        # single-map-sourced and therefore unsplittable by AQE's skew
+        # join (splits follow map boundaries) — see _pr_graph's docstring
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         return (
             edges.repartition("src")
             .join(
@@ -488,6 +506,7 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
                 ).hint("shuffle_hash"),
                 "src",
             )
+            .repartition(n_part)
             .localCheckpoint()
         )
 

@@ -1189,11 +1189,24 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_graph(spark: SparkSession, sf_dir: str):
     """(degs, graph) for the co-purchase PageRank family: symmetrized edge
-    table hash-partitioned on src, degree-annotated, localCheckpoint'ed
-    once so supersteps replay from the materialized partitions (the GraphX
-    partitioned-edge-table model). Shared by pagerank_bucketed (round 4)
-    and pagerank_converge (round 7) — ONE copy of the graph build, so the
-    damping arithmetic and partitioning can never drift between them."""
+    table degree-annotated and localCheckpoint'ed once so supersteps
+    replay from the materialized partitions (the GraphX partitioned-edge-
+    table model). Shared by pagerank_bucketed (round 4) and
+    pagerank_converge (round 7) — ONE copy of the graph build, so the
+    damping arithmetic and partitioning can never drift between them.
+
+    The checkpointed graph is stored ROUND-ROBIN, not hash(src) (r12,
+    measured — tests/test_scale_patterns.py pins both directions): AQE's
+    skew-join split can only divide a skewed reduce partition along
+    upstream MAP boundaries, and a checkpoint laid out by src puts a hub
+    node's ENTIRE adjacency inside one map output — the superstep rank
+    join's hub partition becomes silently unsplittable, so a power-law
+    graph keeps its straggler no matter what the skew conf says. Stored
+    round-robin, the hub's bytes spread over every map and the split
+    fires (10M-edge/20%-hub diag: 6.3 s → 2.9 s per superstep). Costs
+    one extra build-time shuffle; per-superstep cost is unchanged on
+    uniform graphs (the rank join's ensure-requirements exchange
+    re-shuffles by src from either layout)."""
     e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
@@ -1201,6 +1214,7 @@ def _pr_graph(spark: SparkSession, sf_dir: str):
     degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     graph = (
         sym.repartition("src")
         .join(
@@ -1208,6 +1222,7 @@ def _pr_graph(spark: SparkSession, sf_dir: str):
             .hint("shuffle_hash"),
             "src",
         )
+        .repartition(n_part)
         .localCheckpoint()
     )
     return degs, graph

@@ -116,3 +116,83 @@ def test_cpu_delta_is_reap_aware():
     start = {1: (10.0, 0.0), 2: (5.0, 0.0), 3: (4.0, 0.0)}
     end = {1: (12.0, 8.0)}
     assert _cpu_delta_sec(start, end) == 2.0
+
+
+def test_superstep_skew_split_requires_roundrobin_graph_layout(spark):
+    """AQE's skew-join split divides a skewed reduce partition along
+    upstream MAP boundaries (ShufflePartitionsUtil splits lists of map
+    outputs — it cannot cut inside one map's output). A checkpointed
+    graph laid out hash(src) therefore puts a hub node's whole adjacency
+    into ONE map, and the superstep rank join's hub partition is silently
+    unsplittable no matter the skew conf. Stored round-robin (what
+    round4._pr_graph and bench.bench_pagerank_scale now do), the hub's
+    bytes spread over every map and the split fires. This test pins BOTH
+    directions on a 1M-edge / 20%-hub graph with thresholds sized so only
+    the hub partition qualifies (ranks-side partitions stay far below the
+    threshold — a hair-trigger threshold would flag both sides and the
+    rule skips both-skewed partitions)."""
+    from bigdatabowl_spark.plans.round4 import _pr_superstep
+
+    n_edges, n_nodes = 1_000_000, 100_000
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k"
+    )
+    try:
+        src = (
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise(F.col("id") % n_nodes)
+            .cast("long")
+        )
+        edges = spark.range(n_edges).select(
+            src.alias("src"),
+            F.pmod(
+                F.hash((F.col("id") * 2654435761).cast("long")),
+                F.lit(n_nodes),
+            ).cast("long").alias("dst"),
+        )
+        degs = edges.groupBy("src").agg(
+            F.count("*").alias("deg")
+        ).withColumnRenamed("src", "node")
+        annotated = edges.repartition("src").join(
+            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        ranks = degs.select(
+            "node", F.lit(1000000).cast("long").alias("rank")
+        ).localCheckpoint()
+
+        def superstep_plan(graph):
+            final = _pr_superstep(graph, ranks).agg(
+                F.count("*").alias("n"), F.sum("rank").alias("s")
+            )
+            row = final.collect()[0]
+            return _plan(final), (row["n"], row["s"])
+
+        by_src = annotated.localCheckpoint()
+        round_robin = annotated.repartition(64).localCheckpoint()
+        plan_src, res_src = superstep_plan(by_src)
+        plan_rr, res_rr = superstep_plan(round_robin)
+        # same bytes, same result — layout is performance-only
+        assert res_src == res_rr
+        # by-src layout: hub partition single-map-sourced → no split
+        assert "skew=true" not in plan_src
+        # round-robin layout: split fires on the hub partition
+        assert "skew=true" in plan_rr, plan_rr
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
