@@ -493,22 +493,16 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
     )
 
     def build_graph():
-        # ROUND-ROBIN final layout, matching round4._pr_graph (r12): a
-        # src-partitioned checkpoint makes any hub's reduce partition
-        # single-map-sourced and therefore unsplittable by AQE's skew
-        # join (splits follow map boundaries) — see _pr_graph's docstring
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        return (
-            edges.repartition("src")
-            .join(
-                degs.select(
-                    F.col("node").alias("src"), F.col("deg").alias("deg_src")
-                ).hint("shuffle_hash"),
-                "src",
-            )
-            .repartition(n_part)
-            .localCheckpoint()
-        )
+        # degree-aware layout shared with the catalog family (r12): by-src
+        # keeps the superstep's map-side shuffle write a no-op sort on
+        # uniform graphs; a hub graph (hub_frac legs) flips to round-robin
+        # so AQE's map-boundary skew split can actually divide the hub
+        # partition — see round4.checkpoint_graph / graph_layout_decision
+        from bigdatabowl_spark.plans.round4 import checkpoint_graph
+
+        renamed = degs  # (node, deg) — checkpoint_graph's expected shape
+        graph, _layout = checkpoint_graph(spark, edges, renamed)
+        return graph
 
     graph_sec, graph_cpu, graph = _timed_min(build_graph, runs=1)
     from bigdatabowl_spark.plans.round4 import (

@@ -1187,26 +1187,72 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pr_graph(spark: SparkSession, sf_dir: str):
-    """(degs, graph) for the co-purchase PageRank family: symmetrized edge
-    table degree-annotated and localCheckpoint'ed once so supersteps
-    replay from the materialized partitions (the GraphX partitioned-edge-
-    table model). Shared by pagerank_bucketed (round 4) and
-    pagerank_converge (round 7) — ONE copy of the graph build, so the
-    damping arithmetic and partitioning can never drift between them.
+# A src-layout checkpoint makes a hub's superstep reduce partition
+# single-map-sourced once its share exceeds ~a few map outputs; past this
+# degree multiple of the average partition, the straggler (and AQE's
+# inability to split it) outweighs the by-src write saving.
+_HUB_LAYOUT_FACTOR = 4
 
-    The checkpointed graph is stored ROUND-ROBIN, not hash(src) (r12,
-    measured — tests/test_scale_patterns.py pins both directions): AQE's
-    skew-join split can only divide a skewed reduce partition along
-    upstream MAP boundaries, and a checkpoint laid out by src puts a hub
-    node's ENTIRE adjacency inside one map output — the superstep rank
-    join's hub partition becomes silently unsplittable, so a power-law
-    graph keeps its straggler no matter what the skew conf says. Stored
-    round-robin, the hub's bytes spread over every map and the split
-    fires (10M-edge/20%-hub diag: 6.3 s → 2.9 s per superstep). Costs
-    one extra build-time shuffle; per-superstep cost is unchanged on
-    uniform graphs (the rank join's ensure-requirements exchange
-    re-shuffles by src from either layout)."""
+
+def graph_layout_decision(total_deg: int, max_deg: int, n_part: int) -> str:
+    """Which physical layout the checkpointed edge table should use —
+    pure so the threshold is unit-testable (r12, both sides measured;
+    tests/test_scale_patterns.py pins the mechanism end-to-end):
+
+    - 'by_src' (default): the checkpoint keeps the build join's hash(src)
+      partitioning. Every superstep's rank-join exchange then finds each
+      map's rows all bound for ONE reduce partition, so the map-side
+      shuffle write is a no-op sort — measured ~2.5× less CPU per
+      superstep than round-robin at 10-100M edges. The cost: a hub
+      node's whole adjacency sits in one map output, and AQE's skew-join
+      split (which divides a skewed reduce partition along MAP
+      boundaries) is structurally powerless — the hub straggler is
+      permanent.
+    - 'round_robin': one extra build-time shuffle spreads every node's
+      adjacency across all maps; the superstep shuffle write pays the
+      full partition-id sort, but a hub partition becomes splittable and
+      AQE removes the straggler (100M-edge/20%-hub probe legs:
+      14.2 s/superstep with the split vs 21.3 AQE-off vs 38.8 when the
+      split could not fire).
+
+    Round-robin wins exactly when some hub would dominate its reduce
+    partition: max_deg > _HUB_LAYOUT_FACTOR × the average partition's
+    row count."""
+    avg_rows = max(total_deg // max(n_part, 1), 1)
+    return "round_robin" if max_deg > _HUB_LAYOUT_FACTOR * avg_rows else "by_src"
+
+
+def checkpoint_graph(spark: SparkSession, sym, degs):
+    """Degree-aware edge-table staging shared by the catalog pagerank
+    family and bench.bench_pagerank_scale: annotate each edge with its
+    source degree (shuffle_hash — ranks/degs must never broadcast at
+    scale), pick the physical layout from the degree distribution the
+    build already computed (one extra scalar agg over |nodes| rows), and
+    localCheckpoint so supersteps replay from materialized partitions
+    (the GraphX partitioned-edge-table model). Returns (graph, layout)."""
+    row = degs.agg(
+        F.sum("deg").alias("total"), F.max("deg").alias("mx")
+    ).collect()[0]
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    layout = graph_layout_decision(
+        int(row["total"] or 0), int(row["mx"] or 0), n_part
+    )
+    annotated = sym.repartition("src").join(
+        degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+        .hint("shuffle_hash"),
+        "src",
+    )
+    if layout == "round_robin":
+        annotated = annotated.repartition(n_part)
+    return annotated.localCheckpoint(), layout
+
+
+def _pr_graph(spark: SparkSession, sf_dir: str):
+    """(degs, graph) for the co-purchase PageRank family — one copy of
+    the graph build shared by pagerank_bucketed (round 4) and
+    pagerank_converge (round 7), so the damping arithmetic and the
+    degree-aware layout (checkpoint_graph) can never drift between
+    them."""
     e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
@@ -1214,17 +1260,7 @@ def _pr_graph(spark: SparkSession, sf_dir: str):
     degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
     )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    graph = (
-        sym.repartition("src")
-        .join(
-            degs.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
-            .hint("shuffle_hash"),
-            "src",
-        )
-        .repartition(n_part)
-        .localCheckpoint()
-    )
+    graph, _ = checkpoint_graph(spark, sym, degs)
     return degs, graph
 
 

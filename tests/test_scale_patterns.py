@@ -196,3 +196,53 @@ def test_superstep_skew_split_requires_roundrobin_graph_layout(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_graph_layout_decision_is_degree_aware(spark):
+    """The layout chooser (round4.graph_layout_decision) must keep the
+    by-src fast path (map-side shuffle write is a no-op sort — measured
+    ~2.5x less CPU/superstep) for uniform degree distributions and flip
+    to round-robin only when a hub would dominate its reduce partition
+    (the only layout under which AQE's map-boundary skew split can fire
+    — see test_superstep_skew_split_requires_roundrobin_graph_layout)."""
+    from bigdatabowl_spark.plans.round4 import (
+        _HUB_LAYOUT_FACTOR,
+        checkpoint_graph,
+        graph_layout_decision,
+    )
+
+    # pure threshold: uniform stays by_src at any width
+    assert graph_layout_decision(100_000_000, 40, 256) == "by_src"
+    # a 20% single hub flips
+    assert graph_layout_decision(100_000_000, 20_000_000, 256) == "round_robin"
+    # boundary: exactly factor x average stays on the fast path
+    avg = 1_000_000 // 64
+    assert graph_layout_decision(
+        1_000_000, _HUB_LAYOUT_FACTOR * avg, 64
+    ) == "by_src"
+    assert graph_layout_decision(
+        1_000_000, _HUB_LAYOUT_FACTOR * avg + 1, 64
+    ) == "round_robin"
+    # degenerate inputs don't divide by zero
+    assert graph_layout_decision(0, 0, 64) == "by_src"
+
+    # end-to-end: the staged layouts match the decision
+    n_nodes = 10_000
+    uniform = spark.range(100_000).select(
+        (F.col("id") % n_nodes).cast("long").alias("src"),
+        F.pmod(F.hash("id"), F.lit(n_nodes)).cast("long").alias("dst"),
+    )
+    hubby = spark.range(100_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % n_nodes)
+        .cast("long")
+        .alias("src"),
+        F.pmod(F.hash("id"), F.lit(n_nodes)).cast("long").alias("dst"),
+    )
+    for edges, expected in ((uniform, "by_src"), (hubby, "round_robin")):
+        degs = edges.groupBy("src").agg(
+            F.count("*").alias("deg")
+        ).withColumnRenamed("src", "node")
+        graph, layout = checkpoint_graph(spark, edges, degs)
+        assert layout == expected
+        assert graph.count() == 100_000
