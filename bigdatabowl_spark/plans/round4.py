@@ -1211,9 +1211,11 @@ def graph_layout_decision(total_deg: int, max_deg: int, n_part: int) -> str:
     - 'round_robin': one extra build-time shuffle spreads every node's
       adjacency across all maps; the superstep shuffle write pays the
       full partition-id sort, but a hub partition becomes splittable and
-      AQE removes the straggler (100M-edge/20%-hub probe legs:
-      14.2 s/superstep with the split vs 21.3 AQE-off vs 38.8 when the
-      split could not fire).
+      AQE removes the straggler (100M-edge/20%-hub skew legs,
+      bench_scale_probe_r12.json: 25.4 s/superstep with the split vs
+      47.0 AQE-off — ~1.9×; mid-diagnosis runs read 14.2 vs 21.3 vs
+      38.8 when a by-src layout kept the split from firing, same
+      ordering throughout).
 
     Round-robin wins exactly when some hub would dominate its reduce
     partition: max_deg > _HUB_LAYOUT_FACTOR × the average partition's

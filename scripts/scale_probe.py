@@ -209,6 +209,52 @@ def probe_pagerank(spark) -> dict:
                 "knob": f"100M edges, sec/superstep, {label}",
                 "exponent_vs_large": round(math.log(ratio) / math.log(10.0), 3),
             }
+        # SKEW-HUB legs: price AQE's skew-join split INSIDE the fixpoint
+        # loop (r12). aqe_off_256 is consistently the fastest corner of
+        # the uniform matrix, so "the engine keeps AQE on for skew
+        # insurance" needs a number: same 100M-edge graph but 20% of all
+        # edges originate from ONE hub node — the rank join's shuffle
+        # gets a ~20M-row partition, the straggler shape real power-law
+        # graphs produce. Both legs use 256 fine partitions with
+        # coalescing off (the engine's fixpoint posture); the only
+        # difference is AQE (and with it the skew split) on vs off. The
+        # split threshold drops to 64 MB because the probe rows are
+        # narrow (3 longs) — a compressed 20M-row partition can duck
+        # under the 256 MB default that real-width rows would trip.
+        skew_legs = (
+            ("skewhub_aqe_split_256", {
+                "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                "spark.sql.shuffle.partitions": "256",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes": "64MB",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB",
+            }),
+            ("skewhub_aqe_off_256", {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": "256",
+            }),
+        )
+        for label, conf in skew_legs:
+            prev = {k: spark.conf.get(k) for k in conf}
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            try:
+                _, _, per_step_100, _, _ = bench_pagerank_scale(
+                    spark, n_edges=100_000_000, n_nodes=10_000_000,
+                    apply_engine_conf=False, hub_frac=0.2)
+            except Exception as exc:
+                out[f"xlarge_{label}"] = {
+                    "failed": type(exc).__name__,
+                    "knob": f"100M edges + 20%-hub, sec/superstep, {label}",
+                }
+                if not _restore(prev):
+                    break
+                continue
+            _restore(prev)
+            out[f"xlarge_{label}"] = {
+                "sec": per_step_100,
+                "knob": f"100M edges + 20%-hub, sec/superstep, {label}",
+            }
     return out
 
 
@@ -698,6 +744,9 @@ def main() -> None:
         with open(path) as f:
             prior = json.load(f)
         families = {**prior.get("families", {}), **out}
+        # keep the full sweep's per-family load marks; re-measured
+        # families (and this rerun's start) overwrite their own keys
+        loads = {**prior.get("load_avg", {}), **loads}
     payload = {"metric": "scale_probe_10x", "families": families,
                "load_avg": loads, "cpus": os.cpu_count()}
     with open(path, "w") as f:
