@@ -501,10 +501,13 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
         from bigdatabowl_spark.plans.round4 import checkpoint_graph
 
         renamed = degs  # (node, deg) — checkpoint_graph's expected shape
-        graph, _layout = checkpoint_graph(spark, edges, renamed)
-        return graph
+        return checkpoint_graph(spark, edges, renamed)
 
-    graph_sec, graph_cpu, graph = _timed_min(build_graph, runs=1)
+    graph_sec, graph_cpu, built = _timed_min(build_graph, runs=1)
+    # reuse the build's materialized degree table for rank init: degrees
+    # cost a full edge scan + shuffle, and the lazy `degs` would replay
+    # it inside the superstep timing window
+    graph, _layout, degs = built
     from bigdatabowl_spark.plans.round4 import (
         _pr_superstep,
         superstep_shuffle_conf,

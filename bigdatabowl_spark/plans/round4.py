@@ -1228,10 +1228,22 @@ def checkpoint_graph(spark: SparkSession, sym, degs):
     """Degree-aware edge-table staging shared by the catalog pagerank
     family and bench.bench_pagerank_scale: annotate each edge with its
     source degree (shuffle_hash — ranks/degs must never broadcast at
-    scale), pick the physical layout from the degree distribution the
-    build already computed (one extra scalar agg over |nodes| rows), and
+    scale), pick the physical layout from the degree distribution, and
     localCheckpoint so supersteps replay from materialized partitions
-    (the GraphX partitioned-edge-table model). Returns (graph, layout)."""
+    (the GraphX partitioned-edge-table model).
+
+    `degs` is localCheckpoint'ed FIRST and that one materialization
+    feeds the decision agg, the annotate join, and (returned to the
+    caller) rank initialization. Computing degrees costs a full
+    edge-table scan + shuffle; without the checkpoint each separate
+    action replays it — the first r12 cut paid that scan twice per
+    build and once more at rank init, a measured +2 s on the 10M-edge
+    bench build and +1.8-2.1 s on each catalog pagerank row
+    (bench_full_r12_idle.json vs r11). The checkpoint is O(nodes)
+    rows — two orders smaller than the edge table it saves re-scanning.
+
+    Returns (graph, layout, degs_materialized)."""
+    degs = degs.localCheckpoint()
     row = degs.agg(
         F.sum("deg").alias("total"), F.max("deg").alias("mx")
     ).collect()[0]
@@ -1246,7 +1258,7 @@ def checkpoint_graph(spark: SparkSession, sym, degs):
     )
     if layout == "round_robin":
         annotated = annotated.repartition(n_part)
-    return annotated.localCheckpoint(), layout
+    return annotated.localCheckpoint(), layout, degs
 
 
 def _pr_graph(spark: SparkSession, sf_dir: str):
@@ -1262,7 +1274,7 @@ def _pr_graph(spark: SparkSession, sf_dir: str):
     degs = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
     )
-    graph, _ = checkpoint_graph(spark, sym, degs)
+    graph, _, degs = checkpoint_graph(spark, sym, degs)
     return degs, graph
 
 

@@ -243,6 +243,12 @@ def test_graph_layout_decision_is_degree_aware(spark):
         degs = edges.groupBy("src").agg(
             F.count("*").alias("deg")
         ).withColumnRenamed("src", "node")
-        graph, layout = checkpoint_graph(spark, edges, degs)
+        graph, layout, degs_ckpt = checkpoint_graph(spark, edges, degs)
         assert layout == expected
         assert graph.count() == 100_000
+        # the returned degree table is the build's one materialization
+        # (callers reuse it for rank init instead of replaying the
+        # edge-scan groupBy) and it matches the lazy original
+        plan = degs_ckpt._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, plan
+        assert degs_ckpt.count() == degs.count()
