@@ -33,19 +33,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) the complete r8-latest tier — all 38 queries whose freshest driver
 # row is r8, in catalog order (identical to the list r11 published past
 # its cap marker);
-# (b) the three builders this round's work touched —
+# (b) the five builders this round's work touched —
 # `dedup_clusters` (its hash-min label-propagation fixpoint now runs
 # under the same superstep_shuffle_conf guard as pagerank, measured
-# first; datapipe.py), `stream_foreach_merge` (its versioned-state
-# commit seam is fault-injected this round in
-# tests/test_stream_faults.py), and
+# first; datapipe.py — and its connected-components loops now truncate
+# lineage through operators/checkpointing.py), `stream_foreach_merge`
+# (its versioned-state commit seam is fault-injected this round in
+# tests/test_stream_faults.py),
 # `stream_stateful_totals_eventtime_multibatch` (spill-probed under a
-# starved RocksDB block cache in spill_probe_r12.json);
-# (c) the first 9 of the r9-latest tier in catalog order — the
+# starved RocksDB block cache in spill_probe_r12.json), and
+# `pagerank_bucketed` + `pagerank_converge` (degree-aware checkpoint
+# layout via round4.checkpoint_graph, degree-table reuse, and the
+# reliable-checkpoint truncation path);
+# (c) the first 7 of the r9-latest tier in catalog order — the
 # rotation's steady-state drumbeat.
 # After this round no query's latest driver row (green or rows-only) is
 # older than r9. Entries past position 50 are the documented queue for
-# round 13: the r9-tier remainder in catalog order (35 queries, 15
+# round 13: the r9-tier remainder in catalog order (37 queries, 13
 # slots spare for round-13 touched builders).
 _RUN_FIRST = (
     # (a) r8-latest tier — catalog order (38)
@@ -67,12 +71,14 @@ _RUN_FIRST = (
     # spill probe)
     "dedup_clusters", "stream_foreach_merge",
     "stream_stateful_totals_eventtime_multibatch",
-    # (c) r9-latest tier — first 9 in catalog order
+    "pagerank_bucketed", "pagerank_converge",
+    # (c) r9-latest tier — first 7 in catalog order
     "a1_pricing_summary", "a12_two_level_agg", "j1_broadcast_enrich",
     "j3_region_rollup", "text_quality", "text_tokens_fingerprint",
-    "embed_knn_brute", "embed_ivf_knn", "dedup_embed_cosine",
+    "embed_knn_brute",
     # ---- 50-query cap lands here; below is the documented queue (r13):
     # the r9-tier remainder in catalog order ----
+    "embed_ivf_knn", "dedup_embed_cosine",
     "corpus_pipeline", "p11_masked_update", "p15_existence_guard",
     "j6_rejoin_computed", "j11_selfjoin_compare", "j14_label_join",
     "a27_axis_reduce", "o4_deterministic_order", "f13_flat_index",
@@ -80,7 +86,7 @@ _RUN_FIRST = (
     "text_repetition", "mixture_sample", "token_topk", "f_json_props",
     "m10_quality_logit", "bpe_pair_counts", "tfidf_topterms",
     "chunk_documents", "quality_percentile_filter", "unpivot_features",
-    "skew_salted_join", "pagerank_fixed", "pagerank_bucketed",
+    "skew_salted_join", "pagerank_fixed",
     "semantic_dedup", "table_diff", "dq_checks", "cms_heavyhitters",
     "sim_recall_certify", "stream_session_windows", "stream_dedup",
     "stream_interval_join", "stream_stateful_totals",

@@ -524,12 +524,18 @@ def bench_pagerank_scale(spark, n_edges: int = 10_000_000, n_nodes: int = 1_000_
             else contextlib.nullcontext()
         )
         with ctx:
+            from bigdatabowl_spark.operators.checkpointing import (
+                truncate_lineage,
+            )
+
             ranks = degs.select(
                 "node", F.lit(1000000).cast("long").alias("rank")
             )
-            for _ in range(3):
-                # materialize each superstep: timed work is real
-                ranks = _pr_superstep(graph, ranks).localCheckpoint()
+            for rnd in range(1, 4):
+                # materialize each superstep: timed work is real; goes
+                # durable when the session has a checkpoint dir set (how
+                # the reliable-checkpoint premium is measured)
+                ranks = truncate_lineage(_pr_superstep(graph, ranks), rnd=rnd)
             return ranks
 
     steps_sec, steps_cpu, _ = _timed_min(run_supersteps, runs=1)

@@ -282,9 +282,13 @@ def connected_components(
     localCheckpoint truncates the growing lineage each round so the plan
     does not re-execute prior rounds.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).localCheckpoint()
+    from bigdatabowl_spark.operators.checkpointing import truncate_lineage
+
+    sym = truncate_lineage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    )
     # fused round 0: label(n) = min(n, min neighbor) in ONE aggregation —
     # replaces the identity init (distinct) plus a full propagation round
     labels = (
@@ -299,11 +303,16 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        upd = labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
-            "node",
-            "comp",
-            F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("new_comp"),
-        ).localCheckpoint()
+        upd = truncate_lineage(
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
+                "node",
+                "comp",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_min", "comp")
+                ).alias("new_comp"),
+            ),
+            rnd=rnd + 1,
+        )
         changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
         labels = upd.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
@@ -314,19 +323,18 @@ def connected_components(
             if changed > max(64, n_nodes // 100):
                 break  # large frontier after star_after rounds → long chain
     # Phase 2: star contraction on original edges + label shortcuts.
-    star = (
+    star = truncate_lineage(
         sym.filter(F.col("a") != F.col("b"))
         .union(labels.filter(F.col("node") != F.col("comp"))
                .select(F.col("node").alias("a"), F.col("comp").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     fp = None
-    for _ in range(max_iter):
+    for srnd in range(1, max_iter + 1):
         sym2 = star.union(
             star.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        star = _small_star(_large_star(sym2)).localCheckpoint()
+        star = truncate_lineage(_small_star(_large_star(sym2)), rnd=srnd)
         new_fp = _edge_fingerprint(star)
         if new_fp == fp:
             break

@@ -1242,8 +1242,16 @@ def checkpoint_graph(spark: SparkSession, sym, degs):
     (bench_full_r12_idle.json vs r11). The checkpoint is O(nodes)
     rows — two orders smaller than the edge table it saves re-scanning.
 
+    Both materializations go through operators/checkpointing: local by
+    default, RELIABLE when the session has a checkpoint dir configured —
+    the build artifacts are reused by every superstep, so their
+    durability is what bounds a fixpoint's redo window after an
+    executor loss (see that module's posture notes).
+
     Returns (graph, layout, degs_materialized)."""
-    degs = degs.localCheckpoint()
+    from bigdatabowl_spark.operators.checkpointing import truncate_lineage
+
+    degs = truncate_lineage(degs)
     row = degs.agg(
         F.sum("deg").alias("total"), F.max("deg").alias("mx")
     ).collect()[0]
@@ -1258,7 +1266,7 @@ def checkpoint_graph(spark: SparkSession, sym, degs):
     )
     if layout == "round_robin":
         annotated = annotated.repartition(n_part)
-    return annotated.localCheckpoint(), layout, degs
+    return truncate_lineage(annotated), layout, degs
 
 
 def _pr_graph(spark: SparkSession, sf_dir: str):

@@ -109,10 +109,12 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         superstep_shuffle_conf,
     )
 
+    from bigdatabowl_spark.operators.checkpointing import truncate_lineage
+
     degs, graph = _pr_graph(spark, sf_dir)
-    ranks = degs.select(
-        "node", F.lit(1000000).cast("long").alias("rank")
-    ).localCheckpoint()
+    ranks = truncate_lineage(
+        degs.select("node", F.lit(1000000).cast("long").alias("rank"))
+    )
     n_nodes = ranks.count()  # one scalar; the ε threshold is per-node relative
 
     rounds_used = PR_MAX_ROUNDS
@@ -121,7 +123,10 @@ def pagerank_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-op at sf-catalog node counts
     with superstep_shuffle_conf(spark, n_nodes):
         for rnd in range(1, PR_MAX_ROUNDS + 1):
-            nxt = _pr_superstep(graph, ranks).localCheckpoint()
+            # local truncation per round; every K-th round durable when a
+            # checkpoint dir is configured (bounded redo window — see
+            # operators/checkpointing.py)
+            nxt = truncate_lineage(_pr_superstep(graph, ranks), rnd=rnd)
             delta = (
                 ranks.select("node", F.col("rank").alias("rank_prev"))
                 .join(
