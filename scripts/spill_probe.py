@@ -17,6 +17,12 @@ first two; r12 added the last two — VERDICT r11 item 3):
   regime: tight additionally caps each Python worker's address space
   (spark.executor.pyspark.memory → RLIMIT_AS), so the kernel's reused
   per-process buffers and Arrow batches run against a hard ceiling;
+- graph: 3 pagerank supersteps over a synthetic 10M-edge / 1M-node
+  graph (the engine's shuffle_hash rank join + dst aggregation, graph
+  checkpointed untimed) — the FIXPOINT-JOIN regime: per-partition hash
+  maps of the rank join plus the localCheckpoint'ed frontier compete
+  for the starved unified region, so the tight leg exercises both
+  build-side spill and checkpoint-block eviction to disk;
 - stream: the RocksDB multibatch stateful pipeline (the
   stream_stateful_totals_eventtime_multibatch plan body) over a
   synthetic 100k-user × 8-bucket purchase feed — the STATE-STORE
@@ -87,6 +93,7 @@ _ROCKSDB_PROVIDER = (
 WORKLOAD_CONF: dict[str, dict[str, dict[str, str]]] = {
     "dedup": {},
     "bigram": {},
+    "graph": {},
     "kernel": {
         "tight": {"spark.executor.pyspark.memory": "2g"},
     },
@@ -247,6 +254,26 @@ def run_leg(leg: str, workload: str, sf_dir: str) -> dict:
 
         kernel_play = _synthetic_play(spark, 40, 32).localCheckpoint()
 
+    graph_df = degs_df = None
+    if workload == "graph":
+        # bench_pagerank_scale's graph shape, built UNTIMED through the
+        # engine's own degree-aware checkpoint — in the tight leg its
+        # blocks already overflow the starved storage region to disk
+        from bigdatabowl_spark.plans.round4 import checkpoint_graph
+
+        n_nodes = 1_000_000
+        edges = spark.range(10_000_000).select(
+            (F.col("id") % n_nodes).cast("long").alias("src"),
+            F.pmod(
+                F.hash((F.col("id") * 2654435761).cast("long")),
+                F.lit(n_nodes),
+            ).cast("long").alias("dst"),
+        )
+        degs = edges.groupBy("src").agg(
+            F.count("*").alias("deg")
+        ).withColumnRenamed("src", "node")
+        graph_df, _, degs_df = checkpoint_graph(spark, edges, degs)
+
     def job():
         if workload == "dedup":
             df = CATALOG["dedup_clusters"].builder(spark, sf_dir)
@@ -256,6 +283,24 @@ def run_leg(leg: str, workload: str, sf_dir: str) -> dict:
             from bigdatabowl_spark.kernels.eppa import eppa_field_surface
 
             df = eppa_field_surface(kernel_play)
+        elif workload == "graph":
+            from bigdatabowl_spark.operators.checkpointing import (
+                truncate_lineage,
+            )
+            from bigdatabowl_spark.plans.round4 import (
+                _pr_superstep,
+                superstep_shuffle_conf,
+            )
+
+            ranks = degs_df.select(
+                "node", F.lit(1000000).cast("long").alias("rank")
+            )
+            with superstep_shuffle_conf(spark, 1_000_000):
+                for rnd_i in range(1, 4):
+                    ranks = truncate_lineage(
+                        _pr_superstep(graph_df, ranks), rnd=rnd_i
+                    )
+            df = ranks
         else:  # stream — the RocksDB multibatch stateful pipeline
             from bigdatabowl_spark.streaming.events import (
                 run_multibatch_totals,
@@ -336,6 +381,7 @@ def main() -> None:
         "bigram": docs_dir,
         "kernel": "-",
         "stream": "-",
+        "graph": "-",
     }
 
     workloads: dict = {}
@@ -381,11 +427,6 @@ def main() -> None:
             ),
             "legs": legs,
         }
-    payload = {
-        "metric": "spill_probe",
-        "workloads": workloads,
-        "cpus": os.cpu_count(),
-    }
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         import glob
@@ -398,6 +439,17 @@ def main() -> None:
         ]
         rnd = str(max(recorded, default=0) + 1)
     path = os.path.join(ROOT, f"spill_probe_r{int(rnd):02d}.json")
+    # subset runs (--workloads) merge into the round artifact instead of
+    # clobbering the regimes measured earlier in the round
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        workloads = {**prior.get("workloads", {}), **workloads}
+    payload = {
+        "metric": "spill_probe",
+        "workloads": workloads,
+        "cpus": os.cpu_count(),
+    }
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
