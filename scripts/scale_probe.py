@@ -740,13 +740,13 @@ def main() -> None:
         rnd = str(max(recorded, default=0) + 1)
     path = os.path.join(ROOT, f"bench_scale_probe_r{int(rnd):02d}.json")
     families = out
-    if only_set is not None and os.path.exists(path):
-        with open(path) as f:
-            prior = json.load(f)
-        families = {**prior.get("families", {}), **out}
+    if only_set is not None:
+        from scripts.spill_probe import merge_round_section
+
+        families = merge_round_section(path, "families", out)
         # keep the full sweep's per-family load marks; re-measured
         # families (and this rerun's start) overwrite their own keys
-        loads = {**prior.get("load_avg", {}), **loads}
+        loads = merge_round_section(path, "load_avg", loads)
     payload = {"metric": "scale_probe_10x", "families": families,
                "load_avg": loads, "cpus": os.cpu_count()}
     with open(path, "w") as f:

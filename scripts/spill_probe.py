@@ -62,6 +62,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def merge_round_section(path: str, key: str, new_map: dict) -> dict:
+    """Merge this run's `new_map` over the same section of an existing
+    round artifact at `path` — a subset re-run (--workloads a,b) must
+    never clobber regimes measured earlier in the round (r12: a partial
+    pagerank-only scale-probe rerun briefly replaced the whole 8-family
+    artifact; tests/test_bench_discipline.py pins the rule)."""
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        return {**prior.get(key, {}), **new_map}
+    return dict(new_map)
+
+
 LEG_CONF = {
     # bench posture: everything fits — the baseline the tight leg is
     # compared against
@@ -439,15 +453,9 @@ def main() -> None:
         ]
         rnd = str(max(recorded, default=0) + 1)
     path = os.path.join(ROOT, f"spill_probe_r{int(rnd):02d}.json")
-    # subset runs (--workloads) merge into the round artifact instead of
-    # clobbering the regimes measured earlier in the round
-    if os.path.exists(path):
-        with open(path) as f:
-            prior = json.load(f)
-        workloads = {**prior.get("workloads", {}), **workloads}
     payload = {
         "metric": "spill_probe",
-        "workloads": workloads,
+        "workloads": merge_round_section(path, "workloads", workloads),
         "cpus": os.cpu_count(),
     }
     with open(path, "w") as f:

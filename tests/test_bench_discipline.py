@@ -98,3 +98,33 @@ def test_invalidation_tolerates_missing_kernel_out(tmp_path, monkeypatch):
     )
     assert bench._invalidate_kernel_staging() == 0
     assert bench._staging_markers() == {}
+
+
+def test_merge_round_section_preserves_prior_regimes(tmp_path):
+    """Subset probe re-runs must merge into the round artifact, never
+    clobber it — the r12 incident: a pagerank-only scale-probe rerun
+    briefly replaced the whole 8-family artifact with one family."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.spill_probe import merge_round_section
+
+    path = str(tmp_path / "probe_r99.json")
+    # no prior artifact: pass-through (and a copy, not an alias)
+    fresh = {"a": 1}
+    merged = merge_round_section(path, "workloads", fresh)
+    assert merged == {"a": 1} and merged is not fresh
+
+    with open(path, "w") as f:
+        json.dump({"workloads": {"kernel": {"s": 1}, "stream": {"s": 2}},
+                   "cpus": 32}, f)
+    merged = merge_round_section(path, "workloads", {"graph": {"s": 3},
+                                                     "stream": {"s": 9}})
+    # prior regimes survive; re-measured keys take the new value
+    assert merged == {"kernel": {"s": 1}, "stream": {"s": 9},
+                      "graph": {"s": 3}}
+    # a different section of the same artifact merges independently
+    assert merge_round_section(path, "load_avg", {"start": 0.1}) == {
+        "start": 0.1
+    }
