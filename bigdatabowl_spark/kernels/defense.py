@@ -75,14 +75,21 @@ from pyspark.sql import DataFrame
 
 from bigdatabowl_spark.kernels.eppa import (
     EppaPriors,
+    _frame_surfaces_core,
     _prep_frame,
     _with_frame_meta,
+    _ws,
     default_ep_curve,
     default_xyac_scorer,
-    frame_surfaces,
     player_intercept_field,
 )
-from bigdatabowl_spark.kernels.params import EppaParams, field_grid, tof_values
+from bigdatabowl_spark.kernels.params import (
+    N_CELLS,
+    N_TOF,
+    EppaParams,
+    field_grid,
+    tof_values,
+)
 
 OPT_SCHEMA = (
     "gameId long, playId long, frameId int, nflId long, x_opt double, "
@@ -162,22 +169,50 @@ def optimize_defense_frame(
 
     full_mode = cfg.objective == "full"
     hybrid = cfg.objective == "hybrid"
+    nfl_arr = players["nflId"].to_numpy()
+    tp_arr = players["team_pos"].to_numpy()
+    J = len(players)
 
-    def full_obj(p: np.ndarray, v: np.ndarray) -> float:
-        """Reference-exact candidate objective: one full frame-kernel run
-        (trajectory integration included) per evaluation — the loop the
-        reference runs per reachable cell (optimize_def.py:120-126)."""
-        pdf = players.copy()
-        pdf[["x", "y"]] = p
-        pdf[["v_x", "v_y"]] = v
-        e = frame_surfaces(
-            pdf, ball_start, frames_after_snap, params, priors
+    # Incremental full-kernel objective (r12 optimization): the reference
+    # re-runs the whole frame kernel per candidate (optimize_def.py:120-126)
+    # — but between consecutive evaluations only ONE player's position
+    # changes, so the (F,T,J) sigmoid tensor differs in one column.
+    # base_d/base_p mirror player_intercept_field(cur_p, cur_v) at all
+    # times: candidate evaluations recompute just the moved column (J=1 —
+    # elementwise math, bit-identical to the column of a J-batch call) and
+    # run the kernel's steps 6-11 unchanged on the spliced tensor, so every
+    # objective value equals the from-scratch kernel's bit for bit (pinned
+    # by tests/test_kernels.py::test_m6_fast_full_obj_matches_frame_surfaces).
+    full_grid_k = field_grid()  # kernel evaluates at full 1-yd resolution
+    base_d = _ws("m6.base_d", (N_CELLS, J))
+    base_p = _ws("m6.base_p", (N_CELLS, N_TOF, J))
+
+    def _splice(j: int, p: np.ndarray, v: np.ndarray) -> None:
+        d1, p1 = player_intercept_field(
+            p[None, :], v[None, :], full_grid_k, tof, params, reuse=True
+        )
+        base_d[:, j] = d1[:, 0]
+        base_p[:, :, j] = p1[:, :, 0]
+
+    def full_obj() -> float:
+        """Reference-exact candidate objective over the current base
+        tensors: the frame kernel's steps 6-11 (trajectory integration
+        included), reduced to one scalar."""
+        e = _frame_surfaces_core(
+            proj_p, proj_v, is_off, nfl_arr, tp_arr, ball_start,
+            frames_after_snap, params, priors,
+            precomputed=(base_d, base_p), lean=True,
         )["eppa_ft"]
         return float(e.max() if cfg.reduce == "max" else e.sum())
 
     if full_mode or hybrid:
         cur_p, cur_v = proj_p.copy(), proj_v.copy()
-        before = full_obj(cur_p, cur_v)
+        dm, pi = player_intercept_field(
+            cur_p, cur_v, full_grid_k, tof, params, reuse=True
+        )
+        np.copyto(base_d, dm)
+        np.copyto(base_p, pi)
+        before = full_obj()
     else:
         before = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
 
@@ -208,9 +243,11 @@ def optimize_defense_frame(
             scores = np.empty(cand_idx.size)
             for r in range(cand_idx.size):
                 cur_p[j], cur_v[j] = cand_p[r], cand_v[r]
-                scores[r] = full_obj(cur_p, cur_v)
+                _splice(j, cand_p[r], cand_v[r])
+                scores[r] = full_obj()
             best = int(scores.argmin())
             cur_p[j], cur_v[j] = cand_p[best], cand_v[best]
+            _splice(j, cand_p[best], cand_v[best])
             px[j], pv[j] = cand_p[best], cand_v[best]
             placements.append((j, cand_p[best], cand_v[best]))
             continue
@@ -243,9 +280,11 @@ def optimize_defense_frame(
             fscores = np.empty(len(short))
             for i, r in enumerate(short):
                 cur_p[j], cur_v[j] = cand_p[r], cand_v[r]
-                fscores[i] = full_obj(cur_p, cur_v)
+                _splice(j, cand_p[r], cand_v[r])
+                fscores[i] = full_obj()
             best = int(short[int(fscores.argmin())])
             cur_p[j], cur_v[j] = cand_p[best], cand_v[best]
+            _splice(j, cand_p[best], cand_v[best])
         else:
             best = int(scores.argmin())  # greedy argmin EPPA (:127)
         px[j], pv[j] = cand_p[best], cand_v[best]
@@ -253,7 +292,7 @@ def optimize_defense_frame(
         placements.append((j, cand_p[best], cand_v[best]))
 
     if full_mode or hybrid:
-        after = full_obj(cur_p, cur_v)
+        after = full_obj()
     else:
         after = _objective(log_no, trans, xepa_comp, xepa_inc, is_off, cfg.reduce)
     nfl = players["nflId"].to_numpy()

@@ -56,6 +56,18 @@ _SIGMOID_K = np.pi / np.sqrt(3.0)  # logistic ≈ normal CDF scaling
 
 _TRAJ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
+# Ball-path index cache (r12 optimization): step 8's (cx, cy, flat) path
+# indices depend only on (ball_start, z-window, chunking) — NOT on players —
+# so consumers that evaluate many player configurations against one ball
+# position (the M6 optimizer: ~80 kernel calls per frame; the bench's
+# synthetic play: one ball position across every frame) recompute ~70 ms of
+# identical int32 tensors per call. Keyed by the exact float ball position;
+# capped at 2 keys per worker (~22 MB each) with FIFO eviction. Cached
+# arrays hold exactly the values the inline computation produced, so the
+# gather — and every downstream float — is bit-identical.
+_PATH_CACHE: dict[tuple, list[np.ndarray]] = {}
+_PATH_CACHE_MAX = 2
+
 # Per-process buffer workspace for the kernel's large intermediates.
 #
 # Why: the hot path allocates ~300 MB of >32 MB NumPy temporaries per frame;
@@ -223,12 +235,58 @@ def frame_surfaces(
     players: one row per non-ball, non-QB player with columns
     x, y, v_x, v_y, team_pos ('OFF'/'DEF'), nflId.
     """
-    grid = field_grid()  # (F, 2)
-    tof = tof_values()  # (T,)
     px = players[["x", "y"]].to_numpy(dtype=np.float64)  # (J, 2)
     pv = players[["v_x", "v_y"]].to_numpy(dtype=np.float64)
     is_off = (players["team_pos"] == "OFF").to_numpy()
-    J = len(players)
+    return _frame_surfaces_core(
+        px,
+        pv,
+        is_off,
+        players["nflId"].to_numpy(),
+        players["team_pos"].to_numpy(),
+        ball_start,
+        frames_after_snap,
+        params,
+        priors,
+        chunk=chunk,
+        value_ensemble=value_ensemble,
+    )
+
+
+def _frame_surfaces_core(
+    px: np.ndarray,
+    pv: np.ndarray,
+    is_off: np.ndarray,
+    nfl_ids: np.ndarray,
+    team_pos_arr: np.ndarray,
+    ball_start: np.ndarray,
+    frames_after_snap: int,
+    params: EppaParams,
+    priors: EppaPriors,
+    chunk: int = 330,
+    value_ensemble=None,
+    precomputed: tuple[np.ndarray, np.ndarray] | None = None,
+    lean: bool = False,
+) -> dict[str, np.ndarray]:
+    """Array-level kernel body (r12: extracted from frame_surfaces so the
+    M6 optimizer can evaluate candidate placements without a pandas
+    round-trip per call).
+
+    precomputed: optional (d_mag (F,J), p_int (F,T,J)) — steps 1-5 skipped;
+    used when the caller maintains the sigmoid tensor incrementally (only
+    one player moved between evaluations, so recomputing all J columns is
+    redundant; per-column values are elementwise and therefore identical
+    whether computed in a J-batch or singly).
+    lean=True computes ONLY what eppa_ft needs: the per-player attribution
+    matmuls (steps 6's raw_sums and 12) and the invariant certification
+    (step 13) are skipped and the returned eppa_ft aliases the per-process
+    workspace — valid until the next kernel call, for callers that reduce
+    it immediately (the M6 objective). Every float that IS produced is
+    bit-identical to the full path.
+    """
+    grid = field_grid()  # (F, 2)
+    tof = tof_values()  # (T,)
+    J = px.shape[0]
     F, T = N_CELLS, N_TOF
     idx_off = np.flatnonzero(is_off)
     idx_def = np.flatnonzero(~is_off)
@@ -240,7 +298,10 @@ def frame_surfaces(
     # surfaces are COPIED out, so results stay valid across calls.
 
     # 1-5. reaction projection → P(intercept) sigmoid field
-    d_mag, p_int = player_intercept_field(px, pv, grid, tof, params, reuse=True)
+    if precomputed is not None:
+        d_mag, p_int = precomputed
+    else:
+        d_mag, p_int = player_intercept_field(px, pv, grid, tof, params, reuse=True)
 
     # 6. team aggregates 1−∏(1−p) (A23, :270-271). For the trajectory step
     # probabilities the event space is partitioned properly: P(any) split
@@ -264,12 +325,14 @@ def frame_surfaces(
             # the attribution stage (step 12) needs raw per-team p_int sums;
             # computing them here reuses the cache-resident chunk instead of
             # re-reading the full 36 MB tensor later (row-chunked dgemm is
-            # bit-identical: each output row sees only its own input row)
-            np.matmul(
-                p_int[lo:hi].reshape((hi - lo) * T, J),
-                team_mask,
-                out=raw_sums[lo * T : hi * T],
-            )
+            # bit-identical: each output row sees only its own input row).
+            # lean mode skips step 12, so the raw sums are dead weight there.
+            if not lean:
+                np.matmul(
+                    p_int[lo:hi].reshape((hi - lo) * T, J),
+                    team_mask,
+                    out=raw_sums[lo * T : hi * T],
+                )
             lc = _ws("fs.log_chunk", (hi - lo, T, J))
             np.minimum(p_int[lo:hi], 1.0 - 1e-12, out=lc)
             np.maximum(lc, 0.0, out=lc)
@@ -329,6 +392,19 @@ def frame_surfaces(
     p_def_flat = p_def_part.ravel()
     steps = np.arange(N_TOF, dtype=np.int32)[None, :, None]  # (1,T_step,1)
     AB = 10  # arrival-block width
+    # path indices depend only on (ball, z-window, chunking): fetch or
+    # build the per-block flat tensors once per ball position (_PATH_CACHE;
+    # ~70 ms of identical index math per call otherwise — the M6 optimizer
+    # makes ~80 same-ball calls per frame)
+    path_key = (float(bx), float(by), params.z_min, params.z_max, chunk)
+    cached_blocks = _PATH_CACHE.get(path_key)
+    building_cache = cached_blocks is None
+    if building_cache:
+        cached_blocks = []
+        while len(_PATH_CACHE) >= _PATH_CACHE_MAX:
+            _PATH_CACHE.pop(next(iter(_PATH_CACHE)))
+        _PATH_CACHE[path_key] = cached_blocks
+    block_i = 0
     for lo in range(0, N_CELLS, chunk):
         hi = min(lo + chunk, N_CELLS)
         gc = grid[lo:hi]  # (Fc, 2)
@@ -340,28 +416,33 @@ def frame_surfaces(
             S, B = b1, b1 - b0  # steps needed, arrivals in block
             fr = frac[:S, b0:b1]  # (S, B)
             z = zv[:S, b0:b1]
-            # ball path cell index at step s for arrival T, without
-            # materializing the (Fc,S,B,2) path tensor (F13 ravel, :352)
-            work = _ws("fs.work", (Fc, S, B))
-            cx = _ws("fs.cx", (Fc, S, B), np.int32)
-            np.multiply(fr, dx, out=work)  # rint(bx + frac·dx − 0.5)
-            work += bx - 0.5
-            np.rint(work, out=work)
-            np.copyto(cx, work, casting="unsafe")  # ≡ astype(int32)
-            np.minimum(cx, FIELD_X - 1, out=cx)
-            np.maximum(cx, 0, out=cx)
-            cy = _ws("fs.cy", (Fc, S, B), np.int32)
-            np.multiply(fr, dy, out=work)
-            work += by - 0.5
-            np.rint(work, out=work)
-            np.copyto(cy, work, casting="unsafe")
-            np.minimum(cy, FIELD_Y - 1, out=cy)
-            np.maximum(cy, 0, out=cy)
-            flat = _ws("fs.flat", (Fc, S, B), np.int32)
-            np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
-            flat += cx
-            flat *= N_TOF
-            flat += steps[:, :S]  # (Fc, S, B)
+            if building_cache:
+                # ball path cell index at step s for arrival T, without
+                # materializing the (Fc,S,B,2) path tensor (F13 ravel, :352)
+                work = _ws("fs.work", (Fc, S, B))
+                cx = _ws("fs.cx", (Fc, S, B), np.int32)
+                np.multiply(fr, dx, out=work)  # rint(bx + frac·dx − 0.5)
+                work += bx - 0.5
+                np.rint(work, out=work)
+                np.copyto(cx, work, casting="unsafe")  # ≡ astype(int32)
+                np.minimum(cx, FIELD_X - 1, out=cx)
+                np.maximum(cx, 0, out=cx)
+                cy = _ws("fs.cy", (Fc, S, B), np.int32)
+                np.multiply(fr, dy, out=work)
+                work += by - 0.5
+                np.rint(work, out=work)
+                np.copyto(cy, work, casting="unsafe")
+                np.minimum(cy, FIELD_Y - 1, out=cy)
+                np.maximum(cy, 0, out=cy)
+                flat = np.empty((Fc, S, B), np.int32)  # owned by the cache
+                np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
+                flat += cx
+                flat *= N_TOF
+                flat += steps[:, :S]  # (Fc, S, B)
+                cached_blocks.append(flat)
+            else:
+                flat = cached_blocks[block_i]
+            block_i += 1
             # memoized gather: partitioned team p at (path cell, step time)
             # (:337,355)
             catch_off = _ws("fs.catch_off", (Fc, S, B))
@@ -374,7 +455,7 @@ def frame_surfaces(
             np.take(p_def_flat, flat, out=catch_def, mode="clip")
             catch_def *= z
             # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
-            no_event = work  # reuse the float scratch
+            no_event = _ws("fs.work", (Fc, S, B))  # reuse the float scratch
             np.subtract(1.0, catch_off, out=no_event)
             no_event -= catch_def
             np.minimum(no_event, 1.0, out=no_event)
@@ -435,6 +516,13 @@ def frame_surfaces(
     value_ft += tmp_ft
     eppa_ft = _ws("fs.eppa_ft", (F, T))
     np.multiply(trans, value_ft, out=eppa_ft)
+
+    if lean:
+        # objective-only mode: the caller reduces eppa_ft immediately
+        # (M6 candidate scoring); attribution, certification and result
+        # copies are skipped. eppa_ft aliases the workspace — valid until
+        # the next kernel call in this process.
+        return {"eppa_ft": eppa_ft}
 
     # 12. per-player attribution: share of team p_int at each (F,T). Both
     # contractions over the (F,T,J) sigmoid tensor are BLAS matmuls that
@@ -502,8 +590,8 @@ def frame_surfaces(
         "value_ft": value_ft.copy(),
         "eppa_ft": eppa_ft.copy(),
         "ind_eppa": ind_eppa,
-        "nflId": players["nflId"].to_numpy(),
-        "team_pos_players": players["team_pos"].to_numpy(),
+        "nflId": nfl_ids,
+        "team_pos_players": team_pos_arr,
     }
 
 

@@ -151,13 +151,17 @@ def priors_to_tables(spark, p_t: np.ndarray, T_L: np.ndarray) -> tuple[DataFrame
     """Materialize prior arrays as small DataFrames (parquet-able artifacts,
     S4/S11 equivalents — the engine stores priors relationally, broadcasts
     ndarrays only inside kernels)."""
-    p_t_df = spark.createDataFrame(
-        [(i + 1, float(p)) for i, p in enumerate(p_t)], "frame_to_pass int, p double"
+    from bigdatabowl_spark.sources.tables import local_rows_df
+
+    p_t_df = local_rows_df(
+        spark,
+        [(i + 1, float(p)) for i, p in enumerate(p_t)],
+        "frame_to_pass int, p double",
     )
     rows = [
         (L + 1, t_i + 1, float(T_L[L, t_i]))
         for L in range(T_L.shape[0])
         for t_i in range(T_L.shape[1])
     ]
-    t_l_df = spark.createDataFrame(rows, "dist int, T int, p double")
+    t_l_df = local_rows_df(spark, rows, "dist int, T int, p double")
     return p_t_df, t_l_df

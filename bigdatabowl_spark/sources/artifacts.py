@@ -21,6 +21,7 @@ from pyspark.sql import SparkSession
 
 from bigdatabowl_spark.kernels.ensemble import FlatForest, TreeEnsemble
 from bigdatabowl_spark.kernels.eppa import EppaPriors
+from bigdatabowl_spark.sources.tables import local_rows_df
 from bigdatabowl_spark.kernels.priors import (
     T_given_L_prior,
     p_t_prior,
@@ -122,10 +123,10 @@ def save_ensemble(
         "epvals": os.path.join(out_dir, "epvals"),
     }
     # coalesce(1): a 16-row / 8-row artifact is one file, one read task
-    spark.createDataFrame(tree_rows, _TREE_SCHEMA).coalesce(1).write.mode(
+    local_rows_df(spark, tree_rows, _TREE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(paths["trees"])
-    spark.createDataFrame(ep_rows, "class_id int, epval double").coalesce(1).write.mode(
+    local_rows_df(spark, ep_rows, "class_id int, epval double").coalesce(1).write.mode(
         "overwrite"
     ).parquet(paths["epvals"])
     return paths
@@ -222,18 +223,12 @@ def save_forest(
         "meta": os.path.join(out_dir, "meta"),
     }
     # coalesce(1): a few-hundred-row artifact is one file, one read task
-    spark.createDataFrame(node_rows, _NODE_SCHEMA).coalesce(1).write.mode(
+    local_rows_df(spark, node_rows, _NODE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(paths["nodes"])
-    spark.createDataFrame(tree_rows, "tree_id int, tree_class int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(paths["trees"])
-    spark.createDataFrame(ep_rows, "class_id int, epval double").coalesce(
-        1
-    ).write.mode("overwrite").parquet(paths["epvals"])
-    spark.createDataFrame(meta_rows, "key string, value double").coalesce(
-        1
-    ).write.mode("overwrite").parquet(paths["meta"])
+    local_rows_df(spark, tree_rows, "tree_id int, tree_class int").coalesce(1).write.mode("overwrite").parquet(paths["trees"])
+    local_rows_df(spark, ep_rows, "class_id int, epval double").coalesce(1).write.mode("overwrite").parquet(paths["epvals"])
+    local_rows_df(spark, meta_rows, "key string, value double").coalesce(1).write.mode("overwrite").parquet(paths["meta"])
     return paths
 
 
@@ -402,7 +397,7 @@ def save_relational_spec(
         )
         for r in rows
     ]
-    spark.createDataFrame(data, _SPEC_SCHEMA).coalesce(1).write.mode(
+    local_rows_df(spark, data, _SPEC_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(out_dir)
     return out_dir

@@ -75,3 +75,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def local_rows_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small local-rows DataFrame built through the Arrow/pandas path.
+
+    The row-list ``createDataFrame`` path parallelizes into
+    ``defaultParallelism`` Python-RDD slices; a later ``coalesce(1)``
+    (the artifact writers' one-file-per-artifact layout) then re-evaluates
+    every slice through a Python-worker round-trip SEQUENTIALLY inside one
+    task — measured ~0.15 s per slice, ~5 s per tiny artifact write at
+    local[32] (r12 bench isolation: `roundtrip_priors` was 11 s of
+    `s4_prior_artifact_lifecycle`'s 17 s). Arrow batches are JVM-local, so
+    the same coalesced write is ~0.2 s. Values are identical — float64
+    crosses Arrow bit-exactly, ints/strings/arrays losslessly (verified
+    against the row-list path on the priors and tree schemas)."""
+    import pandas as pd
+
+    names = [f.rsplit(None, 1)[0] for f in schema.split(", ")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)

@@ -703,13 +703,18 @@ def test_m6_hybrid_argmin_matches_full(monkeypatch):
 
     params, priors = EppaParams(), EppaPriors.default()
     calls = {"n": 0}
-    real = defense.frame_surfaces
+    # r12: the full objective runs through _frame_surfaces_core (lean
+    # incremental evaluation, bit-identical to frame_surfaces — pinned by
+    # test_m6_fast_full_obj_matches_frame_surfaces); one core call with
+    # lean=True is one full-kernel objective evaluation
+    real = defense._frame_surfaces_core
 
     def counting(*a, **kw):
-        calls["n"] += 1
+        if kw.get("lean"):
+            calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(defense, "frame_surfaces", counting)
+    monkeypatch.setattr(defense, "_frame_surfaces_core", counting)
 
     for seed, fas in [(1, 12), (4, 25), (6, 22)]:
         players, ball = _m6_random_frame(seed)
@@ -734,3 +739,81 @@ def test_m6_hybrid_argmin_matches_full(monkeypatch):
             placed_h.reset_index(drop=True), placed_f.reset_index(drop=True)
         )
         assert before_h == before_f and after_h == after_f, seed
+
+
+def test_m6_fast_full_obj_matches_frame_surfaces():
+    """r12 optimization invariant: the incremental full-kernel objective
+    (single-column p_int splice + lean _frame_surfaces_core) must equal a
+    from-scratch frame_surfaces evaluation BIT FOR BIT at every step of a
+    simulated greedy sequence — moves change one player at a time, exactly
+    the optimizer's access pattern. Also pins the ball-path index cache
+    (same ball across calls → cache hit on every call after the first)."""
+    from bigdatabowl_spark.kernels.eppa import (
+        _frame_surfaces_core,
+        player_intercept_field,
+    )
+    from bigdatabowl_spark.kernels.params import N_CELLS, N_TOF, field_grid, tof_values
+
+    params, priors = EppaParams(), EppaPriors.default()
+    players, ball = _m6_random_frame(3)
+    fas = 18
+    px = players[["x", "y"]].to_numpy(float)
+    pv = players[["v_x", "v_y"]].to_numpy(float)
+    is_off = (players["team_pos"] == "OFF").to_numpy()
+    nfl = players["nflId"].to_numpy()
+    tp = players["team_pos"].to_numpy()
+    grid, tof = field_grid(), tof_values()
+    J = len(players)
+
+    base_d = np.empty((N_CELLS, J))
+    base_p = np.empty((N_CELLS, N_TOF, J))
+    dm, pi = player_intercept_field(px, pv, grid, tof, params)
+    base_d[...] = dm
+    base_p[...] = pi
+
+    rng = np.random.default_rng(9)
+    cur = players.copy()
+    for step in range(4):
+        # move one defender, splice its column, evaluate lean
+        j = int(rng.integers(4, J))
+        new_xy = np.array([rng.uniform(20, 60), rng.uniform(5, 48)])
+        new_v = np.array([rng.uniform(-5, 5), rng.uniform(-3, 3)])
+        cur.iloc[j, cur.columns.get_loc("x")] = new_xy[0]
+        cur.iloc[j, cur.columns.get_loc("y")] = new_xy[1]
+        cur.iloc[j, cur.columns.get_loc("v_x")] = new_v[0]
+        cur.iloc[j, cur.columns.get_loc("v_y")] = new_v[1]
+        d1, p1 = player_intercept_field(
+            new_xy[None, :], new_v[None, :], grid, tof, params
+        )
+        base_d[:, j] = d1[:, 0]
+        base_p[:, :, j] = p1[:, :, 0]
+
+        fast = _frame_surfaces_core(
+            px, pv, is_off, nfl, tp, ball, fas, params, priors,
+            precomputed=(base_d, base_p), lean=True,
+        )["eppa_ft"]
+        scratch = frame_surfaces(cur, ball, fas, params, priors)["eppa_ft"]
+        assert np.array_equal(fast, scratch), step
+        assert float(fast.sum()) == float(scratch.sum()), step
+
+
+def test_path_index_cache_bit_identical_and_bounded():
+    """The ball-path index cache must (a) return bit-identical surfaces on
+    hits, (b) stay bounded at _PATH_CACHE_MAX keys under many distinct
+    ball positions, and (c) never leak one ball position's indices into
+    another's result."""
+    from bigdatabowl_spark.kernels import eppa as E
+
+    params, priors = EppaParams(), EppaPriors.default()
+    players, _ = _m6_random_frame(5)
+    E._PATH_CACHE.clear()
+
+    balls = [np.array([20.0 + 3 * i, 15.0 + 2 * i]) for i in range(4)]
+    first = [frame_surfaces(players, b, 10, params, priors) for b in balls]
+    assert len(E._PATH_CACHE) <= E._PATH_CACHE_MAX
+    # recompute in reverse order: mix of evicted (rebuild) and cached keys
+    for b, want in reversed(list(zip(balls, first))):
+        got = frame_surfaces(players, b, 10, params, priors)
+        for k in ("ppc_off", "ppc_def", "eppa_ft"):
+            assert np.array_equal(got[k], want[k]), k
+    assert len(E._PATH_CACHE) <= E._PATH_CACHE_MAX
