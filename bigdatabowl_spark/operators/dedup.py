@@ -90,6 +90,44 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _doc_shingle_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, n_shingles) per document, computed map-side from the shingle
+    array — no explode, no shuffle (r12: replaces a groupBy over the
+    exploded table that re-ran the whole scan per reference). Documents
+    with < n tokens get n_shingles = 0; their rows vanish in the inner
+    join against the pair table, exactly as their absence did before."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles_from_tokens(toks, n))).alias("n_shingles"),
+    )
+
+
+def _shingle_pair_counts(sh: DataFrame, id_col: str) -> DataFrame:
+    """(doc1, doc2, n_inter) for every co-shingled ordered pair
+    (doc1 < doc2) — one shuffle on the shingle key + array-side
+    ordered-pair fan-out (the _copurchase_edges / bpe_pair_counts idiom)
+    instead of a self-join that shuffles the exploded table twice and
+    replays its scan per side (r12; guide §2.4). Per-shingle ids are
+    distinct and sorted, so the expanded pairs are exactly the join's
+    a.id < b.id matches; fan-out per shingle is C(doc_freq, 2), the same
+    quadratic the join paid, just produced in the reduce task directly."""
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ds")
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc1, y AS doc2))))"
+    )
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -101,28 +139,21 @@ def ngram_jaccard_pairs(
 
     inter/union counts are integers → the similarity double is exact.
 
-    Scale posture: this is the EXACT baseline — the shingle self-join
-    materializes every co-occurring doc pair, which is inherently
-    quadratic in per-shingle document frequency. At corpus scale use
-    lsh_candidate_pairs (MinHash banding) for candidate generation and
-    verify candidates with this metric; prefix filtering would not help
-    at the low thresholds used for near-dup (prefix length (1−t)·|d|+1
-    barely filters below t≈0.7).
+    Scale posture: this is the EXACT baseline — the co-shingle pair
+    expansion materializes every co-occurring doc pair, which is
+    inherently quadratic in per-shingle document frequency. At corpus
+    scale use lsh_candidate_pairs (MinHash banding) for candidate
+    generation and verify candidates with this metric; prefix filtering
+    would not help at the low thresholds used for near-dup (prefix length
+    (1−t)·|d|+1 barely filters below t≈0.7).
     """
     # Pair rows stay narrow (two longs) through the 1M+-row intersection
     # aggregate; union sizes join onto the (much smaller) aggregated pair
     # table afterwards. Measured against carrying n1/n2 through the pair
     # shuffle and against map-side size branches — this shape won at sf0.1.
     sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    sizes = _doc_shingle_counts(df, text_col, id_col, n)
+    inter = _shingle_pair_counts(sh, id_col)
     sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2"))
     out = (
@@ -184,11 +215,25 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # r12 (guide §2.4): bucket-and-expand instead of a band self-join —
+    # one shuffle on (band, key) + array-side ordered-pair fan-out (the
+    # _shingle_pair_counts idiom). The self-join's two sides each replayed
+    # the whole scan→shingle→minhash subtree and shuffled the banded
+    # table twice; per-bucket ids are distinct and sorted, so the expanded
+    # pairs are exactly the join's id< matches and the per-pair count is
+    # the number of shared bands, unchanged. Fan-out per bucket is
+    # C(bucket, 2) — the same candidate volume the join produced; at
+    # 100 TB bucket sizes are bounded by band-width choice (see SH1 note).
+    grouped = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ds")
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc1, y AS doc2))))"
+    )
     return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
@@ -418,11 +463,14 @@ def simhash(
 
     bit_j set iff Σ_tokens (2·((h>>j)&1) − 1) > 0, h = md5-folded token hash.
     """
-    toks = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .distinct()
-        .withColumn("h", md5_long(F.col("tok")))
-    )
+    # distinct (id, tok) pairs can only repeat WITHIN a document, so a
+    # map-side array_distinct replaces the global .distinct() — the dedup
+    # happens in the same scan and the groupBy below is the plan's only
+    # exchange (r12; the shingle_table trick from :84).
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
     bit_aggs = [
         F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(bits)
@@ -450,20 +498,14 @@ def containment_pairs(
     container is much bigger than the containee.
 
     Scale posture: same EXACT-baseline shape as ngram_jaccard_pairs (the
-    shingle self-join is quadratic in per-shingle doc frequency); at corpus
-    scale generate candidates with MinHash banding first and verify with
-    this metric. Both directions come from one unordered pair aggregate —
-    no doubled pair shuffle.
+    co-shingle pair expansion is quadratic in per-shingle doc frequency);
+    at corpus scale generate candidates with MinHash banding first and
+    verify with this metric. Both directions come from one unordered pair
+    aggregate — no doubled pair shuffle.
     """
     sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    sizes = _doc_shingle_counts(df, text_col, id_col, n)
+    inter = _shingle_pair_counts(sh, id_col)
     sa = sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2"))
     out = (

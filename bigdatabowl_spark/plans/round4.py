@@ -509,7 +509,13 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair row — no second shuffle.
     """
     docs = t(spark, sf_dir, "documents")
-    sig = dedup.simhash(docs, bits=32)
+    # r12: materialize the signature table once (one long per doc) — the
+    # band self-join's two sides otherwise each replay the full
+    # scan→explode→32-bit-sum aggregation (2 scans / 5 exchanges at sf0.1;
+    # plans/r12/simhash_hamming_pairs_before.txt). The checkpoint is
+    # |docs| rows of (long, long) — the same per-doc-signature
+    # materialization a 100 TB run would stage before banding.
+    sig = dedup.simhash(docs, bits=32).localCheckpoint()
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -1539,27 +1545,46 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens never enter a prefix, which is the skew story.
     """
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    toks = (
-        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
-        .distinct()
+    # distinct (doc_id, tok) pairs can only repeat WITHIN a document, so a
+    # map-side array_distinct replaces the global .distinct() shuffle (the
+    # shingle_table trick, operators/dedup.py:77).
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    from pyspark.sql import Window
-
-    ranked = toks.join(F.broadcast(freq), "tok").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("tf").asc(), F.col("tok").asc()
-            )
-        ),
+    # r12 restructure (guide §2.4): the old plan re-derived the token table
+    # per consumer — 8 parquet scans / 23 exchanges for one query (window
+    # rank + sizes agg + docsets agg + prefix self-join, each replaying
+    # scan→explode→distinct; plans/r12/prefix_filter_jaccard_before.txt).
+    # Everything downstream needs only per-doc aggregates, so ONE groupBy
+    # builds them all: sorted token set `ts` (verification), `sz` (= the
+    # old sizes agg), and the frequency-ascending prefix slice `pref`
+    # (sort_array over (tf, tok) structs ≡ the old row_number window —
+    # tokens are distinct per doc, so (tf, tok) has no ties and the first
+    # `sz - ceil(tau·sz) + 1` structs are exactly the rows the window
+    # kept). localCheckpoint materializes the per-doc table once —
+    # candidate generation and both verify sides replay from it (the
+    # _copurchase_edges precedent) instead of re-running the scan.
+    base = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tf", "tok"))).alias("by_freq"),
+            F.sort_array(F.collect_list("tok")).alias("ts"),
+        )
+        .withColumn("sz", F.size("ts"))
+        # tau = 9/10: prefix length = |d| - ceil(9|d|/10) + 1
+        .withColumn(
+            "pref",
+            F.expr(
+                "transform(slice(by_freq, 1, sz - (9 * sz + 9) div 10 + 1),"
+                " x -> x.tok)"
+            ),
+        )
+        .drop("by_freq")
+        .localCheckpoint()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    with_sz = ranked.join(F.broadcast(sizes), "doc_id")
-    # tau = 9/10: prefix length = |d| - ceil(9|d|/10) + 1
-    prefix = with_sz.filter(
-        F.col("rn") <= F.expr("sz - (9 * sz + 9) div 10 + 1")
-    ).select("doc_id", "tok")
+    prefix = base.select("doc_id", F.explode("pref").alias("tok"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
@@ -1570,17 +1595,16 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa.doc_id").alias("doc1"), F.col("pb.doc_id").alias("doc2"))
         .distinct()
     )
-    docsets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("ts"))
     verified = (
         cand.join(
             F.broadcast(
-                docsets.select(F.col("doc_id").alias("doc1"), F.col("ts").alias("ts1"))
+                base.select(F.col("doc_id").alias("doc1"), F.col("ts").alias("ts1"))
             ),
             "doc1",
         )
         .join(
             F.broadcast(
-                docsets.select(F.col("doc_id").alias("doc2"), F.col("ts").alias("ts2"))
+                base.select(F.col("doc_id").alias("doc2"), F.col("ts").alias("ts2"))
             ),
             "doc2",
         )
