@@ -231,11 +231,16 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.md5_long(F.concat(key.cast("string"), F.lit(salt))) % _BLOOM_M
         )
 
-    bits = (
-        urgent.select(pos(F.col("o_orderkey"), ":b1").alias("p"))
-        .union(urgent.select(pos(F.col("o_orderkey"), ":b2").alias("p")))
-        .distinct()
-    )
+    # r12: both hash positions from ONE pass over urgent (explode of a
+    # 2-element array) — the union-of-two-selects shape scanned orders
+    # twice for the same bit table
+    bits = urgent.select(
+        F.explode(
+            F.array(
+                pos(F.col("o_orderkey"), ":b1"), pos(F.col("o_orderkey"), ":b2")
+            )
+        ).alias("p")
+    ).distinct()
     probe = li.withColumn("p1", pos(F.col("l_orderkey"), ":b1")).withColumn(
         "p2", pos(F.col("l_orderkey"), ":b2")
     )
@@ -521,6 +526,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("bno"),
     ).withColumn("band_val", F.expr("shiftright(simhash, 8 * bno) & 255"))
+    # r12 skew note (guide §2.5): the synthetic corpus's template clusters
+    # collide into a few DEGENERATE band buckets (measured at sf0.1: max
+    # bucket 3,058 docs → 4.7M of the 9.5M candidate pairs from ONE join
+    # key, generated serially — AQE's skew split cannot divide a single
+    # key). A deterministic block decomposition (rank each bucket, cut
+    # into 256-doc blocks, join block pairs i ≤ j with both sides
+    # replicated to partner blocks) was implemented and MEASURED SLOWER
+    # at sf0.1 — 4.2 s vs 3.2 s, min of 3: the extra window shuffle and
+    # the replicated explodes cost more than the hot key's serial pair
+    # fan-out at this bucket size. Kept out; it becomes the right shape
+    # only when a degenerate bucket's C(n,2) dwarfs a task (the "salt any
+    # degenerate band value" posture note).
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1783,6 +1800,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.round(F.col("x").cast("double") * 1000, 0).cast("long").alias("q"),
     )
+    # r12: pts is re-read by every Lloyd stage (init + 2 joins per
+    # iteration + the final encode — 5 scan→posexplode replays in the old
+    # plan); checkpoint once, same as kmeans_quantized (similarity.py:416)
+    pts = pts.localCheckpoint(eager=False)
     cents = pts.filter(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("cid"), "d", F.col("q").alias("c")
     )
