@@ -2254,22 +2254,30 @@ def cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.md5_long(F.concat(F.col("tok"), F.lit(f":cms{d}"))) % _CMS_W
         )
 
-    cells = None
-    for d in range(_CMS_D):
-        cd = toks.groupBy(cell(d).alias("cell")).agg(F.count("*").alias("c")).select(
-            F.lit(d).alias("d"), "cell", "c"
-        )
-        cells = cd if cells is None else cells.unionAll(cd)
+    # r12 (guide §2.4): ONE combining aggregation builds all d sketch rows
+    # — each token explodes into its d (row, cell) coordinates map-side and
+    # a single groupBy(d, cell) shuffles d·w = 1,024 partial cells. The old
+    # shape ran d separate aggregations, each replaying scan→explode (and
+    # the probe union replayed the top-20 subtree d times — now the 20-row
+    # top table fans out its probe coordinates array-side). Counts per
+    # (d, cell) and the top-20 set are unchanged.
+    dcells = F.array(
+        *[F.struct(F.lit(d).alias("d"), cell(d).alias("cell")) for d in range(_CMS_D)]
+    )
+    cells = (
+        toks.select(F.explode(dcells).alias("dc"))
+        .groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .agg(F.count("*").alias("c"))
+    )
     top = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("true_n"))
         .orderBy(F.col("true_n").desc(), F.col("tok").asc())
         .limit(20)
     )
-    probes = None
-    for d in range(_CMS_D):
-        pd_ = top.select("tok", "true_n", F.lit(d).alias("d"), cell(d).alias("cell"))
-        probes = pd_ if probes is None else probes.unionAll(pd_)
+    probes = top.select(
+        "tok", "true_n", F.explode(dcells).alias("dc")
+    ).select("tok", "true_n", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
     return (
         probes.join(F.broadcast(cells), ["d", "cell"])
         .groupBy("tok")

@@ -747,3 +747,33 @@ def test_resume_filter_large_done_list_broadcasts(spark, tmp_path, monkeypatch):
     plan = _plan(io_mod.resume_filter(df, spark, out, "k"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_pairs_bucket_expand_no_self_join(spark, sf_dir):
+    """r12: the exact-Jaccard pair generator must be bucket-and-expand —
+    one groupBy on the shingle key + array-side pair fan-out — never a
+    shingle self-join (which shuffles the exploded table twice and replays
+    the scan per side). Sizes are map-side: no extra exploded-table agg."""
+    plan = _catalog_plan(spark, sf_dir, "ngram_jaccard_pairs")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # pair-path explode + pair fan-out explode only — the sizes branch
+    # computes counts from the array without exploding
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
+
+
+def test_prefix_filter_single_pass_base(spark, sf_dir):
+    """r12: prefix_filter_jaccard builds every per-doc aggregate (token
+    set, size, frequency prefix) in one pass and materializes it — the
+    plan must replay from the checkpoint (zero parquet re-scans) and must
+    not contain the old row_number window."""
+    plan = _catalog_plan(spark, sf_dir, "prefix_filter_jaccard")
+    assert "Scan parquet" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_simhash_single_exchange(spark, sf_dir):
+    """r12: simhash's per-doc bit-sum aggregation must be the plan's ONLY
+    exchange — token dedup happens map-side (array_distinct in the scan
+    projection), not as a global distinct."""
+    plan = _catalog_plan(spark, sf_dir, "simhash_docs")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
