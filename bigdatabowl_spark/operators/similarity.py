@@ -240,6 +240,12 @@ def ivf_topk(
         F.try_divide(dot(F.col(vec_col), F.col("cvec")), F.col("nrm") * F.col("cnrm")).alias("cos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cid"))
+    # r12 note: assign and probe both read `ranked`, so the crossJoin × K
+    # dot-product pass runs twice. A localCheckpoint here measured
+    # NEUTRAL-to-slower at sf0.1 (embed_ivf_knn 1.35 → 1.39 s,
+    # sim_recall_certify 1.68 → 1.80 s, min of 3) — materializing the
+    # vector-carrying rows costs what the replay costs at 2,000 vectors.
+    # Worth revisiting only when |corpus| × K dominates the probe side.
     ranked = scored.withColumn("crn", F.row_number().over(w))
     assign = ranked.filter(F.col("crn") == 1).select(
         F.col(id_col).alias("neighbor_id"),
