@@ -682,6 +682,38 @@ def _ambient_cpu_frac(interval: float = 0.5) -> float:
     return round(1.0 - (i1 - i0) / dt_total, 3)
 
 
+class _StealMeter:
+    """Per-stage-window hypervisor steal fraction (/proc/stat `steal`
+    ticks over total ticks since the previous window() call).
+
+    load_avg and _ambient_cpu_frac both read THIS GUEST's scheduler —
+    neither can see HOST-level oversubscription, where the hypervisor
+    deschedules our vCPUs mid-run. That failure mode inflates wall AND
+    our own charged CPU seconds (straggler amplification + GC churn) on
+    a box whose every guest-side probe reads idle: r12's first
+    code-freeze capture started at load 0.22 / ambient 0.001 yet carried
+    12.4% measured steal under load, inflating untouched queries 1.3-4.6×
+    (text_1m_bigram_counts 3.5 → 16.3 s with its code byte-identical —
+    OPTIMIZATION_r12.md "Re-measure"). The meter stamps each artifact
+    stage with the steal it actually absorbed, so a wobbling row can be
+    attributed to the host from the artifact alone."""
+
+    def __init__(self) -> None:
+        self._last = self._snap()
+
+    @staticmethod
+    def _snap() -> tuple[int, int]:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    def window(self) -> float:
+        s0, t0 = self._last
+        s1, t1 = self._snap()
+        self._last = (s1, t1)
+        return round((s1 - s0) / max(t1 - t0, 1), 4)
+
+
 # a leg/run counts as contended when neighbors hold >12.5% of the box
 # (>4 of 32 cores) at its start — enough to visibly skew 32-thread legs
 _CONTENDED_FRAC = 0.125
@@ -820,6 +852,7 @@ def run_scale_legs(sf_dir: str, leg: str) -> dict:
     # ambient probe BEFORE the session exists: the only CPU users right
     # now are neighbors (main JVM and prior legs are dead)
     ambient = _ambient_cpu_frac()
+    steal = _StealMeter()
     spark = get_spark(f"bdb-bench-scale-{leg}")
     spark.sparkContext.setLogLevel("ERROR")
     # untimed warmup: first-job JIT/codegen + Python-worker spawn otherwise
@@ -905,6 +938,7 @@ def run_scale_legs(sf_dir: str, leg: str) -> dict:
               f"surrogate {m6s_sec:.3f}s", file=sys.stderr, flush=True)
     else:
         raise ValueError(f"unknown scale leg: {leg!r}")
+    out["steal_frac"] = steal.window()
     out["load_end"] = round(os.getloadavg()[0], 2)
     spark.stop()
     return out
@@ -945,6 +979,7 @@ def _spawn_scale_legs(sf_dir: str) -> dict:
         )
         merged[f"ambient_{leg}"] = payload.pop("ambient_cpu_frac")
         merged[f"contended_{leg}"] = payload.pop("contended")
+        merged[f"steal_{leg}"] = payload.pop("steal_frac")
         merged.update(payload)
     return merged
 
@@ -958,6 +993,8 @@ def main() -> None:
     loads = {"start": round(os.getloadavg()[0], 2)}
     # neighbor-CPU probe before anything of ours runs (see _ambient_cpu_frac)
     ambient_start = _ambient_cpu_frac()
+    steal_m = _StealMeter()
+    steals: dict[str, float] = {}
 
     from bigdatabowl_spark.session import get_spark
     import bigdatabowl_spark.plans  # noqa: F401
@@ -982,6 +1019,7 @@ def main() -> None:
     # contention; the in-suite measurement at the end keeps continuity.
     eppa_iso_sec, eppa_iso_fps, eppa_iso_cpu = bench_eppa_kernel(spark)
     loads["after_warmup"] = round(os.getloadavg()[0], 2)
+    steals["warmup"] = steal_m.window()
 
     # Full-catalog sweep: headline queries first (stable ordering for
     # round-over-round diffs), then every remaining catalog entry so a
@@ -1054,6 +1092,7 @@ def main() -> None:
     )
     _gc_sweep(spark)  # catalog checkpoints + JVM state (see _gc_sweep)
     loads["after_catalog"] = round(os.getloadavg()[0], 2)
+    steals["catalog"] = steal_m.window()
     (
         salted_sec, unsalted_sec, aqe_sec, aqe_off_sec,
         salted_cpu, unsalted_cpu, aqe_cpu, aqe_off_cpu,
@@ -1069,6 +1108,7 @@ def main() -> None:
     cpu_secs["skew_join_aqe_split"] = aqe_cpu
     cpu_secs["skew_join_aqe_off_64map"] = aqe_off_cpu
     loads["after_skew"] = round(os.getloadavg()[0], 2)
+    steals["skew"] = steal_m.window()
     # Scale legs in a FRESH subprocess/JVM (VERDICT r9 item 2): the
     # in-suite runs measured the catalog sweep's accumulated JVM state
     # (bigram 13.1 s driver vs 3.8 isolated; pagerank 124 vs 15
@@ -1091,6 +1131,7 @@ def main() -> None:
         loads[f"scale_{leg}"] = scale.pop(f"load_{leg}")
         ambient[leg] = scale.pop(f"ambient_{leg}")
         contended = contended or scale.pop(f"contended_{leg}")
+        steals[f"scale_{leg}"] = scale.pop(f"steal_{leg}")
     for key in (
         "eppa_kernel_play",
         "pagerank_10m_graph_build",
@@ -1152,6 +1193,11 @@ def main() -> None:
         "contended": contended,
         "ambient_cpu_frac": ambient,
         "load_avg": loads,
+        # hypervisor steal per stage window (see _StealMeter): the
+        # HOST-side contention channel the two guest-side probes above
+        # are blind to — >2-3% in a stage means that stage's rows carry
+        # host inflation no matter what load_avg/ambient say
+        "steal_frac": steals,
     }
     if idle_gate is not None:
         headline["idle_gate"] = idle_gate

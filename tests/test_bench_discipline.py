@@ -128,3 +128,48 @@ def test_merge_round_section_preserves_prior_regimes(tmp_path):
     assert merge_round_section(path, "load_avg", {"start": 0.1}) == {
         "start": 0.1
     }
+
+
+def test_steal_meter_windows_are_fractions_and_advance():
+    # r12: the first code-freeze idle capture passed the loadavg gate AND
+    # the ambient probe yet carried 12.4% hypervisor steal — both
+    # guest-side signals are structurally blind to host oversubscription,
+    # so artifacts now stamp per-stage steal fractions.
+    meter = bench._StealMeter()
+    first = meter.window()
+    assert 0.0 <= first <= 1.0
+    # the snapshot must ADVANCE: a second window measures only new ticks
+    s0, t0 = meter._last
+    second = meter.window()
+    assert 0.0 <= second <= 1.0
+    s1, t1 = meter._last
+    assert t1 >= t0 and s1 >= s0
+
+
+def test_steal_meter_reads_the_steal_column(monkeypatch):
+    # pin the column: /proc/stat field 8 (index 7 after the 'cpu' label)
+    lines = iter(
+        [
+            "cpu  100 0 0 800 0 0 0 100 0 0\n",
+            "cpu  150 0 0 1550 0 0 0 300 0 0\n",
+        ]
+    )
+
+    class _F:
+        def readline(self):
+            return next(lines)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda path, *a, **k: _F() if path == "/proc/stat" else open(path),
+    )
+    # construction snaps (steal=100, total=1000); window sees +200 steal
+    # over +1000 total ticks
+    meter = bench._StealMeter()
+    assert meter.window() == 0.2
