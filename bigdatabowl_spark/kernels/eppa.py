@@ -56,15 +56,65 @@ _SIGMOID_K = np.pi / np.sqrt(3.0)  # logistic ≈ normal CDF scaling
 
 _TRAJ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
+# Arrival-block width for step 8 (trajectory integration). Module-level so
+# the compact-block cache below and the kernel loop agree on the blocking.
+_AB = 10
+
+# Compacted valid-(step, arrival) structure per arrival block, cached per
+# z-window (r12 optimization-round-1 second pass): zv is only ~6% dense —
+# the z-window admits a handful of steps per arrival (8/5/1/1 max across
+# the four blocks at the default window) while the dense loop processed
+# the full (Fc, S, B) tensor (10/20/30/40 steps). Masked steps contribute
+# an EXACT 1.0 factor to the survival cumprod and an EXACT 0.0 term to the
+# arrival sum, and numpy's non-contiguous-axis reductions accumulate
+# sequentially in step order, so gathering/cumprod-ing only the valid
+# slots (padded to each block's m_max, pad slots masked to 0.0) yields
+# bit-identical ppc surfaces at ~6x less tensor traffic — measured in
+# tests/test_kernels.py::test_step8_compact_bit_identical_vs_dense against
+# a dense reference replay.
+_COMPACT_CACHE: dict[tuple, list] = {}
+
+
+def _compact_blocks(params: EppaParams) -> list:
+    """Per arrival-block compacted step structure: for each block of _AB
+    arrivals, the sorted valid step index per slot (step_idx, int32
+    (m_max, B)), a 1.0/0.0 pad mask (m_max, B), and frac sampled at the
+    valid (step, arrival) pairs. Blocks with no valid slot are None."""
+    key = (params.z_min, params.z_max)
+    cached = _COMPACT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    frac, zv = _traj_constants(params)
+    blocks = []
+    for b0 in range(0, N_TOF, _AB):
+        b1 = min(b0 + _AB, N_TOF)
+        S, B = b1, b1 - b0
+        z = zv[:S, b0:b1]  # (S, B) exact 0.0/1.0
+        m_per = z.sum(axis=0).astype(np.int64)
+        m_max = int(m_per.max()) if B else 0
+        if m_max == 0:
+            blocks.append(None)
+            continue
+        step_idx = np.zeros((m_max, B), np.int64)
+        pad = np.zeros((m_max, B), np.float64)
+        for j in range(B):
+            v = np.flatnonzero(z[:, j])
+            step_idx[: len(v), j] = v
+            pad[: len(v), j] = 1.0
+        frac_c = frac[step_idx, np.arange(b0, b1)[None, :]]  # (m_max, B)
+        blocks.append((b0, b1, m_max, step_idx.astype(np.int32), pad, frac_c))
+    _COMPACT_CACHE[key] = blocks
+    return blocks
+
 # Ball-path index cache (r12 optimization): step 8's (cx, cy, flat) path
 # indices depend only on (ball_start, z-window, chunking) — NOT on players —
 # so consumers that evaluate many player configurations against one ball
 # position (the M6 optimizer: ~80 kernel calls per frame; the bench's
-# synthetic play: one ball position across every frame) recompute ~70 ms of
-# identical int32 tensors per call. Keyed by the exact float ball position;
-# capped at 2 keys per worker (~22 MB each) with FIFO eviction. Cached
-# arrays hold exactly the values the inline computation produced, so the
-# gather — and every downstream float — is bit-identical.
+# synthetic play: one ball position across every frame) recompute identical
+# int32 tensors per call. Keyed by the exact float ball position; capped at
+# 2 keys per worker (~4 MB each after r12's step compaction) with FIFO
+# eviction. Cached arrays hold exactly the values the inline computation
+# produced, so the gather — and every downstream float — is bit-identical.
 _PATH_CACHE: dict[tuple, list[np.ndarray]] = {}
 _PATH_CACHE_MAX = 2
 
@@ -253,6 +303,123 @@ def frame_surfaces(
     )
 
 
+def _ppc_surfaces(
+    p_off_part: np.ndarray,
+    p_def_part: np.ndarray,
+    ball_start: np.ndarray,
+    params: EppaParams,
+    chunk: int = 330,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Step 8: trajectory-integrated completion (get_ppc,
+    play_eppa_cpu.py:336-390). F-chunked, arrival-blocked AND
+    step-compacted: zv is only ~6% dense (the z-window admits 8/5/1/1 steps
+    max per arrival across the four blocks at the default window), masked
+    steps contribute an EXACT 1.0 cumprod factor / 0.0 sum term, and
+    numpy's axis-1 reduction accumulates sequentially in slot order — so
+    gathering and cumprod-ing only the valid slots (padded per block to
+    m_max, pad slots masked to exact 0.0) is bit-identical to the dense
+    (Fc,S,B) sweep at ~6x less tensor traffic (dense replay pinned by
+    tests/test_kernels.py::test_step8_compact_bit_identical_vs_dense).
+    Path indices are int32 (flat < F·T = 264,000 « 2³¹).
+
+    Returns workspace-backed (F, T) arrays — valid until the next call in
+    this process; callers that keep results copy them out."""
+    F, T = N_CELLS, N_TOF
+    ppc_off = _ws("fs.ppc_off", (F, T))
+    ppc_def = _ws("fs.ppc_def", (F, T))
+    compact = _compact_blocks(params)  # per-block (b0,b1,m_max,steps,pad,frac)
+    grid = field_grid()
+    bx, by = ball_start[0], ball_start[1]
+    p_off_flat = p_off_part.ravel()  # single-gather addressing (views)
+    p_def_flat = p_def_part.ravel()
+    # path indices depend only on (ball, z-window, chunking): fetch or
+    # build the per-block flat tensors once per ball position (_PATH_CACHE;
+    # identical index math per call otherwise — the M6 optimizer makes
+    # ~80 same-ball calls per frame)
+    path_key = (float(bx), float(by), params.z_min, params.z_max, chunk)
+    cached_blocks = _PATH_CACHE.get(path_key)
+    building_cache = cached_blocks is None
+    if building_cache:
+        cached_blocks = []
+        while len(_PATH_CACHE) >= _PATH_CACHE_MAX:
+            _PATH_CACHE.pop(next(iter(_PATH_CACHE)))
+        _PATH_CACHE[path_key] = cached_blocks
+    block_i = 0
+    for lo in range(0, N_CELLS, chunk):
+        hi = min(lo + chunk, N_CELLS)
+        gc = grid[lo:hi]  # (Fc, 2)
+        Fc = hi - lo
+        dx = (gc[:, 0] - bx)[:, None, None]  # (Fc,1,1)
+        dy = (gc[:, 1] - by)[:, None, None]
+        for blk in compact:
+            if blk is None:
+                continue  # no valid slots: dense sum was exactly 0.0 —
+                # ppc rows for such blocks are zeroed below before use
+            b0, b1, m_max, steps_c, pad, frac_c = blk
+            B = b1 - b0
+            if building_cache:
+                # ball path cell index at valid slot (step, arrival) only,
+                # without materializing a path tensor (F13 ravel, :352).
+                # Pad slots compute step 0's index — in-range after the
+                # clips, and their gathered value is masked to exact 0.0.
+                work = _ws("fs.work", (Fc, m_max, B))
+                cx = _ws("fs.cx", (Fc, m_max, B), np.int32)
+                np.multiply(frac_c, dx, out=work)  # rint(bx + frac·dx − 0.5)
+                work += bx - 0.5
+                np.rint(work, out=work)
+                np.copyto(cx, work, casting="unsafe")  # ≡ astype(int32)
+                np.minimum(cx, FIELD_X - 1, out=cx)
+                np.maximum(cx, 0, out=cx)
+                cy = _ws("fs.cy", (Fc, m_max, B), np.int32)
+                np.multiply(frac_c, dy, out=work)
+                work += by - 0.5
+                np.rint(work, out=work)
+                np.copyto(cy, work, casting="unsafe")
+                np.minimum(cy, FIELD_Y - 1, out=cy)
+                np.maximum(cy, 0, out=cy)
+                flat = np.empty((Fc, m_max, B), np.int32)  # owned by the cache
+                np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
+                flat += cx
+                flat *= N_TOF
+                flat += steps_c[None, :, :]  # (Fc, m_max, B)
+                cached_blocks.append(flat)
+            else:
+                flat = cached_blocks[block_i]
+            block_i += 1
+            # memoized gather: partitioned team p at (path cell, step time)
+            # (:337,355)
+            catch_off = _ws("fs.catch_off", (Fc, m_max, B))
+            # mode='clip' skips the bounds-check transfer buffer numpy
+            # inserts for out= with mode='raise' (~3x on this gather);
+            # flat is in-range by construction (cx/cy clipped above)
+            np.take(p_off_flat, flat, out=catch_off, mode="clip")
+            catch_off *= pad  # valid slots ×1.0 (= dense z mult), pad → 0.0
+            catch_def = _ws("fs.catch_def", (Fc, m_max, B))
+            np.take(p_def_flat, flat, out=catch_def, mode="clip")
+            catch_def *= pad
+            # cumprod survival, shift-by-1 seed 1 (W7, :373-375); pad slots
+            # are exact 1.0 factors, so per-arrival slot order ≡ step order
+            no_event = _ws("fs.work", (Fc, m_max, B))  # reuse float scratch
+            np.subtract(1.0, catch_off, out=no_event)
+            no_event -= catch_def
+            np.minimum(no_event, 1.0, out=no_event)
+            np.maximum(no_event, 0.0, out=no_event)
+            cum = _ws("fs.cum", (Fc, m_max, B))
+            np.cumprod(no_event, axis=1, out=cum)
+            # shift-by-1 survival applied as a slice product (slot 0 keeps
+            # survival 1: all earlier steps are exact-1.0 factors)
+            catch_off[:, 1:, :] *= cum[:, :-1, :]
+            catch_def[:, 1:, :] *= cum[:, :-1, :]
+            catch_off.sum(axis=1, out=ppc_off[lo:hi, b0:b1])  # (:385)
+            catch_def.sum(axis=1, out=ppc_def[lo:hi, b0:b1])
+    for blk_j, blk in enumerate(compact):
+        if blk is None:  # dense sweep produced exact 0.0 for empty blocks
+            b0, b1 = blk_j * _AB, min((blk_j + 1) * _AB, N_TOF)
+            ppc_off[:, b0:b1] = 0.0
+            ppc_def[:, b0:b1] = 0.0
+    return ppc_off, ppc_def
+
+
 def _frame_surfaces_core(
     px: np.ndarray,
     pv: np.ndarray,
@@ -378,96 +545,10 @@ def _frame_surfaces_core(
     else:
         np.copyto(trans_prior, h)
 
-    # 8. trajectory-integrated completion (get_ppc, :336-390). F-chunked AND
-    # arrival-blocked: zv masks step>arrival to exact zero (the ball has
-    # landed), so for arrivals [b0,b1) only steps 0..b1 carry mass — the
-    # triangular step axis nearly halves tensor traffic vs the full (Fc,T,T)
-    # form. Path indices are int32 (flat < F·T = 264,000 « 2³¹), halving
-    # index traffic again.
-    ppc_off = _ws("fs.ppc_off", (F, T))
-    ppc_def = _ws("fs.ppc_def", (F, T))
-    frac, zv = _traj_constants(params)  # (T_step, T_arr) each, cached
-    bx, by = ball_start[0], ball_start[1]
-    p_off_flat = p_off_part.ravel()  # single-gather addressing (views)
-    p_def_flat = p_def_part.ravel()
-    steps = np.arange(N_TOF, dtype=np.int32)[None, :, None]  # (1,T_step,1)
-    AB = 10  # arrival-block width
-    # path indices depend only on (ball, z-window, chunking): fetch or
-    # build the per-block flat tensors once per ball position (_PATH_CACHE;
-    # ~70 ms of identical index math per call otherwise — the M6 optimizer
-    # makes ~80 same-ball calls per frame)
-    path_key = (float(bx), float(by), params.z_min, params.z_max, chunk)
-    cached_blocks = _PATH_CACHE.get(path_key)
-    building_cache = cached_blocks is None
-    if building_cache:
-        cached_blocks = []
-        while len(_PATH_CACHE) >= _PATH_CACHE_MAX:
-            _PATH_CACHE.pop(next(iter(_PATH_CACHE)))
-        _PATH_CACHE[path_key] = cached_blocks
-    block_i = 0
-    for lo in range(0, N_CELLS, chunk):
-        hi = min(lo + chunk, N_CELLS)
-        gc = grid[lo:hi]  # (Fc, 2)
-        Fc = hi - lo
-        dx = (gc[:, 0] - bx)[:, None, None]  # (Fc,1,1)
-        dy = (gc[:, 1] - by)[:, None, None]
-        for b0 in range(0, N_TOF, AB):
-            b1 = min(b0 + AB, N_TOF)
-            S, B = b1, b1 - b0  # steps needed, arrivals in block
-            fr = frac[:S, b0:b1]  # (S, B)
-            z = zv[:S, b0:b1]
-            if building_cache:
-                # ball path cell index at step s for arrival T, without
-                # materializing the (Fc,S,B,2) path tensor (F13 ravel, :352)
-                work = _ws("fs.work", (Fc, S, B))
-                cx = _ws("fs.cx", (Fc, S, B), np.int32)
-                np.multiply(fr, dx, out=work)  # rint(bx + frac·dx − 0.5)
-                work += bx - 0.5
-                np.rint(work, out=work)
-                np.copyto(cx, work, casting="unsafe")  # ≡ astype(int32)
-                np.minimum(cx, FIELD_X - 1, out=cx)
-                np.maximum(cx, 0, out=cx)
-                cy = _ws("fs.cy", (Fc, S, B), np.int32)
-                np.multiply(fr, dy, out=work)
-                work += by - 0.5
-                np.rint(work, out=work)
-                np.copyto(cy, work, casting="unsafe")
-                np.minimum(cy, FIELD_Y - 1, out=cy)
-                np.maximum(cy, 0, out=cy)
-                flat = np.empty((Fc, S, B), np.int32)  # owned by the cache
-                np.multiply(cy, FIELD_X, out=flat)  # (cy·X + cx)·T + step
-                flat += cx
-                flat *= N_TOF
-                flat += steps[:, :S]  # (Fc, S, B)
-                cached_blocks.append(flat)
-            else:
-                flat = cached_blocks[block_i]
-            block_i += 1
-            # memoized gather: partitioned team p at (path cell, step time)
-            # (:337,355)
-            catch_off = _ws("fs.catch_off", (Fc, S, B))
-            # mode='clip' skips the bounds-check transfer buffer numpy
-            # inserts for out= with mode='raise' (~3x on this gather);
-            # flat is in-range by construction (cx/cy clipped above)
-            np.take(p_off_flat, flat, out=catch_off, mode="clip")
-            catch_off *= z
-            catch_def = _ws("fs.catch_def", (Fc, S, B))
-            np.take(p_def_flat, flat, out=catch_def, mode="clip")
-            catch_def *= z
-            # cumprod survival, shift-by-1 seed 1 (W7, :373-375)
-            no_event = _ws("fs.work", (Fc, S, B))  # reuse the float scratch
-            np.subtract(1.0, catch_off, out=no_event)
-            no_event -= catch_def
-            np.minimum(no_event, 1.0, out=no_event)
-            np.maximum(no_event, 0.0, out=no_event)
-            cum = _ws("fs.cum", (Fc, S, B))
-            np.cumprod(no_event, axis=1, out=cum)
-            # shift-by-1 survival applied as a slice product (step 0 keeps
-            # survival 1) — no materialized surv buffer
-            catch_off[:, 1:, :] *= cum[:, :-1, :]
-            catch_def[:, 1:, :] *= cum[:, :-1, :]
-            catch_off.sum(axis=1, out=ppc_off[lo:hi, b0:b1])  # (:385)
-            catch_def.sum(axis=1, out=ppc_def[lo:hi, b0:b1])
+    # 8. trajectory-integrated completion (get_ppc, :336-390) — see
+    # _ppc_surfaces.
+    ppc_off, ppc_def = _ppc_surfaces(p_off_part, p_def_part, ball_start, params, chunk)
+
 
     # 9. value models on arrival features (get_xyac, :392-464)
     d_def = d_mag[:, ~is_off]

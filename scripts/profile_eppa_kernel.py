@@ -154,69 +154,16 @@ def main() -> None:
     p_off_part = _ws("fs.p_off_part", (F_, T))
     p_def_part = _ws("fs.p_def_part", (F_, T))
 
-    def step8(index_only=False, gather_only=False):
-        ppc_off = _ws("fs.ppc_off", (F_, T))
-        ppc_def = _ws("fs.ppc_def", (F_, T))
-        bx, by = ball[0], ball[1]
-        p_off_flat = p_off_part.ravel()
-        p_def_flat = p_def_part.ravel()
-        AB = 10
-        for lo in range(0, N_CELLS, chunk):
-            hi = min(lo + chunk, N_CELLS)
-            gc = grid[lo:hi]
-            Fc = hi - lo
-            dx = (gc[:, 0] - bx)[:, None, None]
-            dy = (gc[:, 1] - by)[:, None, None]
-            for b0 in range(0, N_TOF, AB):
-                b1 = min(b0 + AB, N_TOF)
-                S, B = b1, b1 - b0
-                fr = frac[:S, b0:b1]
-                z = zv[:S, b0:b1]
-                flat = _ws("fs.flat", (Fc, S, B), np.int32)
-                if not gather_only:
-                    work = _ws("fs.work", (Fc, S, B))
-                    cx = _ws("fs.cx", (Fc, S, B), np.int32)
-                    np.multiply(fr, dx, out=work)
-                    work += bx - 0.5
-                    np.rint(work, out=work)
-                    np.copyto(cx, work, casting="unsafe")
-                    np.minimum(cx, FIELD_X - 1, out=cx)
-                    np.maximum(cx, 0, out=cx)
-                    cy = _ws("fs.cy", (Fc, S, B), np.int32)
-                    np.multiply(fr, dy, out=work)
-                    work += by - 0.5
-                    np.rint(work, out=work)
-                    np.copyto(cy, work, casting="unsafe")
-                    np.minimum(cy, FIELD_Y - 1, out=cy)
-                    np.maximum(cy, 0, out=cy)
-                    np.multiply(cy, FIELD_X, out=flat)
-                    flat += cx
-                    flat *= N_TOF
-                    flat += steps[:, :S]
-                if index_only:
-                    continue
-                work = _ws("fs.work", (Fc, S, B))
-                catch_off = _ws("fs.catch_off", (Fc, S, B))
-                np.take(p_off_flat, flat, out=catch_off, mode="clip")
-                catch_off *= z
-                catch_def = _ws("fs.catch_def", (Fc, S, B))
-                np.take(p_def_flat, flat, out=catch_def, mode="clip")
-                catch_def *= z
-                no_event = work
-                np.subtract(1.0, catch_off, out=no_event)
-                no_event -= catch_def
-                np.minimum(no_event, 1.0, out=no_event)
-                np.maximum(no_event, 0.0, out=no_event)
-                cum = _ws("fs.cum", (Fc, S, B))
-                np.cumprod(no_event, axis=1, out=cum)
-                catch_off[:, 1:, :] *= cum[:, :-1, :]
-                catch_def[:, 1:, :] *= cum[:, :-1, :]
-                catch_off.sum(axis=1, out=ppc_off[lo:hi, b0:b1])
-                catch_def.sum(axis=1, out=ppc_def[lo:hi, b0:b1])
+    def step8(cold=False):
+        # the real kernel step-8 (compact since r12 opt round 1): cold=True
+        # clears the ball-path cache so index construction is included
+        if cold:
+            E._PATH_CACHE.clear()
+        E._ppc_surfaces(p_off_part, p_def_part, ball, params, chunk)
 
-    t8 = timeit(step8)
-    t8_idx = timeit(lambda: step8(index_only=True))
-    t8_gather = timeit(lambda: step8(gather_only=True))
+    t8 = timeit(lambda: step8(cold=True))
+    t8_gather = timeit(step8)  # warm: path indices from _PATH_CACHE
+    t8_idx = max(t8 - t8_gather, 0.0)
 
     trans_prior = _ws("fs.trans_prior", (F_, T))
     ppc_off = _ws("fs.ppc_off", (F_, T))
@@ -255,14 +202,14 @@ def main() -> None:
     print(f"  step 6 (log1p+dgemm)   : {t6:7.1f} ms")
     print(f"  step 6b (exp/partition): {t6b:7.1f} ms")
     print(f"  step 7 (trans prior)   : {t7:7.1f} ms")
-    print(f"  step 8 (trajectory)    : {t8:7.1f} ms")
-    print(f"    index computation    : {t8_idx:7.1f} ms")
-    print(f"    gather+cumprod only  : {t8_gather:7.1f} ms")
+    print(f"  step 8 cold (build idx): {t8:7.1f} ms")
+    print(f"    index computation    : {t8_idx:7.1f} ms (cold - warm)")
+    print(f"  step 8 warm (cache hit): {t8_gather:7.1f} ms")
     print(f"  step 10 (power/trans)  : {t10:7.1f} ms")
     print(f"  step 12 (attribution)  : {t12:7.1f} ms")
     print(f"  result copies          : {t_cp:7.1f} ms")
-    accounted = t_pif + t6 + t6b + t7 + t8 + t10 + t12 + t_cp
-    print(f"  accounted              : {accounted:7.1f} ms "
+    accounted = t_pif + t6 + t6b + t7 + t8_gather + t10 + t12 + t_cp
+    print(f"  accounted (warm step 8): {accounted:7.1f} ms "
           f"({100 * accounted / t_full:.0f}% of full)")
 
 

@@ -817,3 +817,84 @@ def test_path_index_cache_bit_identical_and_bounded():
         for k in ("ppc_off", "ppc_def", "eppa_ft"):
             assert np.array_equal(got[k], want[k]), k
     assert len(E._PATH_CACHE) <= E._PATH_CACHE_MAX
+
+
+def test_step8_compact_bit_identical_vs_dense():
+    """The step-compacted trajectory integration (_ppc_surfaces) must be
+    bit-identical to the dense (Fc, S, B) sweep it replaced (r12
+    optimization round: zv is ~6% dense; masked steps are exact 1.0
+    cumprod factors / 0.0 sum terms, and numpy's axis-1 reduction is
+    sequential, so skipping them cannot move a bit). The dense reference
+    below is the pre-compaction loop, replayed verbatim with fresh
+    allocations."""
+    from bigdatabowl_spark.kernels import eppa as E
+    from bigdatabowl_spark.kernels.params import (
+        FIELD_X,
+        FIELD_Y,
+        field_grid,
+    )
+
+    def dense_ppc(p_off_part, p_def_part, ball, params, chunk=330):
+        grid = field_grid()
+        frac, zv = E._traj_constants(params)
+        ppc_off = np.empty((N_CELLS, N_TOF))
+        ppc_def = np.empty((N_CELLS, N_TOF))
+        bx, by = ball
+        p_off_flat = p_off_part.ravel()
+        p_def_flat = p_def_part.ravel()
+        steps = np.arange(N_TOF, dtype=np.int32)[None, :, None]
+        for lo in range(0, N_CELLS, chunk):
+            hi = min(lo + chunk, N_CELLS)
+            gc = grid[lo:hi]
+            dx = (gc[:, 0] - bx)[:, None, None]
+            dy = (gc[:, 1] - by)[:, None, None]
+            for b0 in range(0, N_TOF, 10):
+                b1 = min(b0 + 10, N_TOF)
+                S = b1
+                fr = frac[:S, b0:b1]
+                z = zv[:S, b0:b1]
+                work = np.multiply(fr, dx)
+                work += bx - 0.5
+                np.rint(work, out=work)
+                cx = work.astype(np.int32)
+                np.minimum(cx, FIELD_X - 1, out=cx)
+                np.maximum(cx, 0, out=cx)
+                work = np.multiply(fr, dy)
+                work += by - 0.5
+                np.rint(work, out=work)
+                cy = work.astype(np.int32)
+                np.minimum(cy, FIELD_Y - 1, out=cy)
+                np.maximum(cy, 0, out=cy)
+                flat = cy * FIELD_X
+                flat += cx
+                flat *= N_TOF
+                flat += steps[:, :S]
+                catch_off = np.take(p_off_flat, flat, mode="clip")
+                catch_off *= z
+                catch_def = np.take(p_def_flat, flat, mode="clip")
+                catch_def *= z
+                no_event = 1.0 - catch_off
+                no_event -= catch_def
+                np.minimum(no_event, 1.0, out=no_event)
+                np.maximum(no_event, 0.0, out=no_event)
+                cum = np.cumprod(no_event, axis=1)
+                catch_off[:, 1:, :] *= cum[:, :-1, :]
+                catch_def[:, 1:, :] *= cum[:, :-1, :]
+                catch_off.sum(axis=1, out=ppc_off[lo:hi, b0:b1])
+                catch_def.sum(axis=1, out=ppc_def[lo:hi, b0:b1])
+        return ppc_off, ppc_def
+
+    rng = np.random.default_rng(12)
+    # windows: default, low, sliver (only blocks 0-1 populated), and one
+    # where the first block has empty arrival columns
+    for z_min, z_max in [(1.0, 3.0), (0.5, 2.0), (2.9, 3.0), (2.0, 2.2)]:
+        params = EppaParams(z_min=z_min, z_max=z_max)
+        p = rng.random((N_CELLS, N_TOF))
+        q = rng.random((N_CELLS, N_TOF)) * (1.0 - p)  # off + def <= 1
+        ball = np.array([rng.uniform(10, 100), rng.uniform(5, 48)])
+        E._PATH_CACHE.clear()
+        for _ in range(2):  # second call exercises the cache-hit path
+            got_off, got_def = E._ppc_surfaces(p, q, ball, params)
+            want_off, want_def = dense_ppc(p, q, ball, params)
+            assert np.array_equal(got_off, want_off), (z_min, z_max)
+            assert np.array_equal(got_def, want_def), (z_min, z_max)
