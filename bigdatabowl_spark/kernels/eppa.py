@@ -182,29 +182,21 @@ def default_ep_curve(x: np.ndarray) -> np.ndarray:
     return -2.0 + 9.0 / (1.0 + np.exp(-0.08 * (x - 60.0)))
 
 
-def player_intercept_field(
+def _reach_times(
     px: np.ndarray,
     pv: np.ndarray,
     grid: np.ndarray,
-    tof: np.ndarray,
     params: EppaParams,
     reuse: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Steps 1-5 of the frame kernel: reaction projection, intercept
-    geometry, piecewise time-to-reach, P(intercept) sigmoid.
-
-    px/pv: (J, 2) positions/velocities; grid: (F, 2); tof: (T,).
-    Returns (d_mag (F, J), p_int (F, T, J)). Shared by the EPPA kernel
-    (play_eppa_cpu.py:235-269) and the defensive optimizer's candidate
-    evaluation (optimize_def.py:52-139), where J is the candidate axis.
-
-    With reuse=True the returned arrays live in the per-process workspace
-    (_WS) and are only valid until the next reuse=True call. The in-place
-    ufunc forms are chosen to be bit-identical to the allocating forms
-    (same ops, same operand order — IEEE add/mul commute bitwise).
-    """
+    """Steps 1-4 of the frame kernel: reaction projection, intercept
+    geometry, piecewise time-to-reach — everything before the (F, T, J)
+    sigmoid expansion. Returns (d_mag (F, J), t_tot (F, J) pre-scaled by
+    the sigmoid slope k), so callers can expand the sigmoid either in one
+    full pass (player_intercept_field) or F-chunk-fused with the team
+    log-sum contraction (_frame_surfaces_core) — elementwise per row, so
+    both orders are bit-identical."""
     F, J = grid.shape[0], px.shape[0]
-    T = tof.shape[0]
     alloc = _ws if reuse else (lambda name, shape, dtype=np.float64: np.empty(shape, dtype=dtype))
 
     # 1-2. reaction projection + intercept geometry (play_eppa_cpu.py:235-251)
@@ -258,16 +250,55 @@ def player_intercept_field(
     np.copyto(t_tot, t_quad, where=reaches_early)
     t_tot += params.reax_t
 
-    # 5. P(intercept) sigmoid field (M3 core, :268-269). The exponent is
-    # written pre-scaled (k·t_tot − k·tof ≡ −k·(tof − t_tot)) so the sigmoid
-    # needs one fewer full pass over the 46 MB tensor.
+    # pre-scale by the sigmoid slope so step 5 needs one fewer full pass
+    # over the 46 MB tensor (k·t_tot − k·tof ≡ −k·(tof − t_tot))
+    t_tot *= _SIGMOID_K / params.tti_sigma
+    return d_mag, t_tot
+
+
+def _sigmoid_expand(
+    t_tot_scaled: np.ndarray,
+    tof_scaled: np.ndarray,
+    out: np.ndarray,
+) -> np.ndarray:
+    """Step 5: P(intercept) sigmoid field (M3 core, play_eppa_cpu.py
+    :268-269) over pre-scaled reach times. Elementwise, so computing it
+    whole or F-chunk-slice by slice is bit-identical."""
+    np.subtract(t_tot_scaled[:, None, :], tof_scaled[None, :, None], out=out)
+    np.exp(out, out=out)
+    out += 1.0
+    np.reciprocal(out, out=out)
+    return out
+
+
+def player_intercept_field(
+    px: np.ndarray,
+    pv: np.ndarray,
+    grid: np.ndarray,
+    tof: np.ndarray,
+    params: EppaParams,
+    reuse: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Steps 1-5 of the frame kernel: reaction projection, intercept
+    geometry, piecewise time-to-reach, P(intercept) sigmoid.
+
+    px/pv: (J, 2) positions/velocities; grid: (F, 2); tof: (T,).
+    Returns (d_mag (F, J), p_int (F, T, J)). Shared by the EPPA kernel
+    (play_eppa_cpu.py:235-269) and the defensive optimizer's candidate
+    evaluation (optimize_def.py:52-139), where J is the candidate axis.
+
+    With reuse=True the returned arrays live in the per-process workspace
+    (_WS) and are only valid until the next reuse=True call. The in-place
+    ufunc forms are chosen to be bit-identical to the allocating forms
+    (same ops, same operand order — IEEE add/mul commute bitwise).
+    """
+    F, J = grid.shape[0], px.shape[0]
+    T = tof.shape[0]
+    alloc = _ws if reuse else (lambda name, shape, dtype=np.float64: np.empty(shape, dtype=dtype))
+    d_mag, t_tot = _reach_times(px, pv, grid, params, reuse=reuse)
     k = _SIGMOID_K / params.tti_sigma
-    t_tot *= k
     p_int = alloc("pif.p_int", (F, T, J))
-    np.subtract(t_tot[:, None, :], (tof * k)[None, :, None], out=p_int)
-    np.exp(p_int, out=p_int)
-    p_int += 1.0
-    np.reciprocal(p_int, out=p_int)
+    _sigmoid_expand(t_tot, tof * k, p_int)
     return d_mag, p_int
 
 
@@ -464,11 +495,21 @@ def _frame_surfaces_core(
     # 2-17 s/call first-touch under concurrency vs ~0.5 s compute). Returned
     # surfaces are COPIED out, so results stay valid across calls.
 
-    # 1-5. reaction projection → P(intercept) sigmoid field
-    if precomputed is not None:
-        d_mag, p_int = precomputed
+    # 1-5. reaction projection → P(intercept) sigmoid field. When the
+    # tensor is not supplied, step 5's expansion is FUSED into step 6's
+    # F-chunk loop below: each p_int chunk is consumed by the log1p+dgemm
+    # while still cache-warm instead of being re-streamed from DRAM — the
+    # kernel is memory-bound under 32-way worker concurrency (charged CPU
+    # per frame ran ~2.3x its idle single-thread time), and both step 5
+    # and step 6 are row-independent, so chunked evaluation is
+    # bit-identical to the full-pass form.
+    fuse_sigmoid = precomputed is None
+    if fuse_sigmoid:
+        d_mag, t_tot = _reach_times(px, pv, grid, params, reuse=True)
+        tof_scaled = tof * (_SIGMOID_K / params.tti_sigma)
+        p_int = _ws("pif.p_int", (F, T, J))
     else:
-        d_mag, p_int = player_intercept_field(px, pv, grid, tof, params, reuse=True)
+        d_mag, p_int = precomputed
 
     # 6. team aggregates 1−∏(1−p) (A23, :270-271). For the trajectory step
     # probabilities the event space is partitioned properly: P(any) split
@@ -489,6 +530,8 @@ def _frame_surfaces_core(
     with np.errstate(divide="ignore"):
         for lo in range(0, F, chunk):
             hi = min(lo + chunk, F)
+            if fuse_sigmoid:  # step 5 for this chunk (see comment above)
+                _sigmoid_expand(t_tot[lo:hi], tof_scaled, p_int[lo:hi])
             # the attribution stage (step 12) needs raw per-team p_int sums;
             # computing them here reuses the cache-resident chunk instead of
             # re-reading the full 36 MB tensor later (row-chunked dgemm is
