@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import os
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -22,6 +23,34 @@ from bigdatabowl_spark.functions.scalar import dec
 from bigdatabowl_spark.plans.catalog import register, t
 
 WINDOW_US = 600_000_000  # 10 minutes
+
+
+def _cents_and_max(pdf, have_ts: bool = True) -> tuple[int, int]:
+    """Per-batch (integer-cent sum, max event ms) for one key's rows —
+    the numpy form of `(pdf["value"] * 100).round().astype("int64").sum()`
+    (r12 optimization: the pandas Series ops cost ~0.22 ms of constant
+    overhead PER KEY per micro-batch — ~1k active keys made that ~40% of
+    every stateful micro-batch — while np.rint is the same round-half-even
+    kernel Series.round calls, so the cents are value-identical at ~15x
+    less per-key overhead, pinned by the streaming fuzz oracles). Nulls
+    cannot reach here (source schema and corpora are non-null); the
+    explicit NaN raise preserves the loud failure the pandas int-cast
+    gave rather than letting a NaN cast to garbage cents."""
+    v = np.rint(pdf["value"].to_numpy() * 100)
+    if np.isnan(v).any():
+        raise ValueError("null/NaN value in stateful totals input")
+    cents = int(v.astype(np.int64).sum())
+    max_ms = int(pdf["ts_us"].to_numpy().max()) // 1_000 if have_ts else 0
+    return cents, max_ms
+
+
+def _row1(**cols) -> "pd.DataFrame":
+    """1-row emit frame from scalars via numpy arrays — skips pandas'
+    list-path type inference (~35% cheaper per key; dtypes identical:
+    python int -> int64, float -> float64)."""
+    import pandas as pd
+
+    return pd.DataFrame({k: np.array([v]) for k, v in cols.items()})
 
 
 @contextlib.contextmanager
@@ -473,28 +502,18 @@ def _running_totals(key, pdfs, state, ttl_ms: int = STATE_TTL_MS):
     running totals by treating the tombstone as the key's final value;
     the catalog query filters tombstones out (none fire in its
     single-pass availableNow run)."""
-    import pandas as pd
-
     if state.hasTimedOut:
         n, cents = state.get if state.exists else (0, 0)
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [-1],
-                "total_value": [cents / 100.0],
-            }
-        )
+        yield _row1(user_id=key[0], n_events=-1, total_value=cents / 100.0)
         return
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        cents += _cents_and_max(pdf, have_ts=False)[0]
     state.update((n, cents))
     state.setTimeoutDuration(ttl_ms)
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
-    )
+    yield _row1(user_id=key[0], n_events=n, total_value=cents / 100.0)
 
 
 def stateful_user_totals(
@@ -721,32 +740,23 @@ def _running_totals_eventtime(key, pdfs, state, ttl_ms: int = EVENT_TTL_MS):
     emitting a tombstone (n_events = -1, final total) and dropping the
     state. Eviction timing is decided by the DATA's own clock — replay
     determinism the processing-time variant cannot offer."""
-    import pandas as pd
-
     if state.hasTimedOut:
         n, cents, _ = state.get if state.exists else (0, 0, 0)
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [-1],
-                "total_value": [cents / 100.0],
-            }
-        )
+        yield _row1(user_id=key[0], n_events=-1, total_value=cents / 100.0)
         return
     n, cents, max_ms = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
         # ts_us is the tz-independent epoch-microsecond column (the same
         # integer basis DuckDB's epoch_us sees); floor-to-ms mirrors
         # Spark's watermark bookkeeping (EventTimeStats collects ms)
-        max_ms = max(max_ms, int(pdf["ts_us"].max()) // 1_000)
+        c, m = _cents_and_max(pdf)
+        cents += c
+        max_ms = max(max_ms, m)
     state.update((n, cents, max_ms))
     state.setTimeoutTimestamp(max_ms + ttl_ms)
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
-    )
+    yield _row1(user_id=key[0], n_events=n, total_value=cents / 100.0)
 
 
 def stateful_user_totals_eventtime(
@@ -991,34 +1001,23 @@ def _running_totals_eventtime_mb(key, pdfs, state, ttl_ms: int = EVENT_TTL_MS):
     tombstone carries the state's event-time horizon — strictly
     increasing across a key's updates, tying tombstones to their segment's
     last update for deterministic final-row selection."""
-    import pandas as pd
-
     if state.hasTimedOut:
         n, cents, max_ms = state.get if state.exists else (0, 0, 0)
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [-1],
-                "total_value": [cents / 100.0],
-                "last_ms": [max_ms],
-            }
+        yield _row1(
+            user_id=key[0], n_events=-1, total_value=cents / 100.0, last_ms=max_ms
         )
         return
     n, cents, max_ms = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        max_ms = max(max_ms, int(pdf["ts_us"].max()) // 1_000)
+        c, m = _cents_and_max(pdf)
+        cents += c
+        max_ms = max(max_ms, m)
     state.update((n, cents, max_ms))
     state.setTimeoutTimestamp(max_ms + ttl_ms)
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [cents / 100.0],
-            "last_ms": [max_ms],
-        }
+    yield _row1(
+        user_id=key[0], n_events=n, total_value=cents / 100.0, last_ms=max_ms
     )
 
 
@@ -1233,25 +1232,20 @@ class _TotalsProcessor(_StatefulProcessor):
         self._st = handle.getValueState("totals", "n long, cents long, max_ms long")
 
     def handleInputRows(self, key, rows, timerValues):
-        import pandas as pd
-
         n, cents, max_ms = self._st.get() if self._st.exists() else (0, 0, 0)
         prev_max = max_ms
         for pdf in rows:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
-            max_ms = max(max_ms, int(pdf["ts_us"].max()) // 1_000)
+            c, m = _cents_and_max(pdf)
+            cents += c
+            max_ms = max(max_ms, m)
         self._st.update((n, cents, max_ms))
         if prev_max and max_ms != prev_max:
             self._h.deleteTimer(prev_max + self._ttl)
         self._h.registerTimer(max_ms + self._ttl)
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
-        )
+        yield _row1(user_id=key[0], n_events=n, total_value=cents / 100.0)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        import pandas as pd
-
         if not self._st.exists():
             return
         n, cents, max_ms = self._st.get()
@@ -1259,9 +1253,7 @@ class _TotalsProcessor(_StatefulProcessor):
         if expiredTimerInfo.getExpiryTimeInMs() < max_ms + self._ttl:
             return
         self._st.clear()
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [-1], "total_value": [cents / 100.0]}
-        )
+        yield _row1(user_id=key[0], n_events=-1, total_value=cents / 100.0)
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
         pass
