@@ -62,13 +62,33 @@ def reliable_round(rnd: int | None, interval: int, dir_set: bool) -> bool:
     return interval > 0 and rnd % interval == 0
 
 
-def truncate_lineage(df: DataFrame, rnd: int | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, rnd: int | None = None, eager: bool = True
+) -> DataFrame:
     """Truncate ``df``'s lineage: reliably (``DataFrame.checkpoint``)
     when the session has a checkpoint dir configured and
     ``reliable_round`` says this round is a durable one, else locally.
 
     Call with ``rnd=None`` for one-shot build artifacts and with the
-    1-based round number inside fixpoint loops."""
+    1-based round number inside fixpoint loops.
+
+    ``eager=False`` defers the local checkpoint's materialization to the
+    caller's next action. NEGATIVE RESULT, kept documented (r12
+    optimization round): wiring the fixpoint loops' per-round truncation
+    lazy (so the round's scalar action — pagerank_converge's delta
+    aggregation, the CC loop's changed-count — materializes the
+    checkpoint in the same job, one job per round instead of two)
+    measured ~2x SLOWER stash-swapped A/B at sf0.1 (pagerank_converge
+    8.5-9.5 -> 18.0 s, dedup_clusters 3.2-3.3 -> 5.7 s, baseline
+    re-confirmed after revert): the combined job plans the downstream
+    join/aggregate against the un-materialized subtree, without the
+    runtime statistics the eager materialization gives AQE, and the lost
+    adaptivity costs far more than the saved job launch. Call sites all
+    stay eager; the parameter remains for callers whose next action is a
+    single-subtree read AND whose downstream plan shape cannot benefit
+    from runtime stats. The reliable path stays eager regardless: the
+    durable bounded-redo contract is that the frontier IS on stable
+    storage when the round returns."""
     spark = df.sparkSession
     sc = spark.sparkContext
     dir_set = sc.getCheckpointDir() is not None
@@ -76,4 +96,4 @@ def truncate_lineage(df: DataFrame, rnd: int | None = None) -> DataFrame:
         interval = int(spark.conf.get(_INTERVAL_CONF, str(_DEFAULT_INTERVAL)))
         if reliable_round(rnd, interval, dir_set):
             return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+    return df.localCheckpoint(eager=eager)
