@@ -935,7 +935,7 @@ def test_state_ttl_evicts_idle_keys_and_resets(spark, tmp_path):
             for r in spark.table("ttl_test").collect()
         }
 
-    def wait_for(pred, timeout=60):
+    def wait_for(pred, timeout=180):
         t0 = time.time()
         while time.time() - t0 < timeout:
             exc = q.exception()
@@ -1323,7 +1323,7 @@ def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
             (r.k, r.ts_us) for r in spark.table("wm_dedup_test").collect()
         ]
 
-    def wait_for(pred, timeout=60):
+    def wait_for(pred, timeout=180):
         t0 = time.time()
         while time.time() - t0 < timeout:
             exc = q.exception()
