@@ -1341,8 +1341,30 @@ def test_dedup_within_watermark_evicts_and_readmits(spark, tmp_path):
         feed("b1.parquet", [("C", base + 500_000), ("B", base + 30_000_000)])
         assert wait_for(lambda s: ("B", base + 30_000_000) in s), rows()
         assert ("C", base + 500_000) not in rows(), rows()
+        # A's dedup state is evicted at the END of the batch that runs
+        # WITH watermark >= +28s (one batch after b1's max event time is
+        # observed) — and the dedup lookup itself ignores expiry, so if
+        # b2 lands in a batch where A's state still exists, A is dropped
+        # as a duplicate FOREVER and no poll timeout can save the test
+        # (flaked twice under host load exactly this way). A progress
+        # entry only reports a watermark for a COMMITTED batch, so wait
+        # until the applied watermark passes A's expiry before feeding
+        # the readmission probe.
+        import datetime as _dt
+
+        def applied_watermark_us():
+            p = q.lastProgress or {}
+            wm = (p.get("eventTime") or {}).get("watermark")
+            if not wm:
+                return 0
+            ts = _dt.datetime.fromisoformat(wm.replace("Z", "+00:00"))
+            return int(ts.timestamp() * 1_000_000)
+
+        assert wait_for(
+            lambda s: applied_watermark_us() >= base + 28_000_000
+        ), (q.lastProgress or {}).get("eventTime")
         # b2: duplicate A at t=+29s — NOT late (>= watermark ≈ +28s), but
-        # A's dedup state is long evicted → re-emitted as a fresh row
+        # A's dedup state is now provably evicted → re-emitted
         feed("b2.parquet", [("A", base + 29_000_000)])
         assert wait_for(lambda s: ("A", base + 29_000_000) in s), rows()
         counts = [k for k, _ in rows()]
