@@ -434,9 +434,18 @@ def apply_dedup(
 
     Exact dedup is kept alongside the LSH pass because documents with fewer
     than `n` tokens have no shingles and are invisible to MinHash — the
-    hash-groupBy still catches their identical twins. At scale both drop
-    lists are tiny relative to the corpus, and the anti-join shuffles only
-    on the id key.
+    hash-groupBy still catches their identical twins. Because both drop
+    lists are tiny relative to the corpus (duplicate rows only), the drop
+    side BROADCASTS into the anti-join: the corpus side is never shuffled
+    or sorted — the final pass is map-only over the id column (r12; was a
+    SortMergeJoin that exchanged+sorted every corpus id against a
+    few-hundred-row right side). No `.distinct()` on the drop union —
+    LeftAnti semantics ignore duplicate right rows, and the distinct only
+    added a shuffle+aggregate of its own. If a corpus's duplicate fraction
+    were large enough that the drop list outgrows broadcast range, drop
+    the hint and the planner's shuffled join returns — the decision is the
+    guide's §3.1 small-side rule, not a scale assumption baked into the
+    semantics.
     """
     from pyspark.sql import Window
 
@@ -452,8 +461,8 @@ def apply_dedup(
         .filter(F.col("node") != F.col("comp"))
         .select(F.col("node").alias(id_col))
     )
-    drops = drop_exact.union(drop_lsh).distinct()
-    return df.select(id_col).join(drops, id_col, "left_anti")
+    drops = drop_exact.union(drop_lsh)
+    return df.select(id_col).join(F.broadcast(drops), id_col, "left_anti")
 
 
 def simhash(

@@ -1174,7 +1174,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 9-22 s) before e3 prunes them; intersecting each edge's out-neighbor
     # lists does the same counting with zero wedge-sized shuffle (~2 s).
     # Same trick at 100 TB, with the adjacency build as the only big agg.
-    adj = e.groupBy("pa").agg(F.sort_array(F.collect_list("pb")).alias("nbrs"))
+    # The adjacency feeds BOTH broadcast sides (nbrs_a and nbrs_b); the
+    # planner does not recognize the two differently-aliased subtrees as
+    # one exchange (measured: 4 ObjectHashAggregates / 0 ReusedExchange at
+    # runtime — the collect_list agg ran twice), so materialize it once.
+    # |adj| is one row per node, the same order as the checkpointed edges.
+    adj = (
+        e.groupBy("pa")
+        .agg(F.sort_array(F.collect_list("pb")).alias("nbrs"))
+        .localCheckpoint()
+    )
     tri = (
         e.join(F.broadcast(adj.select(F.col("pa"), F.col("nbrs").alias("nbrs_a"))), "pa")
         .join(

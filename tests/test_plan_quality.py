@@ -515,6 +515,28 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
 
 
+def test_triangle_count_single_adjacency_build(spark, sf_dir):
+    """GR1's sorted-adjacency table feeds BOTH intersection sides; before
+    r12 the two differently-aliased subtrees re-ran the collect_list
+    aggregation over the full edge table (4 ObjectHashAggregates, zero
+    ReusedExchange at runtime). The adjacency is now materialized once
+    (localCheckpoint) — the query plan must contain NO collect_list
+    aggregation at all, only checkpoint read-backs into the broadcasts."""
+    plan = _catalog_plan(spark, sf_dir, "triangle_count")
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "collect_list" not in plan, plan
+
+
+def test_dedup_apply_broadcasts_drop_list(spark, sf_dir):
+    """DD7's final keep-pass anti-joins the corpus against the (tiny) drop
+    list: the drop side must broadcast so the corpus id column is never
+    exchanged or sorted (was a SortMergeJoin LeftAnti that shuffled every
+    corpus id, plans/r12/dedup_apply2_before.txt)."""
+    plan = _catalog_plan(spark, sf_dir, "dedup_apply")
+    assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_pagerank_broadcasts_ranks(spark, sf_dir):
     """GR2's per-iteration rank and degree tables are |nodes| rows and must
     broadcast into the graph join — shuffling the edge table three times
