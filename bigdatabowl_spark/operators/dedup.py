@@ -427,6 +427,7 @@ def apply_dedup(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """Emit the deduplicated corpus: drop exact-text twins (keep lowest id
     per normalized-text hash) and non-canonical members of LSH near-dup
@@ -434,18 +435,26 @@ def apply_dedup(
 
     Exact dedup is kept alongside the LSH pass because documents with fewer
     than `n` tokens have no shingles and are invisible to MinHash — the
-    hash-groupBy still catches their identical twins. Because both drop
-    lists are tiny relative to the corpus (duplicate rows only), the drop
-    side BROADCASTS into the anti-join: the corpus side is never shuffled
-    or sorted — the final pass is map-only over the id column (r12; was a
-    SortMergeJoin that exchanged+sorted every corpus id against a
-    few-hundred-row right side). No `.distinct()` on the drop union —
-    LeftAnti semantics ignore duplicate right rows, and the distinct only
-    added a shuffle+aggregate of its own. If a corpus's duplicate fraction
-    were large enough that the drop list outgrows broadcast range, drop
-    the hint and the planner's shuffled join returns — the decision is the
-    guide's §3.1 small-side rule, not a scale assumption baked into the
-    semantics.
+    hash-groupBy still catches their identical twins. When the drop lists
+    are small relative to the corpus (duplicate rows only — the common
+    case), the drop side BROADCASTS into the anti-join: the corpus side is
+    never shuffled or sorted — the final pass is map-only over the id
+    column (r12; was a SortMergeJoin that exchanged+sorted every corpus id
+    against a few-hundred-row right side). No `.distinct()` on the drop
+    union — LeftAnti semantics ignore duplicate right rows, and the
+    distinct only added a shuffle+aggregate of its own (note: exact-dup ids
+    usually appear in BOTH lists, so the broadcast relation carries ~2x
+    rows for exact dups; that redundancy is part of the sizing call below).
+
+    broadcast_drops (r13, ADVICE r12): the drop-list size is
+    data-dependent — a 20-50% duplicate fraction is realistic in raw web
+    corpora, and past Spark's broadcast hard caps (~8 GB / 512M rows) a
+    FORCED broadcast hint fails the job outright where a shuffled join
+    degrades gracefully. Pass False for high-duplicate corpora to leave
+    the strategy to the planner (AQE still converts to a runtime broadcast
+    when the built drop list turns out small). The default stays True —
+    the §3.1 small-side rule for the corpora this engine stages, kept as a
+    caller decision instead of a code edit.
     """
     from pyspark.sql import Window
 
@@ -462,7 +471,9 @@ def apply_dedup(
         .select(F.col("node").alias(id_col))
     )
     drops = drop_exact.union(drop_lsh)
-    return df.select(id_col).join(F.broadcast(drops), id_col, "left_anti")
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    return df.select(id_col).join(drops, id_col, "left_anti")
 
 
 def simhash(

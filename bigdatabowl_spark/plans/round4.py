@@ -526,38 +526,50 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("bno"),
     ).withColumn("band_val", F.expr("shiftright(simhash, 8 * bno) & 255"))
-    # r12 skew note (guide §2.5): the synthetic corpus's template clusters
-    # collide into a few DEGENERATE band buckets (measured at sf0.1: max
-    # bucket 3,058 docs → 4.7M of the 9.5M candidate pairs from ONE join
-    # key, generated serially — AQE's skew split cannot divide a single
-    # key). A deterministic block decomposition (rank each bucket, cut
-    # into 256-doc blocks, join block pairs i ≤ j with both sides
-    # replicated to partner blocks) was implemented and MEASURED SLOWER
-    # at sf0.1 — 4.2 s vs 3.2 s, min of 3: the extra window shuffle and
-    # the replicated explodes cost more than the hot key's serial pair
-    # fan-out at this bucket size. Kept out; it becomes the right shape
-    # only when a degenerate bucket's C(n,2) dwarfs a task (the "salt any
-    # degenerate band value" posture note).
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bno") == F.col("b.bno"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
-        )
-        .distinct()
+    # r13 (guide §2.3/§2.4, VERDICT r12 item 4): bucket-and-expand with the
+    # verify step FUSED into the expansion, replacing the band self-join +
+    # global DISTINCT. One shuffle on (bno, band_val) collects each bucket's
+    # (doc_id, simhash) rows; ordered pairs expand array-side (the
+    # _shingle_pair_counts idiom — per-bucket doc_ids are distinct, and
+    # sort_array on the structs orders by doc_id first, so the expansion is
+    # exactly the join's doc_id< matches). The hamming<=3 check runs INSIDE
+    # the expansion lambda, so non-matching candidate pairs die in the map
+    # task that generated them instead of crossing a shuffle; the
+    # multi-band duplicate problem (a pair agreeing on k bands appeared k
+    # times → the old plan's 9.5M-row DISTINCT exchange) is solved exactly
+    # and map-side by keeping a pair only in its FIRST matching band:
+    # byte b of (s1 XOR s2) is zero iff band b matches, so
+    # "bno == first zero byte of the xor" holds for exactly one of the
+    # pair's surviving copies. Post-shuffle the plan is expansion-only —
+    # zero exchanges between the bucket agg and the output (was: 2-sided
+    # join exchange on a skewed key + a distinct exchange; the degenerate
+    # 3,058-doc bucket's 4.7M candidates now cost 4 map-side bit_counts
+    # per pair, never a shuffled row).
+    # r12 skew note kept for the record (guide §2.5): a deterministic
+    # 256-doc block decomposition of the degenerate buckets was measured
+    # SLOWER at sf0.1 (4.2 vs 3.2 s) and stays out; it becomes right only
+    # when one bucket's C(n,2) dwarfs a task.
+    grouped = banded.groupBy("bno", "band_val").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
     )
-    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return cand.filter(hamming <= 3).select(
-        "doc1", "doc2", hamming.cast("long").alias("hamming")
+    first_band = (
+        "CASE WHEN (xr & 255) = 0 THEN 0 "
+        "WHEN (shiftright(xr, 8) & 255) = 0 THEN 1 "
+        "WHEN (shiftright(xr, 16) & 255) = 0 THEN 2 ELSE 3 END"
+    )
+    keep = (
+        f"bit_count(xr) <= 3 AND bno = ({first_band})"
+    ).replace("xr", "(x.simhash ^ y.simhash)")
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform("
+        f"  filter(slice(ds, i + 2, size(ds)), y -> {keep}),"
+        "  y -> struct(x.doc_id AS doc1, y.doc_id AS doc2,"
+        "       CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming"
+        "))))"
+    )
+    return grouped.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.doc1", "p.doc2", "p.hamming"
     )
 
 
@@ -1179,6 +1191,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one exchange (measured: 4 ObjectHashAggregates / 0 ReusedExchange at
     # runtime — the collect_list agg ran twice), so materialize it once.
     # |adj| is one row per node, the same order as the checkpointed edges.
+    # Lifetime (ADVICE r12): the checkpointed blocks live until released —
+    # repeated builder calls accumulate block sets, so session-lifetime
+    # consumers (the bench) release them between stages via
+    # SparkContext cleanup (bench._release_persistent_rdds / _gc_sweep).
+    # Cluster-mode caveat: localCheckpoint is NOT fault-tolerant — an
+    # executor loss after this point fails the query unrecoverably; at
+    # real scale route this through operators/checkpointing with a
+    # checkpoint dir configured (same posture note as the fixpoints).
     adj = (
         e.groupBy("pa")
         .agg(F.sort_array(F.collect_list("pb")).alias("nbrs"))
@@ -1274,6 +1294,13 @@ def checkpoint_graph(spark: SparkSession, sym, degs):
     (bench_full_r12_idle.json vs r11). The checkpoint is O(nodes)
     rows — two orders smaller than the edge table it saves re-scanning.
 
+    The layout decision's (total_deg, max_deg) scalars ride the SAME
+    materialization job as an `observe()` metric (r13, VERDICT r12 item
+    3/5): CollectMetrics accumulates them while the checkpoint action
+    runs, so the decision costs zero extra jobs and no driver-side
+    `.collect()` of a separate aggregate — the previous shape paid one
+    full O(nodes) scan + agg job per build just to read two scalars.
+
     Both materializations go through operators/checkpointing: local by
     default, RELIABLE when the session has a checkpoint dir configured —
     the build artifacts are reused by every superstep, so their
@@ -1281,12 +1308,17 @@ def checkpoint_graph(spark: SparkSession, sym, degs):
     executor loss (see that module's posture notes).
 
     Returns (graph, layout, degs_materialized)."""
+    from pyspark.sql import Observation
+
     from bigdatabowl_spark.operators.checkpointing import truncate_lineage
 
-    degs = truncate_lineage(degs)
-    row = degs.agg(
-        F.sum("deg").alias("total"), F.max("deg").alias("mx")
-    ).collect()[0]
+    obs = Observation()
+    degs = truncate_lineage(
+        degs.observe(obs, F.sum("deg").alias("total"), F.max("deg").alias("mx"))
+    )
+    # the eager checkpoint above already ran the plan, so this returns
+    # immediately (Observation.get blocks only until the action fires)
+    row = obs.get
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     layout = graph_layout_decision(
         int(row["total"] or 0), int(row["mx"] or 0), n_part

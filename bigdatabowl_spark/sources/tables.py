@@ -91,6 +91,11 @@ def local_rows_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     crosses Arrow bit-exactly, ints/strings/arrays losslessly (verified
     against the row-list path on the priors and tree schemas)."""
     import pandas as pd
+    from pyspark.sql.types import StructType
 
-    names = [f.rsplit(None, 1)[0] for f in schema.split(", ")]
+    # Real DDL parser, not a comma-split: types containing commas
+    # (`decimal(10, 2)`, nested structs) would silently mis-split the
+    # column list (ADVICE r12). fromDDL goes through the JVM's parser, so
+    # every schema createDataFrame accepts parses identically here.
+    names = [f.name for f in StructType.fromDDL(schema).fields]
     return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)

@@ -173,3 +173,20 @@ def test_steal_meter_reads_the_steal_column(monkeypatch):
     # over +1000 total ticks
     meter = bench._StealMeter()
     assert meter.window() == 0.2
+
+
+def test_suspect_rows_flags_only_stamped_contamination():
+    # r13 (VERDICT r12 item 2): contaminated rows must self-identify to
+    # the PERF comparator. Only rows whose OWN window exceeded the 2%
+    # threshold are flagged; unstamped rows are treated as clean, and the
+    # output is sorted for stable artifact diffs.
+    timings = {"q_clean": 1.0, "q_hot": 2.0, "q_edge": 3.0, "q_nostamp": 4.0}
+    steal_q = {"q_clean": 0.001, "q_hot": 0.139, "q_edge": 0.02}
+    # 0.02 is NOT suspect (strictly greater-than, matching the stage-stamp
+    # guidance ">2-3% means inflation")
+    assert bench._suspect_rows(timings, steal_q) == ["q_hot"]
+    assert bench._suspect_rows({}, steal_q) == []
+    # stamps for rows not in timings (e.g. a renamed key) never leak in
+    assert bench._suspect_rows({"q_hot": 1.0}, {"q_hot": 0.5, "gone": 0.5}) == [
+        "q_hot"
+    ]

@@ -14,6 +14,7 @@ the durable run must produce bit-identical output to the local run.
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import subprocess
@@ -99,6 +100,7 @@ def test_no_dir_means_local_checkpoint(spark):
     assert df.count() == 100
 
 
+@pytest.mark.slow  # see pytest.ini: deselected from the default run (r13)
 def test_durable_run_bit_identical_to_local(spark, tmp_path):
     """pagerank_converge and connected_components under a reliable
     checkpoint dir (interval=1 — every round durable, the worst case)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import importlib.util
+import pytest
 import sys
 
 
@@ -47,6 +48,7 @@ def test_queries_and_oracles_aligned(spark):
     }, f"unexpected oracle-less queries: {rows_only}"
 
 
+@pytest.mark.slow  # see pytest.ini: deselected from the default run (r13)
 def test_kernel_queries_from_foreign_cwd():
     """Python workers must import bigdatabowl_spark via the shipped package
     zip (session._ship_package), not via the driver's cwd — the driver's

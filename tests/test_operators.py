@@ -255,6 +255,7 @@ def _union_find_components(edges):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.slow  # see pytest.ini: deselected from the default run (r13)
 def test_connected_components_matches_union_find(spark):
     """Property: hash-min label propagation agrees with a sequential
     union-find on random graphs (hypothesis-generated edge lists)."""

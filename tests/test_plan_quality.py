@@ -419,11 +419,19 @@ def test_bloom_prune_all_joins_broadcast(spark, sf_dir):
 
 
 def test_simhash_pairs_band_equi_join(spark, sf_dir):
-    """SH1's candidate generation must be an equi join on the band keys —
-    never a nested-loop/cartesian all-pairs comparison."""
+    """SH1's candidate generation must never be a nested-loop/cartesian
+    all-pairs comparison — and since r13 it must not be a join at all:
+    one exchange groups each (band, value) bucket, and the hamming
+    verify + first-matching-band dedup run inside the expansion lambda,
+    so no candidate pair ever crosses a shuffle (the old shape exchanged
+    the banded table twice for a skewed self-join plus 9.5M rows
+    through a DISTINCT)."""
     plan = _catalog_plan(spark, sf_dir, "simhash_hamming_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 1, plan
 
 
 def test_psi_drift_no_corpus_recompute(spark, sf_dir):

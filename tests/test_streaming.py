@@ -1435,6 +1435,7 @@ def test_multibatch_staging_is_sf_keyed(spark, sf_dir):
     _stage_event_buckets(sf_dir)
 
 
+@pytest.mark.slow  # see pytest.ini: deselected from the default run (r13)
 def test_multibatch_oracle_model_generalizes(spark, sf_dir):
     """The multibatch oracle is a MODEL of Spark's per-batch watermark +
     event-time-timer schedule, not a constant tuned to one lucky
@@ -1470,6 +1471,7 @@ def test_multibatch_oracle_model_generalizes(spark, sf_dir):
         assert not diff, f"(k={k}, ttl={ttl_ms}, {flt}): {diff}"
 
 
+@pytest.mark.slow  # see pytest.ini: deselected from the default run (r13)
 def test_multibatch_provider_independent(spark, sf_dir):
     """The multibatch evict-then-readmit run under the RocksDB state store
     must produce the EXACT catalog-query output. Beyond the single-batch
