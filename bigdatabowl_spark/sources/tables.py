@@ -58,11 +58,35 @@ def epoch_us_col(df: DataFrame, col: str = "ts"):
     return F.expr(f"CAST({col} AS BIGINT) div 1000")
 
 
+# Per-session RELATION memo (r13, guide §1.2/§6): every catalog builder
+# re-ran `spark.read.parquet` for its tables — a driver-side footer read +
+# schema inference costing ~0.1-0.2 s per call, ~190 bench rows deep (the
+# longtail probe measured builder construction at 0.21 s/query mean, most
+# of it here). The memo caches the lazy DataFrame OBJECT (the analyzed
+# relation), never data: every action still scans parquet. Keyed on the
+# session's applicationId (a dead session's entries are unreachable and
+# evicted by the cap) AND the path's (mtime, size), so a rewritten test
+# corpus under the same path gets a fresh read — fuzz harnesses that
+# regenerate tables stay correct.
+_RELATION_MEMO: dict[tuple, DataFrame] = {}
+_RELATION_MEMO_CAP = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; events gains ``ts_us``/``ts_ns`` BIGINT epochs."""
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # nonexistent yet / non-posix path: no memo, plain read
+    if key is not None:
+        hit = _RELATION_MEMO.get(key)
+        if hit is not None:
+            return hit
     if name == "events":
         configure(spark)  # ship package zip for driver-owned sessions
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         # Dispatch on the arrival dtype: testdata is timestamp[us] (read as
         # TIMESTAMP_NTZ); an int64 column is treated as pre-epoched nanos.
@@ -70,6 +94,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # queries must use ts_us, not ts_ns.
         df = df.withColumn("ts_us", epoch_us_col(df, "ts"))
         df = df.withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    if key is not None:
+        if len(_RELATION_MEMO) >= _RELATION_MEMO_CAP:
+            _RELATION_MEMO.clear()  # tiny + rebuildable: flush beats LRU here
+        _RELATION_MEMO[key] = df
     return df
 
 

@@ -26,6 +26,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SAMPLE = [
     "a1_pricing_summary",
     "a12_two_level_agg",

@@ -414,3 +414,36 @@ def test_compaction_collapses_files_with_disjoint_ranges(spark, sf_dir):
     for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
         # boundaries may touch on duplicate timestamps, never interleave
         assert nxt_lo >= prev_hi, spans
+
+
+def test_load_table_relation_memo(spark, tmp_path):
+    """r13: load_table memoizes the lazy relation OBJECT per
+    (session, path, mtime, size) — repeated builder calls skip the
+    ~0.1-0.2 s footer-read/schema-inference setup, while a rewritten
+    table under the same path (fuzz harnesses) invalidates via the
+    stat key. Data is never cached: the memo returns a lazy plan."""
+    import shutil
+
+    from bigdatabowl_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    path = tmp_path / "region.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, path)
+    else:
+        shutil.copy(src, path)
+    sf = str(tmp_path)
+
+    a = load_table(spark, sf, "region")
+    b = load_table(spark, sf, "region")
+    assert a is b, "same session + unchanged file must hit the memo"
+    n0 = a.count()
+
+    # rewrite the table (row removed): the stat key must miss and the
+    # fresh read must see the new data
+    trimmed = a.limit(n0 - 1).collect()
+    shutil.rmtree(path, ignore_errors=True) if os.path.isdir(path) else path.unlink()
+    spark.createDataFrame(trimmed, a.schema).write.parquet(str(path))
+    c = load_table(spark, sf, "region")
+    assert c is not a, "rewritten file must invalidate the memo"
+    assert c.count() == n0 - 1, "fresh read must see the new data"
